@@ -1,0 +1,109 @@
+"""Join operators (SURVEY.md §2.3 J1-J6).
+
+Dimension sides are tiny (powiaty ≈ 380 rows; nation = 25) and are always
+``broadcast()`` — every join here is broadcast-hash or broadcast-nested-
+loop; none shuffles the fact side. The reference expressed J2/J3 as pandas
+left/right merges followed by null-probes (helpers:573-633); the direct
+relational forms are semi/anti joins.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def outer_merge_zero_fill(dfs: list[DataFrame], key: str) -> DataFrame:
+    """J1: n-way full-outer equi-join on ``key``; missing counts → 0, int
+    (helpers:535-553). The reference's NaN→float→int round-trip is replaced
+    by ``na.fill(0)`` on never-float longs."""
+    merged = reduce(lambda a, b: a.join(b, on=key, how="full_outer"), dfs)
+    count_cols = [c for c in merged.columns if c != key]
+    return merged.na.fill(0, subset=count_cols)
+
+
+def keep_known_keys(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str) -> DataFrame:
+    """J2/J4: drop fact rows whose key has no dim match — one broadcast
+    left-semi join instead of left-join + null-probe + isin (helpers:573-587)."""
+    return fact.join(
+        F.broadcast(dim.select(dim_key)),
+        fact[fact_key] == dim[dim_key],
+        "left_semi",
+    )
+
+
+def unknown_keys(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str) -> DataFrame:
+    """The ``false_records`` side of J2 (helpers:578-583): fact keys ∉ dim."""
+    return fact.join(
+        F.broadcast(dim.select(dim_key)),
+        fact[fact_key] == dim[dim_key],
+        "left_anti",
+    )
+
+
+def complete_dim_keys(
+    agg: DataFrame,
+    dim: DataFrame,
+    agg_key: str,
+    dim_key: str,
+    fill_values: dict[str, Column],
+) -> DataFrame:
+    """J3+U1: append zero rows for dim keys absent from the aggregate
+    (counties with no permits, helpers:589-633).
+
+    ``fill_values`` supplies non-count constants (e.g. injection_date);
+    every other aggregate column is filled with 0. Output key set ==
+    dim key set, constructively (SURVEY.md §5 item 3).
+    """
+    missing = dim.select(F.col(dim_key).alias(agg_key)).join(
+        agg.select(agg_key), on=agg_key, how="left_anti"
+    )
+    zero_cols = []
+    for c in agg.columns:
+        if c == agg_key:
+            continue
+        if c in fill_values:
+            zero_cols.append(fill_values[c].alias(c))
+        else:
+            zero_cols.append(F.lit(0).cast(dict(agg.dtypes)[c]).alias(c))
+    zeros = missing.select(F.col(agg_key), *zero_cols)
+    return agg.unionByName(zeros)
+
+
+def fuzzy_first_match(
+    left: DataFrame,
+    dim: DataFrame,
+    left_text: str,
+    dim_text: str,
+    dim_key: str,
+    row_id: str,
+) -> DataFrame:
+    """J5: fuzzy theta-join — left ``text`` substring-matched case-
+    insensitively inside dim names; first match wins (helpers:271-280).
+
+    The reference's ``iloc[0]`` pick is file-order-dependent; we pin a
+    deterministic first match by ordering on ``dim_key`` (SURVEY.md §2.5 —
+    the engine's one required Window primitive). Broadcast-nested-loop on a
+    tiny dim: the fact side stays un-shuffled.
+    """
+    matched = left.join(
+        F.broadcast(dim.select(dim_key, dim_text)),
+        F.contains(F.lower(F.col(dim_text)), F.lower(F.col(left_text))),
+        "left",
+    )
+    w = Window.partitionBy(row_id).orderBy(F.col(dim_key).asc_nulls_last())
+    return (
+        matched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", dim_text)
+    )
+
+
+def dim_summary_left_join(dim: DataFrame, summary: DataFrame, key: str) -> DataFrame:
+    """J6: dim left-join summary counts, missing → 0 (nb:21/23/25)."""
+    out = dim.join(summary, on=key, how="left")
+    count_cols = [c for c in summary.columns if c != key]
+    return out.na.fill(0, subset=count_cols)

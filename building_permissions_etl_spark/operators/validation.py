@@ -1,0 +1,100 @@
+"""Data-quality expectations (SURVEY.md §2.9, V1-V5).
+
+The reference runs Great Expectations 0.15 over an eager pandas frame
+(helpers:33-68). Here each expectation compiles to a conditional-aggregate
+Column and the whole suite evaluates in ONE ``agg()`` pass over the data —
+one job, one scan, no per-expectation traversal. That is the property that
+makes the suite viable at 100 TB.
+
+Supported expectation kinds (reference parity):
+  * ``regex``             — V1: every non-null value matches (helpers:49)
+  * ``in_set``            — V2: every non-null value ∈ set (helpers:51)
+  * ``regex_mostly``      — V3: ≥ ``mostly`` fraction of non-null values
+                            match (helpers:52-53, mostly=0.85)
+  * ``distinct_in_set``   — V4: distinct values ⊆ set (helpers:54-55)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    kind: str                     # regex | in_set | regex_mostly | distinct_in_set
+    column: str
+    regex: str | None = None
+    value_set: tuple[str, ...] = ()
+    mostly: float = 1.0
+
+    def to_agg(self) -> Column:
+        col = F.col(self.column)
+        nonnull = col.isNotNull()
+        if self.kind == "regex":
+            bad = F.count(F.when(nonnull & ~col.rlike(self.regex), 1))
+            return (bad == 0).alias(self.name)
+        if self.kind == "in_set":
+            bad = F.count(F.when(nonnull & ~col.isin(list(self.value_set)), 1))
+            return (bad == 0).alias(self.name)
+        if self.kind == "regex_mostly":
+            rate = F.avg(
+                F.when(~nonnull, None)
+                .when(col.rlike(self.regex), 1.0)
+                .otherwise(0.0)
+            )
+            return (rate >= self.mostly).alias(self.name)
+        if self.kind == "distinct_in_set":
+            # distinct-set containment == no non-null value outside the set
+            # (V4 is a distinct-level check; row-level containment implies
+            # it and evaluates in the same single pass).
+            bad = F.count_distinct(
+                F.when(nonnull & ~col.isin(list(self.value_set)), col)
+            )
+            return (bad == 0).alias(self.name)
+        raise ValueError(f"unknown expectation kind {self.kind!r}")
+
+
+@dataclass(frozen=True)
+class ExpectationSuite:
+    expectations: tuple[Expectation, ...]
+    extra_metrics: tuple[Column, ...] = field(default_factory=tuple)
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        """One-row metrics DataFrame: one boolean per expectation."""
+        aggs = [e.to_agg() for e in self.expectations]
+        aggs.append(F.count(F.lit(1)).alias("element_count"))
+        return df.agg(*aggs)
+
+    def report(self, df: DataFrame) -> dict:
+        """Driver-side dict for JSON/HTML rendering (S11 analog)."""
+        row = self.evaluate(df).first().asDict()
+        return {
+            "success": all(bool(row[e.name]) for e in self.expectations),
+            "results": {e.name: bool(row[e.name]) for e in self.expectations},
+            "element_count": row["element_count"],
+        }
+
+
+# Fixture-table instantiation used by the registry/oracle pair: mirrors the
+# reference suite's shapes (V1 regex, V2 set, V3 mostly, V4 distinct-subset)
+# on the `orders` table.
+ORDERS_SUITE = ExpectationSuite(
+    expectations=(
+        Expectation("priority_regex_pass", "regex", "o_orderpriority",
+                    regex=r"^[1-5]-[A-Z ]+$"),
+        Expectation("status_in_set_pass", "in_set", "o_orderstatus",
+                    value_set=("F", "O", "P")),
+        Expectation("priority_mostly_pass", "regex_mostly", "o_orderpriority",
+                    regex=r"^[12]-", mostly=0.2),
+        Expectation("status_distinct_subset_pass", "distinct_in_set",
+                    "o_orderstatus", value_set=("F", "O", "P")),
+    ),
+)
+
+
+def expectation_suite_df(orders: DataFrame) -> DataFrame:
+    return ORDERS_SUITE.evaluate(orders)

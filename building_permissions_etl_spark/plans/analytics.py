@@ -1,0 +1,266 @@
+"""Registry contributions: notebook-parity analytics (SURVEY.md §3.4,
+M6), scalar-function showcase (§2.8), validation suite (§2.9), set ops
+(§2.7) over the fixture tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.functions.roman import (
+    int_to_roman_col,
+    roman_to_int_col,
+)
+from building_permissions_etl_spark.operators import aggregates as A
+from building_permissions_etl_spark.operators.validation import (
+    expectation_suite_df,
+)
+
+
+def contribute(register) -> None:
+    # --- A3/O2: value_counts sorted desc, deterministic tie-break --------
+    register(
+        "value_counts_priority",
+        lambda spark, sf: A.value_counts(
+            load_table(spark, "orders", sf), "o_orderpriority"
+        ),
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY cnt DESC, o_orderpriority
+        """,
+    )
+
+    # --- A4/C11: monthly time series -------------------------------------
+    register(
+        "monthly_series",
+        lambda spark, sf: A.monthly_series(
+            load_table(spark, "lineitem", sf), "l_shipdate"
+        ),
+        """
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1 ORDER BY month
+        """,
+    )
+
+    # --- A5: exact count-distinct (approx variant below, rows-only) -------
+    register(
+        "count_distinct_dates",
+        lambda spark, sf: A.count_distinct(
+            load_table(spark, "lineitem", sf), "l_shipdate"
+        ),
+        "SELECT CAST(count(DISTINCT l_shipdate) AS BIGINT) AS distinct_cnt FROM lineitem",
+    )
+    # At 100 TB the exact distinct is a full shuffle; HLL++ is the scale
+    # path (SURVEY.md A5). Sketch internals differ from DuckDB ⇒ rows-only.
+    register(
+        "approx_count_distinct_dates",
+        lambda spark, sf: A.count_distinct(
+            load_table(spark, "lineitem", sf), "l_shipdate", approx=True
+        ),
+        None,
+    )
+
+    # --- A6: scalar max watermark ------------------------------------------
+    register(
+        "scalar_max_watermark",
+        lambda spark, sf: A.scalar_max(load_table(spark, "events", sf), "ts"),
+        "SELECT max(ts) AS max_val FROM events",
+    )
+
+    # --- A8: conversion success/failure tallies (C5 coerce-to-null) --------
+    def parse_metrics(spark, sf):
+        ev = load_table(spark, "events", sf)
+        # props is a JSON-ish string column; try to parse a timestamp out of
+        # ts formatted back and forth to exercise to_timestamp coercion.
+        parsed = ev.withColumn(
+            "parsed",
+            F.to_timestamp(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                           "yyyy-MM-dd HH:mm:ss"),
+        )
+        return parsed.agg(
+            F.count(F.when(F.col("parsed").isNotNull(), 1)).alias("converted"),
+            F.count(F.when(F.col("parsed").isNull() & F.col("ts").isNotNull(), 1)
+                    ).alias("failed"),
+        )
+
+    register(
+        "timestamp_parse_metrics",
+        parse_metrics,
+        """
+        SELECT CAST(count(CASE WHEN strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                                             '%Y-%m-%d %H:%M:%S') IS NOT NULL
+                          THEN 1 END) AS BIGINT) AS converted,
+               CAST(0 AS BIGINT) AS failed
+        FROM events
+        """,
+    )
+
+    # --- A9/O3: top-k ---------------------------------------------------------
+    register(
+        "top_k_parts",
+        lambda spark, sf: A.top_k(
+            load_table(spark, "lineitem", sf), "l_partkey", 16
+        ),
+        """
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY cnt DESC, l_partkey LIMIT 16
+        """,
+    )
+
+    # --- C14-analog: code → name rollup with default ---------------------------
+    def region_rollup(spark, sf):
+        nation = load_table(spark, "nation", sf)
+        region = load_table(spark, "region", sf)
+        mapped = nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+            "left",
+        ).select(
+            F.col("n_nationkey").cast("bigint").alias("nationkey"),
+            F.coalesce(F.col("r_name"), F.lit("Unknown")).alias("region_name"),
+        )
+        return mapped.groupBy("region_name").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).orderBy(F.desc("cnt"), "region_name")
+
+    register(
+        "region_rollup_with_default",
+        region_rollup,
+        """
+        SELECT COALESCE(r.r_name, 'Unknown') AS region_name,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1 ORDER BY cnt DESC, region_name
+        """,
+    )
+
+    # --- C1-C3, C13, C16-C18: scalar function showcase --------------------------
+    def scalar_funcs(spark, sf):
+        cust = load_table(spark, "customer", sf)
+        from building_permissions_etl_spark.functions.text import (
+            canonicalize_numeric_string,
+            zero_pad_terc,
+        )
+
+        code = F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+        return cust.select(
+            "c_custkey",
+            F.substring(code, 1, 2).alias("prefix2"),
+            F.substring(code, 1, 4).alias("prefix4"),
+            zero_pad_terc(code).alias("padded7"),
+            canonicalize_numeric_string(
+                F.concat(F.col("c_custkey").cast("string"), F.lit(".0"))
+            ).alias("canon"),
+            F.col("c_name").startswith("Customer#1").alias("starts_1"),
+            F.col("c_acctbal").cast("int").alias("bal_int"),
+            F.col("c_custkey").cast("string").alias("key_str"),
+        ).orderBy("c_custkey")
+
+    register(
+        "scalar_function_showcase",
+        scalar_funcs,
+        """
+        SELECT c_custkey,
+               substr(lpad(CAST(c_custkey AS VARCHAR), 6, '0'), 1, 2) AS prefix2,
+               substr(lpad(CAST(c_custkey AS VARCHAR), 6, '0'), 1, 4) AS prefix4,
+               '0' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS padded7,
+               CAST(c_custkey AS VARCHAR) AS canon,
+               (c_name LIKE 'Customer#1%') AS starts_1,
+               CAST(TRUNC(c_acctbal) AS INTEGER) AS bal_int,
+               CAST(c_custkey AS VARCHAR) AS key_str
+        FROM customer ORDER BY c_custkey
+        """,
+    )
+
+    # --- C4: roman numeral codec (literal-map, no UDF) ---------------------------
+    def roman_roundtrip(spark, sf):
+        part = load_table(spark, "part", sf)
+        n = (F.col("p_size") % 30 + 1).cast("int")
+        return part.select(
+            "p_partkey",
+            n.alias("n"),
+            int_to_roman_col(n).alias("as_roman"),
+            roman_to_int_col(int_to_roman_col(n)).alias("back"),
+        ).orderBy("p_partkey")
+
+    roman_case = " ".join(
+        f"WHEN {n} THEN '{r}'"
+        for n, r in sorted(
+            __import__(
+                "building_permissions_etl_spark.functions.roman",
+                fromlist=["ROMAN_OF_INT"],
+            ).ROMAN_OF_INT.items()
+        )
+    )
+    register(
+        "roman_numeral_codec",
+        roman_roundtrip,
+        f"""
+        SELECT p_partkey,
+               CAST(p_size % 30 + 1 AS INTEGER) AS n,
+               CASE CAST(p_size % 30 + 1 AS INTEGER) {roman_case} END AS as_roman,
+               CAST(p_size % 30 + 1 AS INTEGER) AS back
+        FROM part ORDER BY p_partkey
+        """,
+    )
+
+    # --- U1: union with schema alignment -------------------------------------
+    def union_align(spark, sf):
+        ev = load_table(spark, "events", sf)
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "value"
+        )
+        views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id")
+        return clicks.unionByName(
+            views, allowMissingColumns=True
+        ).orderBy("event_id")
+
+    register(
+        "union_schema_align",
+        union_align,
+        """
+        SELECT event_id, user_id, value FROM events WHERE event_type='click'
+        UNION ALL
+        SELECT event_id, user_id, NULL AS value FROM events WHERE event_type='view'
+        ORDER BY event_id
+        """,
+    )
+
+    # --- F9/F10: projection, reorder, rename -----------------------------------
+    register(
+        "projection_rename",
+        lambda spark, sf: load_table(spark, "supplier", sf).select(
+            F.col("s_suppkey").alias("supp_id"),
+            F.col("s_name").alias("supp_name"),
+            F.col("s_acctbal").alias("balance"),
+        ).orderBy("supp_id"),
+        """
+        SELECT s_suppkey AS supp_id, s_name AS supp_name, s_acctbal AS balance
+        FROM supplier ORDER BY supp_id
+        """,
+    )
+
+    # --- V1-V4: Great-Expectations-style suite as ONE agg pass ------------------
+    register(
+        "validation_suite",
+        lambda spark, sf: expectation_suite_df(load_table(spark, "orders", sf)),
+        """
+        SELECT
+          (count(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                 THEN 1 END) = 0) AS priority_regex_pass,
+          (count(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('F','O','P')
+                 THEN 1 END) = 0) AS status_in_set_pass,
+          (avg(CASE WHEN o_orderpriority IS NULL THEN NULL
+                    WHEN regexp_matches(o_orderpriority, '^[12]-') THEN 1.0
+                    ELSE 0.0 END) >= 0.2) AS priority_mostly_pass,
+          (count(DISTINCT CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                          THEN o_orderstatus END) = 0) AS status_distinct_subset_pass,
+          CAST(count(*) AS BIGINT) AS element_count
+        FROM orders
+        """,
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference delegates execution to single-process pandas and BigQuery
+(`/root/reference/dags/aggregates_python_helpers.py` throughout); here the
+equivalent engine is one SparkSession configured so the same logical plans
+survive a 1000-executor / 100 TB deployment:
+
+  * AQE on (runtime coalescing, skew-join splitting, dynamic broadcast);
+  * explicit shuffle-partition default sized for local[32] test runs —
+    on a real cluster this is overridden by ``spark.sql.shuffle.partitions``
+    at submit time or left to AQE coalescing;
+  * Arrow enabled for the pandas-UDF extension operators (M7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(app_name: str = "building_permissions_etl_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    In production the master/URL comes from spark-submit; ``master`` here
+    only matters for local runs and tests.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        # ANSI off: the engine mirrors the reference's permissive
+        # coerce-to-null semantics (helpers:302-308) rather than erroring.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
