@@ -1,0 +1,91 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized through the JVM-side noop sink so the timing
+measures plan execution (scan → shuffle → agg), not Python-side row
+serialization. value = total wall seconds across headline queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from building_permissions_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: the flagship (both shapes), every shuffle-heavy operator
+# family, and the M7 extension ops. Cheap point-lookups are excluded —
+# they would pad the metric without exercising the engine.
+HEADLINE = [
+    "flagship_monthly_pivot",
+    "flagship_merge_shape",
+    "pivot_counts_90d",
+    "marginal_counts",
+    "outer_merge_windows",
+    "dim_completion_zero_rows",
+    "fuzzy_first_match",
+    "semi_join_known_keys",
+    "anti_join_unknown_keys",
+    "value_counts_priority",
+    "monthly_series",
+    "count_distinct_dates",
+    "top_k_parts",
+    "validation_suite",
+    "union_schema_align",
+]
+# Extension headliners are appended dynamically if registered.
+EXTENSION_HEADLINE = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "text_quality_stats",
+    "language_id",
+    "token_counts",
+    "doc_fingerprint",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    names = [n for n in HEADLINE + EXTENSION_HEADLINE if n in queries]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = queries[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf_match = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(sf_match.group(1)) if sf_match else None
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_suite_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,338 @@
+"""Deduplication operators for large-scale training-data pipelines (M7).
+
+Five strategies, all built for the 100 TB case:
+
+  * exact          — hash-bucketed groupBy: shuffle key is xxhash64(text),
+                     never the full document text, so shuffle volume is
+                     8 bytes + ids per row, not the corpus;
+  * minhash_lsh    — shingle → k minhashes → b bands; candidate pairs come
+                     from equi-joining band signatures (a shuffle on small
+                     fixed-width keys). No pairwise n² anywhere;
+  * simhash        — 64-bit fingerprint; near-dup candidates via banded
+                     chunks (pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk
+                     equal), verified by exact hamming distance;
+  * ngram_jaccard  — exact Jaccard over word 3-gram sets, blocked by a
+                     cheap key (lang) to bound the self-join;
+  * embedding near-dup — exact cosine over embeddings within blocks; the
+                     LSH-bucketed variant lives in similarity.py.
+
+Everything below is native Column expressions (split / transform /
+array_min / xxhash64 / bitwise ops) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from building_permissions_etl_spark.functions.expr import let
+
+# Deterministic seeds for the k minhash permutations h_i(x) = (a_i*x+b_i) mod p.
+# p = 2^31-1 keeps a*h+b < 2^62: overflow-safe even under ANSI mode (Spark 4
+# default), where long wrap-around is an error, not a feature.
+MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs — a simple LCG expansion of the seed so
+    runs are reproducible with no RNG state at plan-build time."""
+    params, x = [], seed
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (MERSENNE_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, lowercased, empty strings dropped."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the text column (set semantics)."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per identical text.
+
+    Shuffles on (xxhash64(text), text-length) — cheap fixed-width keys.
+    The full text rides along only inside each hash bucket's window, and
+    is compared inside the partition to make hash collisions harmless.
+    """
+    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)).orderBy(
+        F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signature(col: Column, k: int = 64, shingle_n: int = 3) -> Column:
+    """Array of k minhash values for the text column.
+
+    Base hash is xxhash64 (JVM built-in, vectorized); the k permutations
+    are affine maps mod a Mersenne prime, computed with array_min over the
+    shingle-hash array — one pass over shingles per permutation, all
+    codegen, no UDF.
+    """
+    base = F.transform(
+        word_shingles(col, shingle_n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
+    )
+    # let-bind the tokenize→shingle→hash subtree so it evaluates ONCE per
+    # row: HOFs are interpreted (no codegen subexpression elimination), so
+    # the naive form — k separate array_min(transform(base, …)) columns —
+    # re-evaluates the shingle pipeline per permutation (measured ~30×
+    # slower at sf0.1). a, b, h < 2^31 ⇒ a*h+b < 2^62: exact modular
+    # arithmetic, no long overflow even under ANSI mode.
+    params = _perm_params(k)
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    return let(
+        base,
+        lambda hs: F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: F.array_min(
+                F.transform(
+                    hs,
+                    lambda h: F.pmod(
+                        F.element_at(a_arr, i) * h + F.element_at(b_arr, i),
+                        F.lit(MERSENNE_P),
+                    ),
+                )
+            ),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    rows = b bands per doc → groupBy (band_idx, band_hash) buckets →
+    pairs within buckets → dedup pairs → estimate Jaccard as the fraction
+    of equal minhash components. Returns (id_a, id_b, est_jaccard) with
+    id_a < id_b. The join key is (band index, 64-bit band hash): fixed
+    width regardless of document size — this is the property that holds
+    at 100 TB.
+    """
+    r = k // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), k, shingle_n).alias("sig")
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r))).alias("bh"),
+                ),
+            )
+        ).alias("bs"),
+    ).select("id", "sig", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(k)
+    return (
+        pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of the token multiset.
+
+    bit_i(fp) = sign of Σ_tokens (bit_i(xxhash64(token)) ? +1 : -1).
+    Bit sums are computed with one aggregate over the token-hash array per
+    bit — 64 codegen'd expressions, no UDF, no shuffle.
+    """
+    hs = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    # bit 63 is the sign bit: 1<<63 doesn't fit a long literal; its
+    # two's-complement value is min-long
+    bitvals = F.array(*[
+        F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)
+    ])
+    idx = F.sequence(F.lit(0), F.lit(63))
+
+    def body(hsb: Column) -> Column:
+        # ONE aggregate pass over the token hashes maintaining all 64
+        # bit-sums in an int array (the naive 64-aggregates form rescans
+        # the token pipeline per bit).
+        sums = F.aggregate(
+            hsb,
+            F.array_repeat(F.lit(0), 64),
+            lambda acc, h: F.zip_with(
+                acc, idx,
+                lambda s, i: s + F.when(F.getbit(h, i) == 1, 1).otherwise(-1),
+            ),
+        )
+        # fold sign bits into the long fingerprint; bits are disjoint so
+        # addition == bitwise OR and can't overflow
+        return F.aggregate(
+            F.zip_with(sums, bitvals,
+                       lambda s, bv: F.when(s > 0, bv).otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return let(hs, body)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidates via 4×16-bit chunk banding (pigeonhole: ≤3 differing bits
+    ⇒ at least one of 4 chunks identical), then exact hamming verify.
+    """
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    chunks = sigs.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftright("fp", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("id", "fp", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.05,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for pairs within a block.
+
+    The block key bounds the self-join (lang, source, length-bucket, or an
+    LSH band at scale). Jaccard is |A∩B| / |A∪B| over distinct n-gram
+    sets — integer set sizes, so the double division is engine-exact and
+    DuckDB-oracle-checkable.
+    """
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        word_shingles(F.col(text_col), n).alias("ng"),
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    # |A∪B| = |A|+|B|-|A∩B|: one intersect per pair (let-bound so it isn't
+    # evaluated twice), no union materialization — halves per-pair work in
+    # the O(n²/blocks) hot loop.
+    jacc = let(
+        F.array_intersect(F.col("a.ng"), F.col("b.ng")),
+        lambda iv: F.size(iv).cast("double")
+        / (F.size(F.col("a.ng")) + F.size(F.col("b.ng")) - F.size(iv)).cast("double"),
+    )
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jacc.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks (exact)."""
+    from building_permissions_etl_spark.functions.vectors import dot, norm
+
+    # Norms are precomputed once per ROW before the self-join, so the
+    # per-PAIR work in the O(n²/blocks) loop is one dot product — same
+    # float ops and order as sqrt(ΣX²)·sqrt(ΣY²) in the oracle.
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cosine)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,129 @@
+"""Text analysis operators for training-data pipelines (M7): quality
+scoring, language ID, token counting, document fingerprinting.
+
+All row-level logic is native Column expressions — one narrow pass over
+the documents table, no shuffle, no UDF. At 100 TB these run at parquet
+scan speed and are the cheap first stage before dedup/filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.functions.expr import let
+from building_permissions_etl_spark.operators.dedup import tokens
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Real pipelines plug in fastText/CLD3 via a pandas UDF; the heuristic is
+# the engine-native fallback and the deterministic testable path.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "de", "los", "que"),
+    "zh": ("的", "是", "在", "了", "我"),
+}
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-space
+# punctuation — the classic GPT-2-style split shape.
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+
+
+def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality features: lengths, token stats, punctuation /
+    stopword / uppercase ratios, plus a composite quality score."""
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    upper = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[A-Z]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS])))
+    avg_tok = F.when(n_tokens > 0,
+                     F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+                     .cast("double") / n_tokens).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(upper.cast("double") / n_chars, 6).alias("upper_ratio"),
+        F.round(stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)), 6)
+        .alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: count marker-lexicon hits per language over
+    the token set; argmax wins, ties broken by language code, zero hits →
+    'und' (undetermined). Pure conditional aggregation per row."""
+    toks = tokens(F.col(text_col))
+
+    def _hits(markers: tuple[str, ...]):
+        vals = list(markers)
+        # single-arg lambda: pyspark's higher-order-function wrapper
+        # introspects arity, so extra default args would mis-bind
+        return lambda t: t.isin(vals)
+
+    scores = {
+        lang: F.size(F.filter(toks, _hits(markers)))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    guess = F.lit("und")
+    # reverse order + when-chains ⇒ first (alphabetically smallest) max wins
+    for lang in sorted(scores, reverse=True):
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best > 0, guess).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        guess.alias("lang_guess"),
+        best.cast("bigint").alias("marker_hits"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace and BPE-ish regex token counts per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_REGEX)).cast("bigint")
+        .alias("bpe_tokens"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str, id_col: str,
+                    window: int = 4) -> DataFrame:
+    """Winnowing-style fingerprint: rolling min over word-shingle hashes.
+
+    fingerprint = xxhash64 of the sequence of per-window minima of the
+    token-hash rolling windows — robust to small edits away from the
+    minima (Schleimer et al., SIGMOD 2003 winnowing scheme, public).
+    Hash family is Spark's xxhash64 ⇒ not ANSI-SQL-expressible (driver
+    records the rows-only check).
+    """
+    hs = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+
+    def body(hsb):
+        # hsb is the let-bound materialized hash array: the rolling
+        # windows below reference it O(n) times, which would otherwise
+        # re-run the tokenize+hash pipeline per window position.
+        n = F.size(hsb)
+        mins = F.when(
+            n >= window,
+            F.transform(
+                F.sequence(F.lit(0), n - window),
+                lambda i: F.array_min(F.slice(hsb, i + 1, window)),
+            ),
+        ).otherwise(F.array(F.array_min(hsb)))
+        return F.xxhash64(
+            F.concat_ws(",", F.transform(mins, lambda m: m.cast("string")))
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        let(hs, body).alias("fingerprint"),
+    )

@@ -1,9 +1,232 @@
 """Registry contributions: LLM-data-pipeline extension operators (M7) —
 dedup, similarity search, text analysis, multimodal plumbing over the
-``documents`` / ``embeddings`` fixture tables."""
+``documents`` / ``embeddings`` fixture tables.
+
+Oracle policy: everything whose semantics are ANSI/DuckDB-expressible
+gets a value-checked oracle (exact dedup, n-gram Jaccard, embedding
+cosine — verified bit-exact between Spark's sequential double
+``aggregate`` and DuckDB's ``list_transform``+``list_sum``). Hash-family
+ops (MinHash, SimHash, winnowing fingerprints — xxhash64 has no DuckDB
+twin) and the LSH probe path are registered without oracles → the driver
+records rows-only checks; their semantics are pinned by unit tests
+(tests/test_dedup.py asserts recall/precision against exact Jaccard on
+planted near-duplicates).
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 
-def contribute(register) -> None:  # filled in by M7
-    return
+from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.operators import dedup as D
+from building_permissions_etl_spark.operators import multimodal as M
+from building_permissions_etl_spark.operators import similarity as S
+from building_permissions_etl_spark.operators import textstats as T
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+_SHINGLES3 = (
+    "CASE WHEN len({t}) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len({t}) - 1), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])) "
+    "ELSE [array_to_string({t}, ' ')] END"
+).format(t=_TOKS)
+
+_DOT = ("list_sum(list_transform(range(1,65), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+
+def _cos(a: str, b: str) -> str:
+    return (f"({_DOT.format(a=a, b=b)}) / "
+            f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))")
+
+
+def contribute(register) -> None:
+    # ---------------- dedup family ------------------------------------
+    register(
+        "dedup_exact",
+        lambda spark, sf: D.dedup_exact(
+            load_table(spark, "documents", sf), "text", "doc_id"
+        ).select("doc_id", "lang", "source", "n_chars").orderBy("doc_id"),
+        """
+        SELECT doc_id, lang, source, n_chars FROM (
+          SELECT doc_id, lang, source, n_chars,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents
+        ) WHERE rn = 1 ORDER BY doc_id
+        """,
+    )
+
+    register(
+        "dedup_minhash_lsh",   # hash-family ⇒ rows-only driver check
+        lambda spark, sf: D.minhash_lsh_pairs(
+            load_table(spark, "documents", sf), "text", "doc_id",
+            k=64, bands=16, min_est_jaccard=0.5,
+        ),
+        None,
+    )
+
+    register(
+        "dedup_simhash",       # hash-family ⇒ rows-only driver check
+        lambda spark, sf: D.simhash_pairs(
+            load_table(spark, "documents", sf), "text", "doc_id", max_hamming=3
+        ),
+        None,
+    )
+
+    # Block key = lang × length-bucket: near-dups have near-equal length,
+    # and the bucket bounds the O(n²/blocks) self-join (~8× fewer pairs
+    # than lang alone at sf0.1). At 100 TB the block key would be an LSH
+    # band; this is the exact-verify shape.
+    def ngram_jaccard(spark, sf):
+        docs = load_table(spark, "documents", sf).withColumn(
+            "block", F.concat_ws("_", "lang", F.expr("n_chars div 50"))
+        )
+        return D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", block_col="block", n=3, min_jaccard=0.05
+        )
+
+    register(
+        "dedup_ngram_jaccard",
+        ngram_jaccard,
+        f"""
+        WITH t AS (
+          SELECT doc_id, lang, n_chars // 50 AS lb, {_SHINGLES3} AS ng
+          FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.ng, b.ng))) AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb
+                         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.ng, b.ng))) >= 0.05
+        ORDER BY id_a, id_b
+        """,
+    )
+
+    register(
+        "dedup_embedding_cosine",
+        lambda spark, sf: D.embedding_neardup_pairs(
+            load_table(spark, "embeddings", sf), "embedding", "vec_id",
+            block_col="label", min_cosine=0.4,
+        ),
+        f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_cos('a.embedding', 'b.embedding')} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
+        ORDER BY id_a, id_b
+        """,
+    )
+
+    # ---------------- similarity search --------------------------------
+    register(
+        "similarity_topk_bruteforce",
+        lambda spark, sf: S.topk_bruteforce(
+            load_table(spark, "embeddings", sf), "embedding", "vec_id",
+            query_id=0, k=10,
+        ),
+        f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id, round({_cos('embedding', 'qv')}, 6) AS score
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY score DESC, id LIMIT 10
+        """,
+    )
+
+    register(
+        "similarity_topk_lsh",   # plan-literal hyperplanes ⇒ rows-only
+        lambda spark, sf: S.topk_lsh(
+            load_table(spark, "embeddings", sf), "embedding", "vec_id",
+            query_id=0, k=10, n_planes=8, hamming_probe=2,
+        ),
+        None,
+    )
+
+    # ---------------- text analysis ------------------------------------
+    register(
+        "text_quality_stats",
+        lambda spark, sf: T.quality_stats(
+            load_table(spark, "documents", sf), "text", "doc_id"
+        ).orderBy("id"),
+        f"""
+        SELECT doc_id AS id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+          round(CASE WHEN len({_TOKS}) > 0 THEN
+            CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+              / len({_TOKS}) ELSE 0.0 END, 6) AS avg_token_len,
+          round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                AS DOUBLE) / length(text), 6) AS punct_ratio,
+          round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                AS DOUBLE) / length(text), 6) AS upper_ratio,
+          round(CAST(len(list_filter({_TOKS},
+                t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
+                AS DOUBLE) / greatest(len({_TOKS}), 1), 6) AS stopword_ratio
+        FROM documents ORDER BY id
+        """,
+    )
+
+    lang_score = {
+        lang: ("len(list_filter(" + _TOKS + ", t -> list_contains(["
+               + ", ".join(f"'{m}'" for m in markers) + "], t)))")
+        for lang, markers in sorted(T.LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(lang_score.values()) + ")"
+    guess_chain = "'und'"
+    for lang in sorted(lang_score, reverse=True):
+        guess_chain = (f"CASE WHEN {lang_score[lang]} = {best} THEN '{lang}' "
+                       f"ELSE {guess_chain} END")
+    register(
+        "language_id",
+        lambda spark, sf: T.language_id(
+            load_table(spark, "documents", sf), "text", "doc_id"
+        ).orderBy("id"),
+        f"""
+        SELECT doc_id AS id,
+               CASE WHEN {best} > 0 THEN {guess_chain} ELSE 'und' END AS lang_guess,
+               CAST({best} AS BIGINT) AS marker_hits
+        FROM documents ORDER BY id
+        """,
+    )
+
+    register(
+        "token_counts",
+        lambda spark, sf: T.token_counts(
+            load_table(spark, "documents", sf), "text", "doc_id"
+        ).orderBy("id"),
+        f"""
+        SELECT doc_id AS id,
+               CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{T.BPE_TOKEN_REGEX}')) AS BIGINT)
+                 AS bpe_tokens
+        FROM documents ORDER BY id
+        """,
+    )
+
+    register(
+        "doc_fingerprint",     # xxhash64 winnowing ⇒ rows-only
+        lambda spark, sf: T.doc_fingerprint(
+            load_table(spark, "documents", sf), "text", "doc_id"
+        ).orderBy("id"),
+        None,
+    )
+
+    # ---------------- multimodal plumbing -------------------------------
+    register(
+        "multimodal_features",   # pandas-UDF fake decoder ⇒ rows-only
+        lambda spark, sf: M.extract_features(
+            M.assets_from_documents(load_table(spark, "documents", sf)), fake=True
+        ).orderBy("asset_id"),
+        None,
+    )
+
+    register(
+        "multimodal_frame_sample",   # pandas-UDF stub ⇒ rows-only
+        lambda spark, sf: M.frame_sample(
+            M.assets_from_documents(load_table(spark, "documents", sf))
+        ).groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("asset_id"),
+        None,
+    )

