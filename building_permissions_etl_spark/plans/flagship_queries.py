@@ -308,6 +308,95 @@ def contribute(register) -> None:
         """,
     )
 
+    # --- §2.10: the terc-correction decision tree, oracle-checked ----------
+    # Permission-shaped columns derived deterministically from customer +
+    # nation, exercising every branch: valid/bad-prefix 7-digit, 6-digit
+    # zero-pad, float artifact, null/'nan'/'' with jn fallback, fuzzy city
+    # match, garbage. The oracle re-implements the tree independently in
+    # SQL (unit tests pin each branch besides).
+    def terc_tree(spark, sf):
+        from building_permissions_etl_spark.operators.terc import correct_terc
+
+        cust = load_table(spark, "customer", sf)
+        nation = load_table(spark, "nation", sf)
+        dim = nation.select(
+            F.concat(F.lit("02"), F.lpad((F.col("n_nationkey") % 100).cast("string"), 2, "0")).alias("JPT_KOD_JE"),
+            F.col("n_name").alias("JPT_NAZWA_"),
+        )
+        k = F.col("c_custkey")
+        src = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+            k.alias("id"),
+            F.when(k % 8 == 0, F.lit(None).cast("string"))
+            .when(k % 8 == 1, "nan").when(k % 8 == 2, "")
+            .when(k % 8 == 3, "1465011").when(k % 8 == 4, "9965011")
+            .when(k % 8 == 5, "465011").when(k % 8 == 6, "1465011.0")
+            .otherwise("abc").alias("terc"),
+            F.when(k % 3 == 0, "1465xyz").otherwise(F.lit(None).cast("string")).alias("jednostki_numer"),
+            F.when(k % 3 == 1, F.substring(F.lower("n_name"), 2, 3))
+            .otherwise(F.lit(None).cast("string")).alias("miasto"),
+        )
+        return correct_terc(src, dim).select("id", "terc", "untypical").orderBy("id")
+
+    _VV = "('02','04','06','08','10','12','14','16','18','20','22','24','26','28','30','32')"
+    register(
+        "terc_decision_tree",
+        terc_tree,
+        f"""
+        WITH dim AS (
+          SELECT '02' || lpad(CAST(n_nationkey % 100 AS VARCHAR), 2, '0') AS kod,
+                 n_name AS nazwa
+          FROM nation
+        ),
+        src AS (
+          SELECT c_custkey AS id,
+            CASE c_custkey % 8 WHEN 0 THEN NULL WHEN 1 THEN 'nan' WHEN 2 THEN ''
+                 WHEN 3 THEN '1465011' WHEN 4 THEN '9965011' WHEN 5 THEN '465011'
+                 WHEN 6 THEN '1465011.0' ELSE 'abc' END AS terc,
+            CASE WHEN c_custkey % 3 = 0 THEN '1465xyz' END AS jn,
+            CASE WHEN c_custkey % 3 = 1 THEN substr(lower(n_name), 2, 3) END AS miasto
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ),
+        canon AS (
+          SELECT id, jn, miasto,
+            CASE WHEN terc IS NOT NULL AND regexp_matches(terc, '^\\d+(\\.0)?$')
+                 THEN regexp_replace(terc, '\\.0$', '') ELSE terc END AS c
+          FROM src
+        ),
+        s1 AS (
+          SELECT id,
+            CASE WHEN (c IS NULL OR c = '' OR c = 'nan') THEN
+              CASE WHEN jn IS NOT NULL AND jn <> 'nan' THEN substr(jn, 1, 4)
+                   WHEN (SELECT min(kod) FROM dim
+                         WHERE miasto IS NOT NULL AND miasto <> 'nan'
+                           AND contains(lower(nazwa), lower(miasto))) IS NOT NULL
+                   THEN (SELECT min(kod) FROM dim
+                         WHERE miasto IS NOT NULL AND miasto <> 'nan'
+                           AND contains(lower(nazwa), lower(miasto)))
+                   ELSE 'Unknown' END
+            ELSE c END AS t1,
+            CASE WHEN (c IS NULL OR c = '' OR c = 'nan') THEN
+              CASE WHEN jn IS NOT NULL AND jn <> 'nan' THEN 'Matched'
+                   WHEN (SELECT min(kod) FROM dim
+                         WHERE miasto IS NOT NULL AND miasto <> 'nan'
+                           AND contains(lower(nazwa), lower(miasto))) IS NOT NULL
+                   THEN 'Matched'
+                   ELSE 'Unknown' END
+            END AS u1
+          FROM canon
+        )
+        SELECT id,
+          CASE WHEN regexp_matches(t1, '^\\d{{6}}$') THEN '0' || t1 ELSE t1 END AS terc,
+          CASE WHEN regexp_matches(t1, '^\\d{{7}}$')
+               THEN (CASE WHEN substr(t1, 1, 2) NOT IN {_VV} THEN 'Unknown2' ELSE u1 END)
+               WHEN regexp_matches(t1, '^\\d{{6}}$')
+               THEN (CASE WHEN substr('0' || t1, 1, 2) NOT IN {_VV} THEN 'Unknown2' ELSE u1 END)
+               WHEN regexp_matches(t1, '^\\d{{4}}$') AND u1 = 'Matched' THEN u1
+               WHEN u1 = 'Unknown' THEN u1
+               ELSE 'Unknown3' END AS untypical
+        FROM s1 ORDER BY id
+        """,
+    )
+
     # --- J6: dim-summary left join, missing → 0 -----------------------------
     def dim_summary(spark, sf):
         region = load_table(spark, "region", sf).select(

@@ -1,0 +1,111 @@
+"""Warehouse sinks (SURVEY.md §2.1 S4-S6, S13; §7 M5).
+
+The reference's BigQuery sink semantics, on parquet:
+
+  * S4  — create-if-absent with monthly time partitioning + clustering
+          on terc (helpers:711-736) → ``partitionBy(month)`` +
+          ``sortWithinPartitions`` (the OSS analog of BQ clustering:
+          row-group locality → parquet min/max data skipping);
+  * S5  — batched append (helpers:129-169) → a single distributed
+          ``mode("append")`` write; 10k-row batching is a pandas artifact;
+  * S6  — existence/non-empty probe (helpers:89-96);
+  * S13 — two-way schema evolution for the aggregate table
+          (helpers:384-408): DataFrame columns missing from the sink are
+          backfilled as 0 on historic rows, sink columns missing from the
+          DataFrame are added as 0 — read-modify-write on parquet (the
+          Delta-flavored deployment would use mergeSchema + UPDATE);
+  * idempotent month overwrite — dynamic partition overwrite replaces the
+          reference's blind append, which double-counts on Airflow
+          re-runs (documented deliberate deviation, SURVEY.md §7 M5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MONTH_COL = "month"
+
+
+def write_fact_partitioned(
+    df: DataFrame,
+    path: str,
+    event_time_col: str,
+    cluster_col: str,
+    mode: str = "append",
+    overwrite_partitions: bool = False,
+) -> None:
+    """S4: derive the month partition from the event time, cluster rows
+    within each partition file by ``cluster_col``. With
+    ``overwrite_partitions`` the write only replaces the months present
+    in ``df`` (idempotent re-runs for a logical date)."""
+    out = df.withColumn(
+        MONTH_COL, F.date_format(F.date_trunc("month", F.col(event_time_col)), "yyyy-MM")
+    ).sortWithinPartitions(cluster_col)
+    writer = out.write.partitionBy(MONTH_COL)
+    if overwrite_partitions:
+        writer = writer.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+    else:
+        writer = writer.mode(mode)
+    writer.parquet(path)
+
+
+def table_exists_nonempty(spark: SparkSession, path: str) -> bool:
+    """S6 (helpers:89-96): EXISTS(SELECT 1 ... LIMIT 1) analog."""
+    if not os.path.exists(path):
+        return False
+    try:
+        return not spark.read.parquet(path).limit(1).isEmpty()
+    except Exception:
+        return False
+
+
+def append_with_schema_evolution(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+) -> None:
+    """S13 (helpers:384-408): two-way column reconciliation, then append.
+
+    * columns in the sink but not in ``df`` → added to ``df`` as 0
+      (helpers:388-391);
+    * columns in ``df`` but not in the sink → historic rows backfilled
+      with 0, mirroring BQ schema-append + ``UPDATE ... SET c=0 WHERE c
+      IS NULL`` (helpers:393-408). Plain parquet has no in-place UPDATE,
+      so the table is rewritten once when the schema grows — the Delta
+      deployment replaces this with mergeSchema + UPDATE.
+
+    Count columns are whatever isn't a key column; they are always
+    integer-typed zeros, per the reference's INTEGER schema fields.
+    """
+    if not table_exists_nonempty(spark, path):
+        df.write.mode("overwrite").parquet(path)
+        return
+
+    existing = spark.read.parquet(path)
+    df_missing = [c for c in existing.columns if c not in df.columns]
+    for c in df_missing:
+        df = df.withColumn(c, F.lit(0).cast(dict(existing.dtypes)[c]))
+    sink_missing = [c for c in df.columns if c not in existing.columns]
+
+    if sink_missing:
+        for c in sink_missing:
+            existing = existing.withColumn(c, F.lit(0).cast(dict(df.dtypes)[c]))
+        merged = existing.unionByName(df.select(existing.columns))
+        # rewrite via a temp path: parquet can't append new columns in place
+        tmp = path.rstrip("/") + ".__evolving__"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(path)
+        _rm(tmp)
+    else:
+        df.select(existing.columns).write.mode("append").parquet(path)
+
+
+def _rm(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
