@@ -32,11 +32,13 @@ def _populate() -> None:
         analytics,
         extensions,
         flagship_queries,
+        streaming_queries,
     )
 
     flagship_queries.contribute(register)
     analytics.contribute(register)
     extensions.contribute(register)
+    streaming_queries.contribute(register)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

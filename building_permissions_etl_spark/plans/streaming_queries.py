@@ -1,0 +1,140 @@
+"""Streaming-surface queries over the ``events`` table (SURVEY.md §2.11
+stretch surface + window-function coverage).
+
+Each batch query is oracle-checked against DuckDB. ``stream_window_counts``
+runs the REAL Structured Streaming engine (file source → watermark →
+windowed agg → complete-mode memory sink, availableNow trigger) and shares
+the tumbling-window oracle: stream ≡ batch ≡ ANSI SQL is the parity claim.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.streaming.events import (
+    read_events_stream,
+    run_stream_to_table,
+    sessionize_batch,
+    windowed_event_counts,
+)
+
+_TUMBLING_ORACLE = """
+    SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600)::TIMESTAMP AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+_mem_ids = itertools.count()
+
+
+def contribute(register) -> None:
+    # A4-over-events, streaming shape: tumbling 1h window per event_type.
+    def tumbling(spark, sf):
+        return windowed_event_counts(load_table(spark, "events", sf))
+
+    register("event_window_counts", tumbling, _TUMBLING_ORACLE)
+
+    # Sliding windows: 1h length, 30m slide. Oracle expands each event into
+    # its two containing windows (epoch-aligned, like Spark's window()).
+    def sliding(spark, sf):
+        return windowed_event_counts(
+            load_table(spark, "events", sf), "1 hour", slide="30 minutes"
+        )
+
+    register(
+        "event_sliding_window",
+        sliding,
+        """
+        WITH g AS (
+          SELECT e.ts, e.event_type, e.value,
+                 to_timestamp(floor(epoch(e.ts) / 1800) * 1800
+                              - k.k * 1800)::TIMESTAMP AS window_start
+          FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+        )
+        SELECT window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM g
+        WHERE ts < window_start + INTERVAL 1 HOUR
+        GROUP BY 1, 2
+        """,
+    )
+
+    # Gap-based sessionization, batch shape (lag → flag → running sum).
+    # The streaming twin (applyInPandasWithState) is exercised in
+    # tests/test_streaming.py where its append-mode emission semantics
+    # (sessions close as the watermark passes) can be driven batch-by-batch.
+    def sessions(spark, sf):
+        return sessionize_batch(load_table(spark, "events", sf))
+
+    register(
+        "event_sessionization",
+        sessions,
+        """
+        WITH lagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        tagged AS (
+          SELECT *, CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM lagged
+        )
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM tagged GROUP BY 1, 2
+        """,
+    )
+
+    # JSON property extraction (events.props is a JSON string).
+    def json_props(spark, sf):
+        ev = load_table(spark, "events", sf)
+        k = F.get_json_object("props", "$.k").cast("long")
+        return (
+            ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(
+                F.count("k").alias("n_with_k"),
+                F.sum("k").alias("sum_k"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+            )
+        )
+
+    register(
+        "event_json_props",
+        json_props,
+        """
+        SELECT event_type,
+               CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events GROUP BY 1
+        """,
+    )
+
+    # The real streaming engine, end to end. Complete-mode memory sink ⇒
+    # every window is emitted regardless of watermark, so the batch oracle
+    # applies verbatim.
+    def stream_tumbling(spark, sf):
+        name = f"stream_window_counts_{next(_mem_ids)}"
+        run_stream_to_table(
+            windowed_event_counts(read_events_stream(spark, sf)), name
+        )
+        return spark.table(name)
+
+    register("stream_window_counts", stream_tumbling, _TUMBLING_ORACLE)

@@ -1,0 +1,220 @@
+"""Structured Streaming surface over the ``events`` fixture table.
+
+The reference is batch-only (SURVEY.md §2.11): its "incremental" semantics
+are logical-date batch windows. This module is the engine's stretch surface
+for genuinely streaming workloads, built the idiomatic Spark way:
+
+  * ``read_events_stream`` — file-source ``readStream`` with an explicit
+    schema (streams never infer).
+  * ``windowed_event_counts`` — tumbling/sliding event-time windows with a
+    watermark for late data. The SAME transformation works on a batch
+    DataFrame (``withWatermark`` is a no-op under batch), which is how the
+    oracle checks it: stream(complete mode) ≡ batch ≡ ANSI SQL.
+  * ``sessionize_batch`` / ``sessionize_stream`` — gap-based user
+    sessionization. Batch uses window functions (lag → gap flag → running
+    sum); streaming is a custom stateful operator via
+    ``applyInPandasWithState`` with event-time timeout.
+
+Scale notes (100 TB): windowed counts shuffle once on (window, type) with
+map-side partial aggregation; sessionization shuffles once on user_id —
+state per key is O(1) (open-session bounds only), so state store size is
+bounded by live keys, not history. Watermarks bound both state and
+late-data reprocessing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Explicit stream-read schema. events.parquet stores ts as TIMESTAMP(NANOS),
+# which Spark's reader surfaces as bigint under
+# spark.sql.legacy.parquet.nanosAsLong (see catalog._load_events); the
+# stream declares that physical shape and rebuilds µs timestamps.
+EVENTS_RAW_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file per micro-batch
+    under availableNow; at scale: a directory the producer appends to)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source needs a directory; glob-filter selects just the
+    # events table out of the fixture dir.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide``) event-time window counts per
+    event_type. Works identically on batch and stream inputs."""
+    df = events.withWatermark("ts", watermark)
+    win = (
+        F.window("ts", window_duration, slide)
+        if slide
+        else F.window("ts", window_duration)
+    )
+    return (
+        df.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- sessionization ------------------------------------------------------
+
+SESSION_GAP_MINUTES = 30
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Gap-based sessions, batch shape: lag → new-session flag → running
+    sum inside the same user partition (ONE shuffle on user_id; both window
+    specs share it), then one more partial-agg shuffle on (user, session)."""
+    from pyspark.sql.window import Window
+
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def _sessionize_fn(key, pdfs, state: GroupState):
+    """Stateful per-user session accumulator (applyInPandasWithState).
+
+    State = (start_us, end_us, n, total) of the OPEN session. Emits a
+    session when a gap closes it or event-time timeout fires. Self-
+    contained closure: executor workers may not have this package on
+    sys.path (driver-side module refs would break cloudpickle).
+    """
+    import datetime as _dt
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def us(t):
+        return int(t.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+
+    def ts(u):
+        return _dt.datetime.fromtimestamp(u / 1_000_000, _dt.timezone.utc).replace(tzinfo=None)
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, end, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [[user_id, 0, ts(start), ts(end), n, round(total, 6)]],
+            columns=["user_id", "session_id", "session_start", "session_end",
+                     "n_events", "total_value"],
+        )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    cur = list(state.get) if state.exists else None
+    out = []
+    for t, v in zip(rows["ts"], rows["value"]):
+        t_us = us(t.to_pydatetime())
+        if cur is None:
+            cur = [t_us, t_us, 0, 0.0]
+        elif t_us - cur[1] > GAP_US:
+            out.append(cur)
+            cur = [t_us, t_us, 0, 0.0]
+        cur[1] = max(cur[1], t_us)
+        cur[2] += 1
+        cur[3] += float(v)
+    state.update(tuple(cur))
+    state.setTimeoutTimestamp(cur[1] // 1000 + GAP_US // 1000)
+    if out:
+        yield pd.DataFrame(
+            [[user_id, i, ts(s[0]), ts(s[1]), s[2], round(s[3], 6)] for i, s in enumerate(out)],
+            columns=["user_id", "session_id", "session_start", "session_end",
+                     "n_events", "total_value"],
+        )
+
+
+_SESSION_STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+])
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization: custom stateful operator, one state entry
+    per live user, closed sessions emitted as watermark passes the gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_stream_to_table(sdf: DataFrame, table_name: str, output_mode: str = "complete") -> None:
+    """Drain a stream into an in-memory sink with availableNow (test/dev
+    harness; production would be a kafka/delta sink with a real trigger)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,112 @@
+"""Structured Streaming surface: stream ≡ batch parity for windowed
+aggregation, and the stateful sessionization operator
+(applyInPandasWithState) driven through real micro-batches."""
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.streaming.events import (
+    read_events_stream,
+    run_stream_to_table,
+    sessionize_batch,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_window_counts_match_batch(spark):
+    batch = windowed_event_counts(load_table(spark, "events", SF))
+    run_stream_to_table(
+        windowed_event_counts(read_events_stream(spark, SF)), "t_stream_win"
+    )
+    stream = spark.table("t_stream_win")
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_sliding_windows_cover_each_event_twice(spark):
+    ev = load_table(spark, "events", SF)
+    slid = windowed_event_counts(ev, "1 hour", slide="30 minutes")
+    assert (
+        slid.agg(F.sum("n_events")).first()[0] == 2 * ev.count()
+    )
+
+
+def test_batch_sessionization_invariants(spark):
+    ev = load_table(spark, "events", SF)
+    s = sessionize_batch(ev).cache()
+    # every event lands in exactly one session
+    assert s.agg(F.sum("n_events")).first()[0] == ev.count()
+    # sessions never exceed the gap between consecutive events
+    bad = s.filter(
+        F.col("session_end").cast("long") - F.col("session_start").cast("long")
+        < 0
+    ).count()
+    assert bad == 0
+    # session ids dense per user starting at 1
+    firsts = s.groupBy("user_id").agg(
+        F.min("session_id").alias("lo"),
+        F.max("session_id").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert firsts.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+
+
+@pytest.fixture()
+def micro_batches(spark, tmp_path):
+    """Split one user's events into 3 chronological parquet files so the
+    file source replays them as ordered micro-batches."""
+    ev = (
+        load_table(spark, "events", SF)
+        .orderBy("ts")
+        .limit(300)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    for i, chunk in enumerate([ev.iloc[:100], ev.iloc[100:200], ev.iloc[200:]]):
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(str(d / f"b{i}"))
+    yield str(d)
+    shutil.rmtree(str(d), ignore_errors=True)
+
+
+def test_stateful_sessionization_emits_closed_sessions(spark, micro_batches):
+    src = (
+        spark.readStream.schema(
+            load_table(spark, "events", SF).schema
+        ).option("maxFilesPerTrigger", 1).parquet(f"{micro_batches}/b*")
+    )
+    run_stream_to_table(
+        sessionize_stream(src, watermark="0 seconds"),
+        "t_sessions",
+        output_mode="append",
+    )
+    got = spark.table("t_sessions")
+    # emitted sessions must agree with the batch shape on (start, end, n)
+    batch = sessionize_batch(
+        load_table(spark, "events", SF).orderBy("ts").limit(300)
+    )
+    got_keys = _rows(got, ["user_id", "session_start", "session_end", "n_events"])
+    batch_keys = _rows(batch, ["user_id", "session_start", "session_end", "n_events"])
+    assert len(got_keys) > 0
+    assert set(got_keys) <= set(batch_keys)
+
+
+def test_stream_rejects_missing_path(spark):
+    with pytest.raises(Exception):
+        run_stream_to_table(
+            windowed_event_counts(read_events_stream(spark, "/root/testdata/nope")),
+            "t_nope",
+        )
