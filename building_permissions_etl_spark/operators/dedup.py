@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from building_permissions_etl_spark.functions.expr import let
+from building_permissions_etl_spark.operators.scale import fan_out
 
 # Deterministic seeds for the k minhash permutations h_i(x) = (a_i*x+b_i) mod p.
 # p = 2^31-1 keeps a*h+b < 2^62: overflow-safe even under ANSI mode (Spark 4
@@ -140,6 +141,7 @@ def minhash_lsh_pairs(
     at 100 TB.
     """
     r = k // bands
+    df = fan_out(df)  # signature computation is the per-row hot loop
     sigs = df.select(
         F.col(id_col).alias("id"), minhash_signature(F.col(text_col), k, shingle_n).alias("sig")
     )
@@ -236,7 +238,7 @@ def simhash_pairs(
     Candidates via 4×16-bit chunk banding (pigeonhole: ≤3 differing bits
     ⇒ at least one of 4 chunks identical), then exact hamming verify.
     """
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    sigs = fan_out(df).select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
     chunks = sigs.select(
         "id",
         "fp",
@@ -279,7 +281,7 @@ def ngram_jaccard_pairs(
     sets — integer set sizes, so the double division is engine-exact and
     DuckDB-oracle-checkable.
     """
-    sets = df.select(
+    sets = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
         word_shingles(F.col(text_col), n).alias("ng"),
@@ -318,7 +320,7 @@ def embedding_neardup_pairs(
     # Norms are precomputed once per ROW before the self-join, so the
     # per-PAIR work in the O(n²/blocks) loop is one dot product — same
     # float ops and order as sqrt(ΣX²)·sqrt(ΣY²) in the oracle.
-    vecs = df.select(
+    vecs = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
         F.col(vec_col).alias("v"),

@@ -24,6 +24,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.operators.scale import fan_out
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -137,7 +139,8 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
                 "features": pdf["payload"].map(decode),
             })
 
-    return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    # decode parallelism == partition count: fan out before the UDF
+    return fan_out(assets).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(assets: DataFrame, every_n_bytes: int = 64,
@@ -165,4 +168,4 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 64,
         StructField("frame_idx", LongType(), False),
         StructField("frame_bytes", BinaryType(), True),
     ])
-    return assets.mapInPandas(batches, schema=schema)
+    return fan_out(assets).mapInPandas(batches, schema=schema)

@@ -1,0 +1,27 @@
+"""Parallelism guard for compute-heavy narrow stages.
+
+A parquet scan yields one task per file split; a small or single-row-group
+file therefore scans as ONE partition, and every narrow transformation
+stacked on it (shingling, minhashing, per-row feature extraction) runs on
+one core no matter how many the cluster has. At warehouse scale the file
+source provides thousands of splits and this helper is a no-op; on small
+inputs it pays one cheap shuffle of the raw rows to unlock every core for
+the expensive projection that follows.
+
+Use it ONLY in front of per-row-expensive work (hash families, n-gram
+pipelines, vector math, Pandas UDFs) — a plain filter/agg query should let
+Catalyst/AQE pick partitioning, and its first shuffle redistributes anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the plan currently has fewer partitions
+    than the session's default parallelism (or ``min_partitions``)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

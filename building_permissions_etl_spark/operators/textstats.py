@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.functions.expr import let
 from building_permissions_etl_spark.operators.dedup import tokens
+from building_permissions_etl_spark.operators.scale import fan_out
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Real pipelines plug in fastText/CLD3 via a pandas UDF; the heuristic is
@@ -44,7 +45,7 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     avg_tok = F.when(n_tokens > 0,
                      F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
                      .cast("double") / n_tokens).otherwise(F.lit(0.0))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias("id"),
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
@@ -78,7 +79,7 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     for lang in sorted(scores, reverse=True):
         guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
     guess = F.when(best > 0, guess).otherwise(F.lit("und"))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias("id"),
         guess.alias("lang_guess"),
         best.cast("bigint").alias("marker_hits"),
@@ -87,7 +88,7 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Whitespace and BPE-ish regex token counts per document."""
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias("id"),
         F.size(tokens(F.col(text_col))).cast("bigint").alias("ws_tokens"),
         F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_REGEX)).cast("bigint")
@@ -123,7 +124,7 @@ def doc_fingerprint(df: DataFrame, text_col: str, id_col: str,
             F.concat_ws(",", F.transform(mins, lambda m: m.cast("string")))
         )
 
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias("id"),
         let(hs, body).alias("fingerprint"),
     )
