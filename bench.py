@@ -41,6 +41,10 @@ HEADLINE = [
     "top_k_parts",
     "validation_suite",
     "union_schema_align",
+    "event_window_counts",
+    "event_sliding_window",
+    "event_sessionization",
+    "event_json_props",
 ]
 # Extension headliners are appended dynamically if registered.
 EXTENSION_HEADLINE = [

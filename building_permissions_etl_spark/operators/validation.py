@@ -78,6 +78,29 @@ class ExpectationSuite:
             "element_count": row["element_count"],
         }
 
+    def render_html(self, df: DataFrame, out_path: str) -> dict:
+        """S11 (helpers:57-68): validation page written to ``out_path``.
+        The reference renders Great Expectations' jinja page; here it is a
+        minimal static table — the metrics themselves come from the same
+        single ``agg()`` pass."""
+        rep = self.report(df)
+        rows = "\n".join(
+            f"<tr><td>{name}</td><td class={'ok' if ok else 'fail'}>"
+            f"{'PASS' if ok else 'FAIL'}</td></tr>"
+            for name, ok in rep["results"].items()
+        )
+        html = (
+            "<html><head><style>.ok{color:green}.fail{color:red}"
+            "table{border-collapse:collapse}td{border:1px solid #999;"
+            "padding:4px 8px}</style></head><body>"
+            f"<h1>Validation {'succeeded' if rep['success'] else 'FAILED'}</h1>"
+            f"<p>{rep['element_count']} elements checked</p>"
+            f"<table>{rows}</table></body></html>"
+        )
+        with open(out_path, "w", encoding="utf-8") as f:
+            f.write(html)
+        return rep
+
 
 # Fixture-table instantiation used by the registry/oracle pair: mirrors the
 # reference suite's shapes (V1 regex, V2 set, V3 mostly, V4 distinct-subset)

@@ -61,6 +61,11 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact scan: 90-day window anchored at max(l_shipdate), unit key via a
     broadcast join to supplier. Only 4 fact columns are read (column
     pruning reaches the parquet scan)."""
+    # NOTE: no fan_out here — measured at sf0.1, the whole-stage-codegen
+    # join+filter+partial-agg is cheap enough per row that an extra
+    # repartition shuffle costs more than the single-core map side saves
+    # (1.3s → 2.5s). fan_out pays only for interpreted-HOF / Python-UDF
+    # stages (see operators/scale.py).
     lineitem = load_table(spark, "lineitem", sf_dir).select(
         "l_suppkey", "l_returnflag", "l_linestatus", "l_shipdate"
     )

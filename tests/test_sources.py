@@ -1,0 +1,43 @@
+"""Driver-side source prep (S1 HTTP ZIP, S3 geo dim) and the S11 HTML
+validation report."""
+
+import zipfile
+
+from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.operators.validation import ORDERS_SUITE
+from building_permissions_etl_spark.sources.geo import geo_dim_from_records
+from building_permissions_etl_spark.sources.http_zip import download_and_unpack_zip
+
+
+def test_download_and_unpack_zip_roundtrip(tmp_path):
+    src = tmp_path / "payload.zip"
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.writestr("a.csv", "id#name\n1#x\n")
+        zf.writestr("sub/b.csv", "id#name\n2#y\n")
+    out = download_and_unpack_zip(
+        src.as_uri(), str(tmp_path / "dl" / "got.zip"), str(tmp_path / "ex")
+    )
+    assert sorted(p.rsplit("/", 1)[-1] for p in out) == ["a.csv", "b.csv"]
+    with open(out[0]) as f:
+        assert f.read().startswith("id#name")
+
+
+def test_geo_dim_from_records(spark):
+    dim = geo_dim_from_records(
+        spark,
+        [("1465", "Warszawa", "POINT (21 52)"), ("0201", "Bolesławiecki", "POINT (15 51)")],
+    )
+    assert dim.columns == ["JPT_KOD_JE", "JPT_NAZWA_", "wkt"]
+    assert dim.count() == 2
+    assert dict(dim.dtypes) == {"JPT_KOD_JE": "string", "JPT_NAZWA_": "string", "wkt": "string"}
+
+
+def test_validation_html_report(spark, tmp_path):
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    out = tmp_path / "report.html"
+    rep = ORDERS_SUITE.render_html(orders, str(out))
+    html = out.read_text()
+    assert rep["success"] is True
+    assert "Validation succeeded" in html
+    for name in rep["results"]:
+        assert name in html
