@@ -73,6 +73,33 @@ def complete_dim_keys(
     return agg.unionByName(zeros)
 
 
+def complete_via_left_join(
+    agg: DataFrame,
+    dim: DataFrame,
+    agg_key: str,
+    dim_key: str,
+    fill_values: dict[str, Column],
+) -> DataFrame:
+    """J2+J3+U1 fused into ONE join: ``dim LEFT JOIN agg`` yields exactly
+    the dim key set (the semi-join restriction and the zero-row completion
+    at once), with absent counts coalesced to 0.
+
+    Semantically equal to ``keep_known_keys`` → ``complete_dim_keys`` but
+    evaluates the aggregate subtree ONCE — the union form references
+    ``agg`` twice (once directly, once under the anti-join), and Spark
+    duplicates the whole upstream plan unless it is cached. At 100 TB that
+    is a second full scan+shuffle; this shape is the one to run.
+    """
+    out = dim.select(F.col(dim_key).alias(agg_key)).join(agg, on=agg_key, how="left")
+    cols = [F.col(agg_key)]
+    for c in agg.columns:
+        if c == agg_key:
+            continue
+        filler = fill_values.get(c, F.lit(0))
+        cols.append(F.coalesce(F.col(c), filler).cast(dict(agg.dtypes)[c]).alias(c))
+    return out.select(*cols)
+
+
 def fuzzy_first_match(
     left: DataFrame,
     dim: DataFrame,

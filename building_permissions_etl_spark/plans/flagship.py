@@ -37,6 +37,7 @@ from building_permissions_etl_spark.operators.aggregates import (
 )
 from building_permissions_etl_spark.operators.joins import (
     complete_dim_keys,
+    complete_via_left_join,
     keep_known_keys,
     outer_merge_zero_fill,
 )
@@ -86,18 +87,31 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _finalize(agg: DataFrame, spark: SparkSession, sf_dir: str,
-              injection_date: str) -> DataFrame:
+              injection_date: str, one_pass: bool = False) -> DataFrame:
     """Shared tail: J2 semi-join vs the dim, J3+U1 dim completion,
-    injection_date literal (C19), column order (F9), global sort (O1)."""
+    injection_date literal (C19), column order (F9), global sort (O1).
+
+    ``one_pass`` selects the fused dim-LEFT-JOIN completion: the
+    semi+anti+union parity shape references the aggregate subtree twice
+    and Spark computes it twice (visible as a duplicated branch under the
+    final Union in .explain). The fused form scans/aggregates once.
+    """
     nation = load_table(spark, "nation", sf_dir).select(
         F.col("n_nationkey").cast("bigint").alias("n_key")
     )
-    agg = keep_known_keys(agg, nation, "unit_id", "n_key")
-    agg = agg.withColumn("injection_date", F.lit(injection_date))
-    agg = complete_dim_keys(
-        agg, nation, "unit_id", "n_key",
-        fill_values={"injection_date": F.lit(injection_date)},
-    )
+    if one_pass:
+        agg = agg.withColumn("injection_date", F.lit(injection_date))
+        agg = complete_via_left_join(
+            agg, nation, "unit_id", "n_key",
+            fill_values={"injection_date": F.lit(injection_date)},
+        )
+    else:
+        agg = keep_known_keys(agg, nation, "unit_id", "n_key")
+        agg = agg.withColumn("injection_date", F.lit(injection_date))
+        agg = complete_dim_keys(
+            agg, nation, "unit_id", "n_key",
+            fill_values={"injection_date": F.lit(injection_date)},
+        )
     ordered = ["unit_id", "injection_date"] + count_columns()
     return agg.select(*ordered).orderBy("unit_id")
 
@@ -147,7 +161,7 @@ def flagship_single_pass(spark: SparkSession, sf_dir: str,
                 .alias(f"rf_{rf.lower()}_{wname}")
             )
     agg = base.groupBy("unit_id").agg(*aggs)
-    return _finalize(agg, spark, sf_dir, injection_date)
+    return _finalize(agg, spark, sf_dir, injection_date, one_pass=True)
 
 
 def flagship_oracle_sql(injection_date: str = DEFAULT_INJECTION_DATE) -> str:
