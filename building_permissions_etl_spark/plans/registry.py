@@ -32,6 +32,7 @@ def _populate() -> None:
         analytics,
         extensions,
         flagship_queries,
+        scale_queries,
         streaming_queries,
     )
 
@@ -39,6 +40,7 @@ def _populate() -> None:
     analytics.contribute(register)
     extensions.contribute(register)
     streaming_queries.contribute(register)
+    scale_queries.contribute(register)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
