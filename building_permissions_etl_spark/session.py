@@ -47,6 +47,11 @@ def get_spark(app_name: str = "building_permissions_etl_spark",
         # same on any session, including the grading driver's.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Metastore-backed features (bucketed tables) keep their state out
+        # of the repo/cwd; production overrides with the real metastore.
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"))
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/spark_graft_derby")
     )
     if master:
         builder = builder.master(master)
