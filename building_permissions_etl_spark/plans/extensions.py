@@ -144,6 +144,15 @@ def contribute(register) -> None:
         None,
     )
 
+    register(
+        "similarity_topk_ivf",   # trained index ⇒ rows-only
+        lambda spark, sf: S.topk_ivf(
+            load_table(spark, "embeddings", sf), "embedding", "vec_id",
+            query_id=0, k=10, n_cells=16, n_probe=4,
+        ),
+        None,
+    )
+
     # ---------------- text analysis ------------------------------------
     register(
         "text_quality_stats",

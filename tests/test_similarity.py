@@ -56,3 +56,32 @@ def test_lsh_prunes_candidates(spark):
         F.bit_count(F.col("b").bitwiseXOR(F.lit(qb)).cast("long")) <= 2
     ).count()
     assert cand < n * 0.6
+
+
+def test_topk_ivf_recall_and_pruning(spark):
+    from building_permissions_etl_spark.operators import similarity as S
+    from building_permissions_etl_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    exact = {r["id"] for r in S.topk_bruteforce(emb, "embedding", "vec_id", 0, k=10).collect()}
+    got_rows = S.topk_ivf(emb, "embedding", "vec_id", 0, k=10, n_cells=16, n_probe=4).collect()
+    got = {r["id"] for r in got_rows}
+    assert len(got_rows) == 10
+    # multi-probe over a quarter of the cells should keep decent recall
+    assert len(got & exact) >= 5
+    # and must actually prune: probed cells hold < the full corpus
+    cents = S._train_centroids(emb, "embedding", "vec_id", 16, 1024)
+    idx = S.ivf_assign(emb, "embedding", cents)
+    probed = idx.groupBy("__cell").count().orderBy(F.desc("count")).limit(4)
+    assert probed.agg(F.sum("count")).first()[0] < emb.count()
+
+
+def test_topk_ivf_deterministic(spark):
+    from building_permissions_etl_spark.operators import similarity as S
+    from building_permissions_etl_spark.catalog import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    a = [tuple(r) for r in S.topk_ivf(emb, "embedding", "vec_id", 0, k=5).collect()]
+    b = [tuple(r) for r in S.topk_ivf(emb, "embedding", "vec_id", 0, k=5).collect()]
+    assert a == b
