@@ -307,6 +307,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (id, label) with label =
+    min id reachable. Iterative min-label propagation — each round every
+    node takes the min of its own and its neighbors' labels; converges in
+    O(component diameter) rounds, and near-dup clusters are shallow
+    (pairs all share bands/blocks), so a handful of joins suffice. The
+    driver checks convergence per round (bounded small action). At larger
+    diameters the large-star/small-star variant (Kiveris et al., SoCC'14)
+    drops in behind the same signature.
+
+    Only ids that appear in ``pairs`` are returned — singleton documents
+    never enter the pair graph and survive dedup by construction.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.repartition("src").cache()
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one row per near-dup cluster (the min id) plus every row not
+    in any pair. The standard pairs → components → survivors tail."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("label")).select("id")
+    return df.join(
+        losers, df[id_col] == losers.id, "left_anti"
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -120,6 +120,56 @@ def contribute(register) -> None:
         """,
     )
 
+    # Pairs → connected components → survivors: the full dedup tail.
+    # Pair source is the SQL-expressible n-gram Jaccard blocking, so the
+    # oracle can rebuild the clusters with a recursive transitive closure.
+    def cluster_survivors(spark, sf):
+        docs = load_table(spark, "documents", sf).withColumn(
+            "block", F.concat_ws("_", "lang", F.expr("n_chars div 50"))
+        )
+        pairs = D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", block_col="block", n=3, min_jaccard=0.05
+        )
+        return (
+            D.dedup_survivors(docs, pairs, "doc_id")
+            .select("doc_id").orderBy("doc_id")
+        )
+
+    register(
+        "dedup_cluster_survivors",
+        cluster_survivors,
+        f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, lang, n_chars // 50 AS lb, {_SHINGLES3} AS ng
+          FROM documents
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM t a JOIN t b
+            ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+                / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)))
+                >= 0.05
+        ),
+        sym AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.src, s.d FROM reach r JOIN sym s ON r.dst = s.s
+        ),
+        labels AS (
+          SELECT src AS id, least(src, min(dst)) AS label
+          FROM reach GROUP BY src
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
+        ORDER BY doc_id
+        """,
+    )
+
     # ---------------- similarity search --------------------------------
     register(
         "similarity_topk_bruteforce",

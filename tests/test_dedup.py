@@ -101,3 +101,25 @@ def test_minhash_signature_deterministic(spark, docs):
     a = docs.select(minhash_signature(F.col("text")).alias("s")).collect()
     b = docs.select(minhash_signature(F.col("text")).alias("s")).collect()
     assert [r.s for r in a] == [r.s for r in b]
+
+
+def test_connected_components_chain_and_islands(spark):
+    from building_permissions_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    comp = {r["id"]: r["label"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_survivors_keep_min_and_singletons(spark):
+    from building_permissions_etl_spark.operators.dedup import dedup_survivors
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 5), (5, 7), (2, 3)], ["id_a", "id_b"])
+    got = sorted(r["doc_id"] for r in dedup_survivors(df, pairs, "doc_id").collect())
+    # 5 and 7 collapse into 1; 3 into 2; 0, 4, 6 are untouched singletons
+    assert got == [0, 1, 2, 4, 6]
