@@ -51,3 +51,27 @@ def test_cli_validate_ingest_aggregate(spark, tmp_path):
     everything = run(spark, ["all", "--date", "2022-07-01", "--csv", csv,
                              "--fact", fact, "--agg", agg, "--powiaty", powiaty])
     assert everything["task"] == "all" and everything["aggregate_rows"] == 4
+
+
+def test_notify_file_outbox(tmp_path):
+    from building_permissions_etl_spark.pipeline.notify import (
+        FileOutboxTransport,
+        send_run_report,
+    )
+    import datetime as dt
+    import json
+
+    report = tmp_path / "r.html"
+    report.write_text("<html>ok</html>")
+    path = send_run_report(
+        FileOutboxTransport(str(tmp_path / "outbox")),
+        to=["ops@example.com"],
+        subject="ETL run 2022-07-01",
+        html_body="<b>done</b>",
+        attachment_paths=[str(report)],
+        logical_date=dt.datetime(2022, 7, 1),
+    )
+    msg = json.loads(open(path).read())
+    assert msg["to"] == ["ops@example.com"]
+    assert msg["attachments"]["r.html"] == "<html>ok</html>"
+    assert msg["logical_date"].startswith("2022-07-01")

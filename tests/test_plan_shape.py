@@ -1,0 +1,51 @@
+"""Physical-plan regression guards: the properties that make the plans
+scale must stay visible in explain output — column pruning, predicate
+pushdown, broadcast dim joins, no duplicated aggregate subtree in the
+one-pass flagship, and a single shuffle for the single-pass shape."""
+
+import re
+
+from building_permissions_etl_spark.plans.flagship import (
+    flagship_merge_shape,
+    flagship_single_pass,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_scan_prunes_columns(spark):
+    plan = _plan(flagship_single_pass(spark, SF))
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li = [s for s in scans if "l_suppkey" in s]
+    assert li, plan
+    # 4 of lineitem's 16 columns — projection reached the scan
+    assert all(len(s.split(",")) == 4 for s in li), li
+
+
+def test_flagship_pushes_filters(spark):
+    plan = _plan(flagship_single_pass(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*IsNotNull", plan), plan
+
+
+def test_flagship_broadcasts_dims(spark):
+    plan = _plan(flagship_single_pass(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the fact side must never sort-merge against a dim
+    assert "SortMergeJoin Inner" not in plan, plan
+
+
+def test_single_pass_aggregates_once(spark):
+    """The fused LEFT JOIN completion evaluates the aggregate subtree
+    once; the parity merge shape (union completion) pays for it twice."""
+    one = _plan(flagship_single_pass(spark, SF))
+    twice = _plan(flagship_merge_shape(spark, SF))
+    n_li_scans_one = len(re.findall(r"lineitem\.parquet", one))
+    n_li_scans_twice = len(re.findall(r"lineitem\.parquet", twice))
+    assert n_li_scans_one < n_li_scans_twice
+    # exactly one grouped aggregation pair (partial+final) over the fact
+    assert one.count("HashAggregate") <= 4, one
