@@ -57,6 +57,31 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_score: float = 0.5,
+) -> DataFrame:
+    """The filter stage a training pipeline runs on the stats: composite
+    quality score in [0,1] from the per-document features, keep rows
+    scoring ≥ ``min_score``. Weights are fixed plan literals — the scoring
+    is one narrow pass, the filter lands on the same stage."""
+    s = quality_stats(df, text_col, id_col)
+    length_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 5000), 1.0).otherwise(0.0)
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(F.col("stopword_ratio") >= 0.01, 1.0).otherwise(0.0)
+    caps_ok = F.when(F.col("upper_ratio") <= 0.3, 1.0).otherwise(0.0)
+    score = F.round(
+        0.4 * length_ok + 0.2 * punct_ok + 0.2 * stop_ok + 0.2 * caps_ok, 6
+    )
+    return (
+        s.withColumn("quality_score", score)
+        .filter(F.col("quality_score") >= min_score)
+        .select("id", "quality_score", "n_tokens")
+    )
+
+
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic language ID: count marker-lexicon hits per language over
     the token set; argmax wins, ties broken by language code, zero hits →

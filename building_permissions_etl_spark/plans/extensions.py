@@ -204,6 +204,42 @@ def contribute(register) -> None:
     )
 
     # ---------------- text analysis ------------------------------------
+    # quality_filter: composite score over the stats + threshold — the
+    # training-pipeline filter stage. The oracle recomputes the features
+    # and score from scratch.
+    register(
+        "text_quality_filter",
+        lambda spark, sf: T.quality_filter(
+            load_table(spark, "documents", sf), "text", "doc_id", min_score=0.9
+        ).orderBy("id"),
+        f"""
+        WITH s AS (
+          SELECT doc_id AS id,
+            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+            round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  AS DOUBLE) / length(text), 6) AS punct_ratio,
+            round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                  AS DOUBLE) / length(text), 6) AS upper_ratio,
+            round(CAST(len(list_filter({_TOKS},
+                  t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
+                  AS DOUBLE) / greatest(len({_TOKS}), 1), 6) AS stopword_ratio
+          FROM documents
+        ),
+        scored AS (
+          SELECT id, n_tokens,
+            round(CAST(
+                  0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+                + 0.2 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+                + 0.2 * (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)
+                + 0.2 * (CASE WHEN upper_ratio <= 0.3 THEN 1.0 ELSE 0.0 END)
+                AS DOUBLE), 6) AS quality_score
+          FROM s
+        )
+        SELECT id, quality_score, n_tokens FROM scored
+        WHERE quality_score >= 0.9 ORDER BY id
+        """,
+    )
+
     register(
         "text_quality_stats",
         lambda spark, sf: T.quality_stats(
