@@ -143,6 +143,35 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     return fan_out(assets).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_assets(assets: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """'Resize' over the opaque payload: the plumbing shape of image
+    resizing (payload → smaller payload + updated dims), with the codec
+    stubbed to deterministic byte striding. A real deployment swaps the
+    inner function for PIL's ``resize`` — schema, batching, and
+    partitioning stay identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stride = [
+                max(1, (w or 1) * (h or 1) // (target_w * target_h) or 1)
+                for w, h in zip(pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "kind": pdf["kind"],
+                "media_type": pdf["media_type"],
+                "payload": [
+                    None if p is None else bytes(p[::s])
+                    for p, s in zip(pdf["payload"], stride)
+                ],
+                "width": [min(w or 0, target_w) for w in pdf["width"]],
+                "height": [min(h or 0, target_h) for h in pdf["height"]],
+                "duration_ms": pdf["duration_ms"],
+            })
+
+    return fan_out(assets).mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
 def frame_sample(assets: DataFrame, every_n_bytes: int = 64,
                  max_frames: int = 16) -> DataFrame:
     """'Frame sampling' over the opaque payload: take byte slices at a

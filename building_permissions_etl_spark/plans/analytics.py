@@ -264,3 +264,37 @@ def contribute(register) -> None:
         FROM orders
         """,
     )
+
+    # --- window-function family: top-k per group via rank ----------------
+    # (the engine's OVER-clause surface beyond row_number/lag: rank with a
+    # deterministic tie-break, partitioned top-k without a self-join)
+    def topk_per_group(spark, sf):
+        from pyspark.sql.window import Window
+
+        li = load_table(spark, "lineitem", sf)
+        per = li.groupBy("l_returnflag", "l_partkey").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.partitionBy("l_returnflag").orderBy(
+            F.desc("cnt"), F.col("l_partkey")
+        )
+        return (
+            per.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("l_returnflag", "l_partkey", "cnt", "rk")
+            .orderBy("l_returnflag", "rk")
+        )
+
+    register(
+        "topk_per_group",
+        topk_per_group,
+        """
+        SELECT l_returnflag, l_partkey, cnt, rk FROM (
+          SELECT l_returnflag, l_partkey,
+                 CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY count(*) DESC, l_partkey) AS INT) AS rk
+          FROM lineitem GROUP BY l_returnflag, l_partkey
+        ) WHERE rk <= 5 ORDER BY l_returnflag, rk
+        """,
+    )

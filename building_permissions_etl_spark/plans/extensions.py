@@ -325,3 +325,14 @@ def contribute(register) -> None:
         .orderBy("asset_id"),
         None,
     )
+
+    register(
+        "multimodal_resize",   # pandas-UDF stub codec ⇒ rows-only
+        lambda spark, sf: M.resize_assets(
+            M.assets_from_documents(load_table(spark, "documents", sf))
+        ).select(
+            "asset_id", "kind", "width", "height",
+            F.length("payload").alias("n_bytes"),
+        ).orderBy("asset_id"),
+        None,
+    )

@@ -49,3 +49,29 @@ def test_frame_sample_shape(spark):
     one = frames.first()
     assert isinstance(one.frame_bytes, (bytes, bytearray))
     assert len(one.frame_bytes) <= 64
+
+
+def test_resize_assets_shrinks_payload(spark):
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.operators.multimodal import (
+        assets_from_documents,
+        resize_assets,
+    )
+    from pyspark.sql import functions as F
+
+    assets = assets_from_documents(
+        load_table(spark, "documents", "/root/testdata/sf0.001")
+    )
+    resized = resize_assets(assets, target_w=8, target_h=8)
+    joined = (
+        assets.select("asset_id", F.length("payload").alias("before"))
+        .join(resized.select("asset_id", F.length("payload").alias("after"),
+                             "width", "height"), "asset_id")
+    )
+    row = joined.agg(
+        F.count(F.when(F.col("after") > F.col("before"), 1)).alias("grew"),
+        F.max("width").alias("mw"), F.max("height").alias("mh"),
+    ).first()
+    assert row["grew"] == 0          # striding never grows a payload
+    assert row["mw"] <= 8 and row["mh"] <= 8
+    assert resized.count() == assets.count()
