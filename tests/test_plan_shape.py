@@ -42,6 +42,9 @@ def test_flagship_broadcasts_dims(spark):
 def test_single_pass_aggregates_once(spark):
     """The fused LEFT JOIN completion evaluates the aggregate subtree
     once; the parity merge shape (union completion) pays for it twice."""
+    # merge_shape caches its base: a warm cache from earlier tests would
+    # replace the parquet scans this test counts with InMemoryTableScans
+    spark.catalog.clearCache()
     one = _plan(flagship_single_pass(spark, SF))
     twice = _plan(flagship_merge_shape(spark, SF))
     n_li_scans_one = len(re.findall(r"lineitem\.parquet", one))
