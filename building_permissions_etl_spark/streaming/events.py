@@ -207,6 +207,28 @@ def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataF
     )
 
 
+def stream_to_parquet(
+    sdf: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Checkpointed parquet sink, availableNow trigger: the incremental
+    ingestion shape. The checkpoint's source offsets + file-sink manifest
+    give exactly-once across restarts — re-running with the same
+    checkpoint processes only files not yet committed, and a re-run with
+    nothing new writes nothing (asserted in tests). At scale this is the
+    continuous version of the reference's monthly batch ingest."""
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_table(sdf: DataFrame, table_name: str, output_mode: str = "complete") -> None:
     """Drain a stream into an in-memory sink with availableNow (test/dev
     harness; production would be a kafka/delta sink with a real trigger)."""

@@ -110,3 +110,27 @@ def test_stream_rejects_missing_path(spark):
             windowed_event_counts(read_events_stream(spark, "/root/testdata/nope")),
             "t_nope",
         )
+
+
+def test_stream_to_parquet_exactly_once(spark, tmp_path):
+    """Checkpointed file sink: re-runs are exactly-once — an unchanged
+    source adds nothing; a new source file adds only its own rows."""
+    from building_permissions_etl_spark.streaming.events import stream_to_parquet
+
+    ev = load_table(spark, "events", SF).orderBy("ts").limit(120).cache()
+    src = tmp_path / "src"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ev.limit(100).coalesce(1).write.parquet(str(src / "b0"))
+
+    def run():
+        sdf = spark.readStream.schema(ev.schema).parquet(f"{src}/b*")
+        stream_to_parquet(sdf, out, ckpt)
+
+    run()
+    assert spark.read.parquet(out).count() == 100
+    run()   # same checkpoint, nothing new → no duplicates
+    assert spark.read.parquet(out).count() == 100
+
+    ev.subtract(ev.limit(100)).coalesce(1).write.parquet(str(src / "b1"))
+    run()   # only the new file's rows land
+    assert spark.read.parquet(out).count() == 120
