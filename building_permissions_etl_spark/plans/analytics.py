@@ -298,3 +298,31 @@ def contribute(register) -> None:
         ) WHERE rk <= 5 ORDER BY l_returnflag, rk
         """,
     )
+
+    # --- exact quantiles: the length-distribution probe a training
+    # pipeline uses to set filter thresholds. Spark `percentile` and
+    # DuckDB `quantile_cont` share the linear-interpolation definition.
+    def length_quantiles(spark, sf):
+        docs = load_table(spark, "documents", sf)
+        qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+        return (
+            docs.groupBy("lang")
+            .agg(*[
+                F.round(F.percentile("n_chars", F.lit(p)), 6).alias(name)
+                for name, p in qs.items()
+            ])
+            .orderBy("lang")
+        )
+
+    register(
+        "doc_length_quantiles",
+        length_quantiles,
+        """
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.25), 6) AS p25,
+               round(quantile_cont(n_chars, 0.50), 6) AS p50,
+               round(quantile_cont(n_chars, 0.75), 6) AS p75,
+               round(quantile_cont(n_chars, 0.95), 6) AS p95
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+    )
