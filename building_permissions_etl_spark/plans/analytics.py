@@ -326,3 +326,46 @@ def contribute(register) -> None:
         FROM documents GROUP BY lang ORDER BY lang
         """,
     )
+
+    # --- multi-join analytics representative (TPC-H Q3 shape): selective
+    # dim filter → 3-way join → grouped revenue → top-k. Catalyst prunes
+    # all three scans, broadcasts the filtered customer side, and executes
+    # the top-k as TakeOrderedAndProject (no global sort shuffle).
+    def shipping_priority(spark, sf):
+        cutoff = "1998-06-01"
+        cust = load_table(spark, "customer", sf).filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = load_table(spark, "orders", sf).filter(
+            F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+        )
+        li = load_table(spark, "lineitem", sf).filter(
+            F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+            .limit(10)
+        )
+
+    register(
+        "shipping_priority_topk",
+        shipping_priority,
+        """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+    )
