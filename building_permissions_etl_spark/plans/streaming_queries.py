@@ -127,6 +127,77 @@ def contribute(register) -> None:
         """,
     )
 
+    # As-of join (backward): each click picks up the most recent error at
+    # or before it for the same user. Oracle is DuckDB's native ASOF JOIN.
+    def asof_last_error(spark, sf):
+        from building_permissions_etl_spark.operators.asof import asof_join_backward
+
+        ev = load_table(spark, "events", sf)
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "user_id", "ts", F.col("value").alias("err_value")
+        )
+        return (
+            asof_join_backward(
+                clicks, errors, key="user_id", left_ts="ts", right_ts="ts",
+                value_cols=["err_value"],
+            )
+            .withColumnRenamed("__matched_ts", "err_ts")
+            .orderBy("event_id")
+        )
+
+    register(
+        "asof_join_last_error",
+        asof_last_error,
+        """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        errors AS (
+          SELECT user_id, ts, value AS err_value FROM events
+          WHERE event_type = 'error'
+        )
+        SELECT c.event_id, c.user_id, c.ts,
+               e.err_value, e.ts AS err_ts
+        FROM clicks c ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND c.ts >= e.ts
+        ORDER BY c.event_id
+        """,
+    )
+
+    # Range join: (click, error) pairs for the same user within ±120 s,
+    # bucketed equi-join instead of the quadratic theta join. The oracle
+    # is the naive inequality join — same distinct triples.
+    def clicks_near_errors(spark, sf):
+        from building_permissions_etl_spark.operators.asof import range_join_binned
+
+        ev = load_table(spark, "events", sf)
+        clicks = ev.filter(F.col("event_type") == "click")
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "user_id", F.col("ts").alias("err_ts")
+        )
+        return (
+            range_join_binned(
+                clicks, errors, key="user_id", left_ts="ts",
+                right_ts="err_ts", tolerance_seconds=120,
+            ).orderBy("user_id", "ts", "err_ts")
+        )
+
+    register(
+        "range_join_clicks_errors",
+        clicks_near_errors,
+        """
+        SELECT DISTINCT c.user_id, c.ts, e.ts AS err_ts
+        FROM events c JOIN events e
+          ON c.user_id = e.user_id
+         AND c.event_type = 'click' AND e.event_type = 'error'
+         AND abs(epoch(c.ts) - epoch(e.ts)) <= 120
+        ORDER BY c.user_id, c.ts, err_ts
+        """,
+    )
+
     # The real streaming engine, end to end. Complete-mode memory sink ⇒
     # every window is emitted regardless of watermark, so the batch oracle
     # applies verbatim.
