@@ -369,3 +369,34 @@ def contribute(register) -> None:
         ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
     )
+
+    # --- hierarchical aggregation: ROLLUP over (status, priority) with
+    # subtotals and a grand total; grouping_id distinguishes subtotal
+    # levels from genuine NULL keys. One shuffle — Spark expands the
+    # grouping sets map-side before the exchange.
+    def rollup_orders(spark, sf):
+        orders = load_table(spark, "orders", sf)
+        return (
+            orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.grouping_id().cast("int").alias("gid"),
+            )
+            .orderBy("gid", "o_orderstatus", "o_orderpriority")
+        )
+
+    register(
+        "rollup_order_totals",
+        rollup_orders,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS INT) AS gid
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """,
+    )
