@@ -45,6 +45,16 @@ HEADLINE = [
     "event_sliding_window",
     "event_sessionization",
     "event_json_props",
+    "asof_join_last_error",
+    "range_join_clicks_errors",
+    "shipping_priority_topk",
+    "topk_per_group",
+    "rollup_order_totals",
+    "salted_group_count",
+    "salted_join_segments",
+    "exact_distinct_per_key",
+    "doc_length_quantiles",
+    "text_quality_filter",
 ]
 # Extension headliners are appended dynamically if registered.
 EXTENSION_HEADLINE = [
