@@ -326,6 +326,8 @@ def contribute(register) -> None:
         None,
     )
 
+    _contribute_corpus(register)
+
     register(
         "multimodal_resize",   # pandas-UDF stub codec ⇒ rows-only
         lambda spark, sf: M.resize_assets(
@@ -335,4 +337,53 @@ def contribute(register) -> None:
             F.length("payload").alias("n_bytes"),
         ).orderBy("asset_id"),
         None,
+    )
+
+
+def _contribute_corpus(register) -> None:
+    """Corpus-level text queries (registered from contribute())."""
+    from building_permissions_etl_spark.operators.dedup import tokens
+    from building_permissions_etl_spark.operators.scale import fan_out
+
+    # Vocabulary: corpus-wide token counts, top 100. explode → count is
+    # the canonical shuffle-with-map-side-combine shape; at 100 TB the
+    # partial aggregation collapses each partition's token stream before
+    # the exchange, so shuffle volume is bounded by |vocab| per partition.
+    def vocabulary(spark, sf):
+        docs = load_table(spark, "documents", sf)
+        return (
+            fan_out(docs)
+            .select(F.explode(tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), "token")
+            .limit(100)
+        )
+
+    register(
+        "corpus_vocabulary_top100",
+        vocabulary,
+        f"""
+        SELECT token, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token ORDER BY freq DESC, token LIMIT 100
+        """,
+    )
+
+    # Stratified sample: fixed fraction per language, deterministic via
+    # content hash (not RNG) so the sample is reproducible across runs,
+    # engines, and retries — which also makes it oracle-checkable, unlike
+    # sampleBy. At scale this is a narrow filter: no shuffle at all.
+    def stratified(spark, sf):
+        docs = load_table(spark, "documents", sf)
+        fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1}
+        frac = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+        keep = (F.pmod(F.xxhash64("doc_id"), F.lit(10000)).cast("double") / 10000.0
+                < F.coalesce(frac[F.col("lang")], F.lit(0.0)))
+        return docs.filter(keep).select("doc_id", "lang").orderBy("doc_id")
+
+    register(
+        "stratified_sample_by_lang",
+        stratified,
+        None,   # xxhash64 has no DuckDB twin → rows-only; invariants in tests
     )

@@ -85,3 +85,23 @@ def test_topk_ivf_deterministic(spark):
     a = [tuple(r) for r in S.topk_ivf(emb, "embedding", "vec_id", 0, k=5).collect()]
     b = [tuple(r) for r in S.topk_ivf(emb, "embedding", "vec_id", 0, k=5).collect()]
     assert a == b
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from building_permissions_etl_spark.plans.registry import queries
+
+    q = queries()["stratified_sample_by_lang"]
+    a = [tuple(r) for r in q(spark, "/root/testdata/sf0.01").collect()]
+    b = [tuple(r) for r in q(spark, "/root/testdata/sf0.01").collect()]
+    assert a == b and len(a) > 0
+    from building_permissions_etl_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    totals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    got = {}
+    for _, lang in a:
+        got[lang] = got.get(lang, 0) + 1
+    # en sampled at 0.5 must keep a much larger share than zh at 0.1
+    assert got.get("en", 0) / totals["en"] > 0.3
+    assert got.get("zh", 0) / totals["zh"] < 0.3
