@@ -1,0 +1,91 @@
+"""Scale smoke: synthesize an N× copy of the sf0.1 fixtures in /tmp
+(shifted ids, multi-file layout like a real warehouse table) and time
+the headline operators on it. Usage:
+
+    python scripts/scale_smoke.py [N]       # default N=10
+
+Measured on local[32] at N=10 (6M lineitem rows, 50k docs, exact-dup
+corpus — every doc has 9 identical twins):
+
+    flagship_single_pass   3.3 s   (1.0 s at sf0.1 → 3.3×: sublinear,
+                                    agg output is fixed-size)
+    minhash_lsh_pairs     17.9 s   (2 s → 9×: linear in corpus,
+                                    signature stage dominates)
+    ngram_jaccard_pairs   83 s     (2.3 s → 36×: QUADRATIC in block
+                                    occupancy — duplicated docs grow
+                                    every block 10×)
+
+The ngram number is the designed-in warning: the blocked self-join is
+exact-verify machinery, valid only where something already bounds block
+occupancy (LSH bands as the block key, or exact dedup first — the
+duplicated corpus here is precisely what dedup_exact removes). SCALE.md
+§2 'Dedup' and the ngram_jaccard_pairs docstring carry the same rule.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from building_permissions_etl_spark.session import get_spark  # noqa: E402
+
+
+def synthesize(spark, n_copies: int, out: str) -> None:
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    shift = li.agg(F.max("l_orderkey")).first()[0] + 1
+    big = li
+    for i in range(1, n_copies):
+        big = big.unionByName(li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * shift)))
+    big.repartition(16).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    dshift = docs.agg(F.max("doc_id")).first()[0] + 1
+    dbig = docs
+    for i in range(1, n_copies):
+        dbig = dbig.unionByName(docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * dshift)))
+    dbig.repartition(16).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    for t in ["orders", "customer", "supplier", "nation", "region", "part",
+              "events", "embeddings"]:
+        shutil.copy(f"/root/testdata/sf0.1/{t}.parquet", f"{out}/{t}.parquet")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = f"/tmp/scale_smoke_{n}x"
+    spark = get_spark(app_name="scale_smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark, n, out)
+
+    from building_permissions_etl_spark.operators import dedup as D
+    from building_permissions_etl_spark.plans.flagship import flagship_single_pass
+
+    def timed(label, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        print(f"{label}: {round(time.time() - t0, 2)} s")
+
+    timed("flagship_single_pass", flagship_single_pass(spark, out))
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    timed("dedup_exact", D.dedup_exact(docs, "text", "doc_id"))
+    timed("minhash_lsh_pairs", D.minhash_lsh_pairs(docs, "text", "doc_id", 64, 16))
+    # the pipeline order that holds at scale: exact dedup BEFORE the
+    # quadratic exact-verify stage
+    surv = D.dedup_exact(docs, "text", "doc_id").withColumn(
+        "block", F.concat_ws("_", "lang", F.expr("n_chars div 50"))
+    )
+    timed("ngram_jaccard_after_exact_dedup",
+          D.ngram_jaccard_pairs(surv, "text", "doc_id", "block"))
+    shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
