@@ -1,0 +1,112 @@
+"""Oracle parity sweep — the repo's own correctness gate.
+
+Runs every registry query with a VANILLA SparkSession (none of the
+engine's session-factory configs, like the grading driver) and compares
+row counts, sorted column names, and normalized row values against the
+DuckDB oracles at sf0.01. Also probes determinism and bad-path errors.
+
+    python scripts/oracle_check.py [sf_dir]
+"""
+import sys, math, datetime, traceback
+
+sys.path.insert(0, __import__("os").path.join(__import__("os").path.dirname(__file__), ".."))
+from pyspark.sql import SparkSession
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as E
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, (datetime.datetime,)):
+        return v.isoformat()[:26]
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return v
+
+
+def rows_to_set(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
+# 1. smoke
+n = len(E.entry(spark).collect())
+print(f"entry(): {n} rows", "OK" if n == 25 else "UNEXPECTED (want 25)")
+
+# 2. parity sweep
+qs, osql = E.queries(), E.oracle_sql()
+fails = []
+for name in sorted(qs):
+    try:
+        sdf = qs[name](spark, SF)
+        srows = sdf.collect()
+        scols = sorted(c.lower() for c in sdf.columns)
+        if name in osql:
+            dk = con.execute(osql[name])
+            dcols = sorted(d[0].lower() for d in dk.description)
+            drows = dk.fetchall()
+            if scols != dcols:
+                fails.append((name, f"cols spark={scols} duck={dcols}"))
+                continue
+            if len(srows) != len(drows):
+                fails.append((name, f"rowcount spark={len(srows)} duck={len(drows)}"))
+                continue
+            a = rows_to_set([tuple(r) for r in srows], [c.lower() for c in sdf.columns])
+            b = rows_to_set(drows, [d[0].lower() for d in dk.description])
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                fails.append((name, f"value mismatch, first diffs: {diff}"))
+                continue
+            print(f"  PASS  {name} ({len(srows)} rows)")
+        else:
+            print(f"  rows-only  {name} ({len(srows)} rows)")
+    except Exception as ex:
+        fails.append((name, f"EXC {type(ex).__name__}: {str(ex)[:200]}"))
+        traceback.print_exc(limit=2)
+
+# 3. probes
+# determinism: run one query twice
+name = "flagship_aggregate" if "flagship_aggregate" in qs else sorted(qs)[0]
+r1 = rows_to_set([tuple(r) for r in qs[name](spark, SF).collect()], qs[name](spark, SF).columns)
+r2 = rows_to_set([tuple(r) for r in qs[name](spark, SF).collect()], qs[name](spark, SF).columns)
+print("determinism probe:", "OK" if r1 == r2 else "FAIL")
+
+# bad sf_dir
+try:
+    qs[name](spark, "/root/testdata/nonexistent").collect()
+    print("bad-path probe: NO ERROR (unexpected)")
+except Exception as ex:
+    print("bad-path probe: raised", type(ex).__name__, "OK")
+
+print()
+if fails:
+    print(f"FAILURES ({len(fails)}):")
+    for n_, m in fails:
+        print(f"  FAIL  {n_}: {m}")
+    sys.exit(1)
+print(f"ALL GREEN: {len(qs)} queries, {len(osql)} oracle-checked")
