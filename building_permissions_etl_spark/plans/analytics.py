@@ -400,3 +400,54 @@ def contribute(register) -> None:
         ORDER BY gid, o_orderstatus, o_orderpriority
         """,
     )
+
+    # --- CUBE: all grouping combinations in one pass (complement of the
+    # ROLLUP query; same single-exchange expansion).
+    def cube_orders(spark, sf):
+        orders = load_table(spark, "orders", sf)
+        return (
+            orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.grouping_id().cast("int").alias("gid"),
+            )
+            .orderBy("gid", "o_orderstatus", "o_orderpriority")
+        )
+
+    register(
+        "cube_order_counts",
+        cube_orders,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS INT) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """,
+    )
+
+    # --- daily active users: exact distinct per day (the approx twin is
+    # approx_count_distinct_dates; at 100 TB the exact form relies on the
+    # (day, user) de-dup spreading hot days across reducers — same
+    # skew-safety argument as operators/skew.exact_distinct_per_key).
+    def dau(spark, sf):
+        ev = load_table(spark, "events", sf)
+        return (
+            ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+            .dropDuplicates(["day", "user_id"])
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("dau"))
+            .orderBy("day")
+        )
+
+    register(
+        "daily_active_users",
+        dau,
+        """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1 ORDER BY day
+        """,
+    )
