@@ -1,0 +1,65 @@
+"""Generate QUERIES.md — the query inventory grouped by contributor
+module, with each query's correctness-check type. Run after adding
+queries: python scripts/gen_query_docs.py"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+MODULES = [
+    ("flagship_queries", "Reference parity: flagship pipeline + §2 operators"),
+    ("analytics", "Notebook analytics, scalar/validation/grouping surface"),
+    ("extensions", "LLM-data-pipeline: dedup, similarity, text, multimodal"),
+    ("streaming_queries", "Events: windows, sessions, as-of/range joins, streaming"),
+    ("scale_queries", "Skew-mitigation shapes (salted agg/join, safe distinct)"),
+]
+
+
+def main() -> None:
+    import importlib
+
+    sections = []
+    total = oracled = 0
+    for mod_name, blurb in MODULES:
+        mod = importlib.import_module(
+            f"building_permissions_etl_spark.plans.{mod_name}"
+        )
+        entries: list[tuple[str, bool]] = []
+
+        def rec(name, fn, sql):
+            entries.append((name, sql is not None))
+
+        mod.contribute(rec)
+        sections.append((mod_name, blurb, sorted(entries)))
+        total += len(entries)
+        oracled += sum(1 for _, has in entries if has)
+
+    lines = [
+        "# QUERIES — registry inventory",
+        "",
+        f"{total} queries; {oracled} value-checked against DuckDB oracles, "
+        f"{total - oracled} rows-only (hash families, trained indexes, stub "
+        "codecs, sampling — semantics pinned by unit tests instead).",
+        "",
+        "Regenerate with `python scripts/gen_query_docs.py`.",
+        "",
+    ]
+    for mod_name, blurb, entries in sections:
+        lines.append(f"## plans/{mod_name}.py — {blurb}")
+        lines.append("")
+        lines.append("| Query | Check |")
+        lines.append("|---|---|")
+        for name, has in entries:
+            lines.append(f"| `{name}` | {'DuckDB oracle' if has else 'rows-only + unit tests'} |")
+        lines.append("")
+    out = os.path.join(os.path.dirname(__file__), "..", "QUERIES.md")
+    with open(out, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    print(f"wrote QUERIES.md: {total} queries, {oracled} oracle-checked")
+
+
+if __name__ == "__main__":
+    main()
