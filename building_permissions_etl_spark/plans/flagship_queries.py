@@ -397,6 +397,8 @@ def contribute(register) -> None:
         """,
     )
 
+    _contribute_unpivot(register)
+
     # --- J6: dim-summary left join, missing → 0 -----------------------------
     def dim_summary(spark, sf):
         region = load_table(spark, "region", sf).select(
@@ -420,5 +422,59 @@ def contribute(register) -> None:
           FROM nation GROUP BY n_regionkey
         ) s ON r.r_regionkey = s.regionkey
         ORDER BY regionkey
+        """,
+    )
+
+
+def _contribute_unpivot(register) -> None:
+    """Wide→long inverse of the pivot (DataFrame.unpivot / SQL UNPIVOT):
+    melts the zero-filled pivot cells back to (key, cell, cnt) rows.
+    Registered from contribute()."""
+    from building_permissions_etl_spark.operators import aggregates as A
+    from building_permissions_etl_spark.operators import filters as Fl
+    from building_permissions_etl_spark.plans.flagship import CELLS
+
+    def unpivot_cells(spark, sf):
+        li = load_table(spark, "lineitem", sf)
+        windowed = Fl.days_lookback(li, "l_shipdate", 90)
+        cells = windowed.withColumn(
+            "cell", F.concat_ws("_", "l_returnflag", "l_linestatus")
+        )
+        wide = A.pivot_counts(
+            cells.select(F.col("l_suppkey").alias("suppkey"), "cell"),
+            "suppkey", "cell", CELLS,
+        )
+        return (
+            wide.unpivot("suppkey", CELLS, "cell", "cnt")
+            .orderBy("suppkey", "cell")
+        )
+
+    cell_selects = " UNION ALL ".join(
+        f"SELECT suppkey, '{c}' AS cell, {c} AS cnt FROM wide" for c in
+        ["A_F", "A_O", "N_F", "N_O", "R_F", "R_O"]
+    )
+    register(
+        "unpivot_cells_long",
+        unpivot_cells,
+        f"""
+        WITH mx AS (SELECT max(l_shipdate) AS m FROM lineitem),
+        win AS (
+          SELECT l.l_suppkey AS suppkey,
+                 l.l_returnflag || '_' || l.l_linestatus AS cell
+          FROM lineitem l CROSS JOIN mx
+          WHERE l.l_shipdate >= mx.m - INTERVAL 90 DAY
+        ),
+        wide AS (
+          SELECT suppkey,
+            CAST(count(CASE WHEN cell='A_F' THEN 1 END) AS BIGINT) AS A_F,
+            CAST(count(CASE WHEN cell='A_O' THEN 1 END) AS BIGINT) AS A_O,
+            CAST(count(CASE WHEN cell='N_F' THEN 1 END) AS BIGINT) AS N_F,
+            CAST(count(CASE WHEN cell='N_O' THEN 1 END) AS BIGINT) AS N_O,
+            CAST(count(CASE WHEN cell='R_F' THEN 1 END) AS BIGINT) AS R_F,
+            CAST(count(CASE WHEN cell='R_O' THEN 1 END) AS BIGINT) AS R_O
+          FROM win GROUP BY suppkey
+        )
+        SELECT suppkey, cell, cnt FROM ({cell_selects})
+        ORDER BY suppkey, cell
         """,
     )
