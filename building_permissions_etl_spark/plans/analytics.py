@@ -451,3 +451,39 @@ def contribute(register) -> None:
         FROM events GROUP BY 1 ORDER BY day
         """,
     )
+
+    # --- set ops: INTERSECT / EXCEPT (distinct semantics) -----------------
+    def custkeys_both(spark, sf):
+        cust = load_table(spark, "customer", sf).select(
+            F.col("c_custkey").alias("custkey"))
+        ordered = load_table(spark, "orders", sf).select(
+            F.col("o_custkey").alias("custkey"))
+        return cust.intersect(ordered).orderBy("custkey")
+
+    register(
+        "intersect_active_customers",
+        custkeys_both,
+        """
+        SELECT c_custkey AS custkey FROM customer
+        INTERSECT SELECT o_custkey FROM orders
+        ORDER BY custkey
+        """,
+    )
+
+    def custkeys_finished_only(spark, sf):
+        orders = load_table(spark, "orders", sf)
+        fin = orders.filter(F.col("o_orderstatus") == "F").select(
+            F.col("o_custkey").alias("custkey"))
+        open_ = orders.filter(F.col("o_orderstatus") == "O").select(
+            F.col("o_custkey").alias("custkey"))
+        return fin.distinct().exceptAll(open_.distinct()).orderBy("custkey")
+
+    register(
+        "except_finished_only_customers",
+        custkeys_finished_only,
+        """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY custkey
+        """,
+    )
