@@ -75,3 +75,25 @@ def test_resize_assets_shrinks_payload(spark):
     assert row["grew"] == 0          # striding never grows a payload
     assert row["mw"] <= 8 and row["mh"] <= 8
     assert resized.count() == assets.count()
+
+
+def test_metadata_query_never_reads_payload(spark, tmp_path):
+    """Column pruning must reach the parquet scan: a metadata-only query
+    over the assets table reads width/height, never the binary payload."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.operators.multimodal import assets_from_documents
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "assets")
+    assets_from_documents(
+        load_table(spark, "documents", "/root/testdata/sf0.001")
+    ).write.parquet(path)
+    q = (
+        spark.read.parquet(path)
+        .groupBy("kind")
+        .agg(F.avg("width").alias("w"), F.avg("height").alias("h"))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("payload" not in s for s in schemas), plan

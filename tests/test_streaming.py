@@ -134,3 +134,40 @@ def test_stream_to_parquet_exactly_once(spark, tmp_path):
     ev.subtract(ev.limit(100)).coalesce(1).write.parquet(str(src / "b1"))
     run()   # only the new file's rows land
     assert spark.read.parquet(out).count() == 120
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Append-mode windowed agg: once the watermark passes a window, a
+    late row for it is dropped, not double-counted. Two checkpointed
+    runs guarantee batch separation (the watermark persists in the
+    checkpoint between runs)."""
+    import datetime as dt
+
+    from building_permissions_etl_spark.streaming.events import stream_to_parquet
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    src = tmp_path / "late_src"
+    out, ckpt = str(tmp_path / "late_out"), str(tmp_path / "late_ckpt")
+    b0 = [(1, base, 1, "click", 1.0, "{}"),
+          (2, base + dt.timedelta(minutes=30), 1, "click", 1.0, "{}"),
+          # advances the watermark far past the first hour window
+          (3, base + dt.timedelta(hours=5), 1, "click", 1.0, "{}")]
+    b1 = [(4, base + dt.timedelta(minutes=40), 1, "click", 1.0, "{}")]  # LATE
+
+    def run():
+        sdf = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(f"{src}/b*")
+        stream_to_parquet(windowed_event_counts(sdf, watermark="10 minutes"),
+                          out, ckpt)
+
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(str(src / "b0"))
+    run()    # watermark ends at 04:50, first window not yet emitted
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    run()    # late row < watermark: dropped; first window finalizes
+
+    got = {r["window_start"]: r["n_events"]
+           for r in spark.read.parquet(out).collect()}
+    assert got.get(base) == 2    # late 40-minute row NOT double-counted
