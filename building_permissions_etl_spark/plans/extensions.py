@@ -66,6 +66,15 @@ def contribute(register) -> None:
     )
 
     register(
+        "dedup_minhash_oph",   # hash-family ⇒ rows-only driver check
+        lambda spark, sf: D.minhash_oph_pairs(
+            load_table(spark, "documents", sf), "text", "doc_id",
+            k=64, bands=16, min_est_jaccard=0.5,
+        ),
+        None,
+    )
+
+    register(
         "dedup_simhash",       # hash-family ⇒ rows-only driver check
         lambda spark, sf: D.simhash_pairs(
             load_table(spark, "documents", sf), "text", "doc_id", max_hamming=3

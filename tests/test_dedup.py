@@ -123,3 +123,42 @@ def test_dedup_survivors_keep_min_and_singletons(spark):
     got = sorted(r["doc_id"] for r in dedup_survivors(df, pairs, "doc_id").collect())
     # 5 and 7 collapse into 1; 3 into 2; 0, 4, 6 are untouched singletons
     assert got == [0, 1, 2, 4, 6]
+
+
+def test_minhash_oph_finds_planted_dups(spark, docs):
+    from building_permissions_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_oph_pairs,
+    )
+
+    oph = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_oph_pairs(docs, "text", "doc_id",
+                                   min_est_jaccard=0.5).collect()
+    }
+    classic = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "text", "doc_id",
+                                   min_est_jaccard=0.5).collect()
+    }
+    # both paths find the planted near-duplicate pairs
+    assert classic and set(oph) >= classic
+    assert all(0.0 <= v <= 1.0 for v in oph.values())
+
+
+def test_minhash_oph_deterministic_and_no_self_match_on_short_docs(spark):
+    from building_permissions_etl_spark.operators.dedup import minhash_oph_pairs
+    from pyspark.sql import functions as F
+
+    # two distinct 1-token docs: nearly all bins empty on both sides —
+    # doc-salted sentinels must NOT make them match
+    short = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_oph_pairs(short, "text", "doc_id", min_est_jaccard=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 3)}   # identical docs pair; distinct ones never do
+    again = {(r["id_a"], r["id_b"]) for r in minhash_oph_pairs(
+        short, "text", "doc_id", min_est_jaccard=0.5).collect()}
+    assert got == again
