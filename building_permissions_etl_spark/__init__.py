@@ -16,4 +16,17 @@ Design rules (enforced across the package):
 
 from building_permissions_etl_spark.session import get_spark
 
-__all__ = ["get_spark"]
+# The stable public surface: session, catalog, the ETL pipeline stages,
+# and the query registry. Operator modules are imported directly
+# (building_permissions_etl_spark.operators.<family>) — they are the
+# library, this is the front door.
+from building_permissions_etl_spark.catalog import load_table, register_views
+from building_permissions_etl_spark.plans.registry import oracle_sql, queries
+
+__all__ = [
+    "get_spark",
+    "load_table",
+    "register_views",
+    "queries",
+    "oracle_sql",
+]
