@@ -487,3 +487,30 @@ def contribute(register) -> None:
         ORDER BY custkey
         """,
     )
+
+    # --- array aggregation: per-customer sorted order lists ---------------
+    # (collect_list is unordered by contract; sort_array pins determinism
+    # — same reason every oracle query carries an ORDER BY)
+    def orders_arrays(spark, sf):
+        orders = load_table(spark, "orders", sf)
+        return (
+            orders.groupBy("o_custkey")
+            .agg(
+                F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+            .filter(F.col("n_orders") >= 5)
+            .orderBy("o_custkey")
+        )
+
+    register(
+        "orders_per_customer_array",
+        orders_arrays,
+        """
+        SELECT o_custkey,
+               list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+        HAVING count(*) >= 5 ORDER BY o_custkey
+        """,
+    )
