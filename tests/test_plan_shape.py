@@ -52,3 +52,29 @@ def test_single_pass_aggregates_once(spark):
     assert n_li_scans_one < n_li_scans_twice
     # exactly one grouped aggregation pair (partial+final) over the fact
     assert one.count("HashAggregate") <= 4, one
+
+
+def test_month_partition_pruning_on_fact_layout(spark, tmp_path):
+    """The month-partitioned fact layout must prune: a month-filtered
+    read shows PartitionFilters and scans only the matching partition."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from building_permissions_etl_spark.sources.sinks import write_fact_partitioned
+
+    rows = [
+        (i, dt.datetime(2022, 1 + i % 6, 3), f"14650{i % 10}1")
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, event_ts timestamp, terc string")
+    path = str(tmp_path / "fact")
+    write_fact_partitioned(df, path, "event_ts", "terc")
+
+    q = spark.read.parquet(path).filter(F.col("month") == "2022-03")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2022-03" in plan, plan
+    assert q.count() == 100
+    # data-level sanity: only March rows came back
+    months = [r[0] for r in q.select("month").distinct().collect()]
+    assert months == ["2022-03"]
