@@ -514,3 +514,24 @@ def contribute(register) -> None:
         HAVING count(*) >= 5 ORDER BY o_custkey
         """,
     )
+
+    # --- the SQL surface: same engine, spark.sql text over registered
+    # views (register_views makes every fixture table addressable). The
+    # oracle is literally the same ANSI text — Catalyst and DuckDB parse
+    # the identical query.
+    _SQL_REVENUE = """
+        SELECT o.o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+        ORDER BY o.o_orderstatus
+    """
+
+    def sql_surface(spark, sf):
+        from building_permissions_etl_spark.catalog import register_views
+
+        register_views(spark, sf)
+        return spark.sql(_SQL_REVENUE)
+
+    register("sql_revenue_by_status", sql_surface, _SQL_REVENUE)
