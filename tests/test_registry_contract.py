@@ -1,0 +1,31 @@
+"""Driver-contract invariants over the registry itself."""
+
+from building_permissions_etl_spark.plans.registry import oracle_sql, queries
+
+
+def test_oracle_keys_subset_of_queries():
+    q, o = queries(), oracle_sql()
+    assert set(o) <= set(q)
+    assert all(callable(fn) for fn in q.values())
+    assert all(isinstance(sql, str) and sql.strip() for sql in o.values())
+
+
+def test_rows_only_set_is_exactly_the_documented_one():
+    """Every query without an oracle must be one whose semantics are
+    genuinely not ANSI-expressible (hash families, trained indexes,
+    stub codecs, sampling, streaming internals) — additions to this set
+    need the same justification."""
+    rows_only = set(queries()) - set(oracle_sql())
+    assert rows_only == {
+        "approx_count_distinct_dates",
+        "dedup_minhash_lsh",
+        "dedup_minhash_oph",
+        "dedup_simhash",
+        "doc_fingerprint",
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "similarity_topk_lsh",
+        "similarity_topk_ivf",
+        "stratified_sample_by_lang",
+    }
