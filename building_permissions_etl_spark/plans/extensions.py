@@ -179,6 +179,49 @@ def contribute(register) -> None:
         """,
     )
 
+    # Embedding-based dedup tail: cosine near-dup pairs → connected
+    # components → survivors, all SQL-expressible so the whole composed
+    # pipeline is value-checked (same recursive-closure oracle pattern
+    # as the n-gram tail).
+    def embedding_survivors(spark, sf):
+        emb = load_table(spark, "embeddings", sf)
+        pairs = D.embedding_neardup_pairs(
+            emb, "embedding", "vec_id", block_col="label", min_cosine=0.4
+        )
+        return (
+            D.dedup_survivors(emb, pairs, "vec_id")
+            .select("vec_id").orderBy("vec_id")
+        )
+
+    register(
+        "embedding_dedup_survivors",
+        embedding_survivors,
+        f"""
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
+        ),
+        sym AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.src, s.d FROM reach r JOIN sym s ON r.dst = s.s
+        ),
+        labels AS (
+          SELECT src AS id, least(src, min(dst)) AS label
+          FROM reach GROUP BY src
+        )
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> label)
+        ORDER BY vec_id
+        """,
+    )
+
     # ---------------- similarity search --------------------------------
     register(
         "similarity_topk_bruteforce",
