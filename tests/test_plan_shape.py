@@ -78,3 +78,21 @@ def test_month_partition_pruning_on_fact_layout(spark, tmp_path):
     # data-level sanity: only March rows came back
     months = [r[0] for r in q.select("month").distinct().collect()]
     assert months == ["2022-03"]
+
+
+def test_asof_join_shuffles_once(spark):
+    """The as-of composition's cost claim: ONE exchange (the per-key
+    window), not an inequality-join nested loop."""
+    import datetime as dt
+
+    from building_permissions_etl_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)], "k string, ts timestamp, v double"
+    )
+    plan = _plan(asof_join_backward(left, right, "k", "ts", "ts", ["v"]))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "NestedLoop" not in plan, plan
