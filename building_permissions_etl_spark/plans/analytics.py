@@ -490,13 +490,19 @@ def contribute(register) -> None:
 
     # --- array aggregation: per-customer sorted order lists ---------------
     # (collect_list is unordered by contract; sort_array pins determinism
-    # — same reason every oracle query carries an ORDER BY)
+    # — same reason every oracle query carries an ORDER BY). The list is
+    # emitted as a comma-joined STRING, not array<bigint>: the driver's
+    # canonicalizer sorts/hashes cell values and cannot hash list cells
+    # (CORRECTNESS_r01: "unhashable type: 'list'") — same information,
+    # hashable representation.
     def orders_arrays(spark, sf):
         orders = load_table(spark, "orders", sf)
         return (
             orders.groupBy("o_custkey")
             .agg(
-                F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+                F.array_join(
+                    F.sort_array(F.collect_list("o_orderkey")), ","
+                ).alias("orderkeys"),
                 F.count(F.lit(1)).alias("n_orders"),
             )
             .filter(F.col("n_orders") >= 5)
@@ -508,7 +514,8 @@ def contribute(register) -> None:
         orders_arrays,
         """
         SELECT o_custkey,
-               list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+               array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+                 AS orderkeys,
                CAST(count(*) AS BIGINT) AS n_orders
         FROM orders GROUP BY o_custkey
         HAVING count(*) >= 5 ORDER BY o_custkey
