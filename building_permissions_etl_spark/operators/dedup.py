@@ -84,17 +84,23 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(col: Column, k: int = 64, shingle_n: int = 3) -> Column:
+def minhash_signature(
+    col: Column, k: int = 64, shingle_n: int = 3, base_hash=None
+) -> Column:
     """Array of k minhash values for the text column.
 
-    Base hash is xxhash64 (JVM built-in, vectorized); the k permutations
-    are affine maps mod a Mersenne prime, computed with array_min over the
-    shingle-hash array — one pass over shingles per permutation, all
-    codegen, no UDF.
+    Base hash is xxhash64 (JVM built-in, vectorized) by default;
+    ``base_hash`` swaps in another Column-level hash —
+    ``functions.portable.portable_hash64`` makes the whole signature
+    reproducible in DuckDB so the registry variant is value-checked by an
+    independent engine. The k permutations are affine maps mod a Mersenne
+    prime, computed with array_min over the shingle-hash array — one pass
+    over shingles per permutation, all codegen, no UDF.
     """
+    hash_fn = base_hash or F.xxhash64
     base = F.transform(
         word_shingles(col, shingle_n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
+        lambda s: F.pmod(hash_fn(s), F.lit(MERSENNE_P)),
     )
     # let-bind the tokenize→shingle→hash subtree so it evaluates ONCE per
     # row: HOFs are interpreted (no codegen subexpression elimination), so
@@ -139,6 +145,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     min_est_jaccard: float = 0.5,
+    base_hash=None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -152,7 +159,8 @@ def minhash_lsh_pairs(
     r = k // bands
     df = fan_out(df)  # signature computation is the per-row hot loop
     sigs = df.select(
-        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), k, shingle_n).alias("sig")
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), k, shingle_n, base_hash).alias("sig"),
     )
     banded = sigs.select(
         "id",
@@ -201,6 +209,7 @@ def minhash_oph_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     min_est_jaccard: float = 0.5,
+    base_hash=None,
 ) -> DataFrame:
     """One-permutation-hashing near-dup pairs — the shuffle-based twin of
     ``minhash_lsh_pairs`` (Li, Owen & Zhang, NIPS 2012).
@@ -221,9 +230,10 @@ def minhash_oph_pairs(
     classic path.
     """
     r = k // bands
+    hash_fn = base_hash or F.xxhash64
     base = F.transform(
         word_shingles(F.col(text_col), shingle_n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
+        lambda s: F.pmod(hash_fn(s), F.lit(MERSENNE_P)),
     )
     ex = fan_out(df).select(F.col(id_col).alias("id"), F.explode(base).alias("h"))
     bins = ex.groupBy("id", F.pmod("h", F.lit(k)).alias("b")).agg(
@@ -290,14 +300,17 @@ def minhash_oph_pairs(
     )
 
 
-def simhash64(col: Column) -> Column:
+def simhash64(col: Column, base_hash=None) -> Column:
     """64-bit SimHash of the token multiset.
 
-    bit_i(fp) = sign of Σ_tokens (bit_i(xxhash64(token)) ? +1 : -1).
+    bit_i(fp) = sign of Σ_tokens (bit_i(hash(token)) ? +1 : -1).
     Bit sums are computed with one aggregate over the token-hash array per
-    bit — 64 codegen'd expressions, no UDF, no shuffle.
+    bit — 64 codegen'd expressions, no UDF, no shuffle. Default hash is
+    xxhash64; pass ``portable_hash64`` for the engine-portable (60
+    effective bits) DuckDB-checkable variant.
     """
-    hs = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    hash_fn = base_hash or F.xxhash64
+    hs = F.transform(tokens(col), lambda t: hash_fn(t))
     # bit 63 is the sign bit: 1<<63 doesn't fit a long literal; its
     # two's-complement value is min-long
     bitvals = F.array(*[
@@ -338,13 +351,16 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
+    base_hash=None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Candidates via 4×16-bit chunk banding (pigeonhole: ≤3 differing bits
     ⇒ at least one of 4 chunks identical), then exact hamming verify.
     """
-    sigs = fan_out(df).select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    sigs = fan_out(df).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col), base_hash).alias("fp")
+    )
     chunks = sigs.select(
         "id",
         "fp",
@@ -364,7 +380,7 @@ def simhash_pairs(
                & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+            hamming64(F.col("a.fp"), F.col("b.fp")).cast("bigint").alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)

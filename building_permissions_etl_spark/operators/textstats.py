@@ -122,16 +122,18 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def doc_fingerprint(df: DataFrame, text_col: str, id_col: str,
-                    window: int = 4) -> DataFrame:
-    """Winnowing-style fingerprint: rolling min over word-shingle hashes.
+                    window: int = 4, base_hash=None) -> DataFrame:
+    """Winnowing-style fingerprint: rolling min over token hashes.
 
-    fingerprint = xxhash64 of the sequence of per-window minima of the
+    fingerprint = hash of the sequence of per-window minima of the
     token-hash rolling windows — robust to small edits away from the
     minima (Schleimer et al., SIGMOD 2003 winnowing scheme, public).
-    Hash family is Spark's xxhash64 ⇒ not ANSI-SQL-expressible (driver
-    records the rows-only check).
+    Default hash family is Spark's xxhash64; the registry variant passes
+    ``portable_hash64`` so the whole winnowing pipeline is replicated and
+    value-checked in DuckDB.
     """
-    hs = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    hash_fn = base_hash or F.xxhash64
+    hs = F.transform(tokens(F.col(text_col)), lambda t: hash_fn(t))
 
     def body(hsb):
         # hsb is the let-bound materialized hash array: the rolling
@@ -145,7 +147,7 @@ def doc_fingerprint(df: DataFrame, text_col: str, id_col: str,
                 lambda i: F.array_min(F.slice(hsb, i + 1, window)),
             ),
         ).otherwise(F.array(F.array_min(hsb)))
-        return F.xxhash64(
+        return hash_fn(
             F.concat_ws(",", F.transform(mins, lambda m: m.cast("string")))
         )
 

@@ -5,12 +5,16 @@ dedup, similarity search, text analysis, multimodal plumbing over the
 Oracle policy: everything whose semantics are ANSI/DuckDB-expressible
 gets a value-checked oracle (exact dedup, n-gram Jaccard, embedding
 cosine — verified bit-exact between Spark's sequential double
-``aggregate`` and DuckDB's ``list_transform``+``list_sum``). Hash-family
-ops (MinHash, SimHash, winnowing fingerprints — xxhash64 has no DuckDB
-twin) and the LSH probe path are registered without oracles → the driver
-records rows-only checks; their semantics are pinned by unit tests
-(tests/test_dedup.py asserts recall/precision against exact Jaccard on
-planted near-duplicates).
+``aggregate`` and DuckDB's ``list_transform``+``list_sum``). The sketch
+family (MinHash-LSH, OPH, SimHash, winnowing) registers on
+``portable_hash64`` (md5-prefix — bit-identical in DuckDB), so the
+ENTIRE sketch pipeline is replicated in independent SQL by
+``plans/sketch_oracles.py`` and value-checked end-to-end — no recall
+assumption anywhere. The xxhash64 production default of those operators
+stays pinned by unit tests (tests/test_dedup.py asserts recall/precision
+against exact Jaccard on planted near-duplicates). Only genuinely
+non-replicable ops remain rows-only: HLL approx-distinct, the trained
+IVF index, and the stub media codecs.
 """
 
 from __future__ import annotations
@@ -18,10 +22,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.functions.portable import (
+    PORTABLE_HASH_SQL,
+    portable_hash64,
+)
 from building_permissions_etl_spark.operators import dedup as D
 from building_permissions_etl_spark.operators import multimodal as M
 from building_permissions_etl_spark.operators import similarity as S
 from building_permissions_etl_spark.operators import textstats as T
+from building_permissions_etl_spark.plans import sketch_oracles as SK
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 _SHINGLES3 = (
@@ -56,30 +65,35 @@ def contribute(register) -> None:
         """,
     )
 
+    # Sketch family: registry variants run on portable_hash64 so DuckDB
+    # replicates the full pipeline (sketch_oracles.py) — value-checked,
+    # no recall assumption. Production default stays xxhash64 (faster;
+    # same code path, pinned by tests/test_dedup.py).
     register(
-        "dedup_minhash_lsh",   # hash-family ⇒ rows-only driver check
+        "dedup_minhash_lsh",
         lambda spark, sf: D.minhash_lsh_pairs(
             load_table(spark, "documents", sf), "text", "doc_id",
-            k=64, bands=16, min_est_jaccard=0.5,
+            k=64, bands=16, min_est_jaccard=0.5, base_hash=portable_hash64,
         ),
-        None,
+        SK.minhash_lsh_sql(_SHINGLES3, k=64, bands=16, min_est=0.5),
     )
 
     register(
-        "dedup_minhash_oph",   # hash-family ⇒ rows-only driver check
+        "dedup_minhash_oph",
         lambda spark, sf: D.minhash_oph_pairs(
             load_table(spark, "documents", sf), "text", "doc_id",
-            k=64, bands=16, min_est_jaccard=0.5,
+            k=64, bands=16, min_est_jaccard=0.5, base_hash=portable_hash64,
         ),
-        None,
+        SK.minhash_oph_sql(_SHINGLES3, k=64, bands=16, min_est=0.5),
     )
 
     register(
-        "dedup_simhash",       # hash-family ⇒ rows-only driver check
+        "dedup_simhash",
         lambda spark, sf: D.simhash_pairs(
-            load_table(spark, "documents", sf), "text", "doc_id", max_hamming=3
+            load_table(spark, "documents", sf), "text", "doc_id",
+            max_hamming=3, base_hash=portable_hash64,
         ),
-        None,
+        SK.simhash_sql(_TOKS, max_hamming=3),
     )
 
     # Block key = lang × length-bucket: near-dups have near-equal length,
@@ -353,11 +367,12 @@ def contribute(register) -> None:
     )
 
     register(
-        "doc_fingerprint",     # xxhash64 winnowing ⇒ rows-only
+        "doc_fingerprint",
         lambda spark, sf: T.doc_fingerprint(
-            load_table(spark, "documents", sf), "text", "doc_id"
+            load_table(spark, "documents", sf), "text", "doc_id",
+            base_hash=portable_hash64,
         ).orderBy("id"),
-        None,
+        SK.fingerprint_sql(_TOKS, window=4),
     )
 
     # ---------------- multimodal plumbing -------------------------------
@@ -425,17 +440,30 @@ def _contribute_corpus(register) -> None:
     # Stratified sample: fixed fraction per language, deterministic via
     # content hash (not RNG) so the sample is reproducible across runs,
     # engines, and retries — which also makes it oracle-checkable, unlike
-    # sampleBy. At scale this is a narrow filter: no shuffle at all.
+    # sampleBy. The hash is portable_hash64 over the id, so DuckDB draws
+    # the IDENTICAL sample; thresholds are integers in [0, 10000) —
+    # no float-boundary ambiguity. At scale: a narrow filter, no shuffle.
+    fractions = {"en": 5000, "de": 2500, "fr": 2500, "es": 1000, "zh": 1000}
+
     def stratified(spark, sf):
         docs = load_table(spark, "documents", sf)
-        fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1}
-        frac = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
-        keep = (F.pmod(F.xxhash64("doc_id"), F.lit(10000)).cast("double") / 10000.0
-                < F.coalesce(frac[F.col("lang")], F.lit(0.0)))
+        thr = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+        bucket = F.pmod(portable_hash64(F.col("doc_id").cast("string")),
+                        F.lit(10000))
+        keep = bucket < F.coalesce(thr[F.col("lang")], F.lit(0))
         return docs.filter(keep).select("doc_id", "lang").orderBy("doc_id")
 
+    _bucket_sql = (PORTABLE_HASH_SQL.format(x="CAST(doc_id AS VARCHAR)")
+                   + " % 10000")
+    _thr_sql = "".join(
+        f"WHEN '{lang}' THEN {thr} " for lang, thr in sorted(fractions.items())
+    )
     register(
         "stratified_sample_by_lang",
         stratified,
-        None,   # xxhash64 has no DuckDB twin → rows-only; invariants in tests
+        f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_bucket_sql} < (CASE lang {_thr_sql}ELSE 0 END)
+        ORDER BY doc_id
+        """,
     )

@@ -1,0 +1,158 @@
+"""DuckDB oracle SQL generators for the sketch operators.
+
+Round 1 registered MinHash-LSH / OPH / SimHash / winnowing as rows-only
+checks because their base hash (xxhash64) has no DuckDB twin. These
+generators close that gap: the registry variants of the sketches run on
+``portable_hash64`` (md5-prefix, bit-identical in DuckDB), so the WHOLE
+pipeline — shingling, k affine permutations, OPH binning + rotation
+densification, band-slice candidate generation, simhash bit-folding,
+hamming verify — is replicated here in independent SQL and value-checked
+end-to-end. No recall assumption anywhere: the oracle computes the same
+algorithm, not a brute-force stand-in.
+
+Each generator takes the SAME parameters as the Spark operator and emits
+the parameter values as literals, so a drift between the two
+implementations (different permutation constants, band split, probe cap)
+shows up as a value mismatch, not silence.
+"""
+
+from __future__ import annotations
+
+from building_permissions_etl_spark.functions.portable import PORTABLE_HASH_SQL
+from building_permissions_etl_spark.operators.dedup import MERSENNE_P, _perm_params
+
+# Rotation-densification constants — must mirror operators/dedup.py.
+OPH_PROBE = 8
+OPH_MIX = 0x9E3779B1
+
+
+def _ph(x: str) -> str:
+    return PORTABLE_HASH_SQL.format(x=x)
+
+
+def _pair_tail(bands: int, r: int, k: int, min_est: float) -> str:
+    """Shared candidate-join + estimator tail over a ``sigs(doc_id, sig)``
+    CTE: a pair is a candidate iff SOME band's r-slice of the signatures
+    is equal (identical to the Spark band-hash equi-join, which only
+    hashes those slices), est = fraction of equal components."""
+    band_eq = " OR ".join(
+        f"a.sig[{b * r + 1}:{b * r + r}] = b.sig[{b * r + 1}:{b * r + r}]"
+        for b in range(bands)
+    )
+    return f"""
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 list_sum(list_transform(range(1, {k + 1}),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS neq
+          FROM sigs a JOIN sigs b
+            ON a.doc_id < b.doc_id AND ({band_eq})
+        )
+        SELECT id_a, id_b, neq / {float(k)} AS est_jaccard FROM pairs
+        WHERE neq / {float(k)} >= {min_est}
+        ORDER BY id_a, id_b
+    """
+
+
+def minhash_lsh_sql(
+    shingles_sql: str, k: int = 64, bands: int = 16, min_est: float = 0.5
+) -> str:
+    r = k // bands
+    perms = _perm_params(k)
+    sig_exprs = ",\n            ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P}))"
+        for a, b in perms
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform({shingles_sql}, s -> {_ph('s')} % {MERSENNE_P}) AS hs
+          FROM documents
+        ),
+        sigs AS (
+          SELECT doc_id, [
+            {sig_exprs}
+          ] AS sig FROM t
+        ),
+        {_pair_tail(bands, r, k, min_est)}
+    """
+
+
+def minhash_oph_sql(
+    shingles_sql: str, k: int = 64, bands: int = 16, min_est: float = 0.5
+) -> str:
+    r = k // bands
+    probes = ",\n              ".join(
+        f"bins[(i + {j}) % {k} + 1] + {j * OPH_MIX}" for j in range(OPH_PROBE)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform({shingles_sql}, s -> {_ph('s')} % {MERSENNE_P}) AS hs
+          FROM documents
+        ),
+        binned AS (
+          SELECT doc_id, hs,
+                 list_transform(range(0, {k}),
+                   b -> list_min(list_filter(hs, h -> h % {k} = b))) AS bins
+          FROM t
+        ),
+        sigs AS (
+          SELECT doc_id, list_transform(range(0, {k}), i -> coalesce(
+              {probes},
+              list_min(hs) + i * {OPH_MIX})) AS sig
+          FROM binned
+        ),
+        {_pair_tail(bands, r, k, min_est)}
+    """
+
+
+def simhash_sql(toks_sql: str, max_hamming: int = 3) -> str:
+    # two's-complement bit values: bit 63 is min-long
+    fold = "\n            + ".join(
+        "CASE WHEN coalesce(list_sum(list_transform(hs, "
+        f"h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN {(1 << i) if i < 63 else -(1 << 63)} ELSE 0 END"
+        for i in range(64)
+    )
+    chunk_eq = " OR ".join(
+        f"((a.fp >> {i * 16}) & 65535) = ((b.fp >> {i * 16}) & 65535)"
+        for i in range(4)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, list_transform({toks_sql}, tk -> {_ph('tk')}) AS hs
+          FROM documents
+        ),
+        fps AS (
+          SELECT doc_id, (
+              {fold}
+          ) AS fp FROM t
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM fps a JOIN fps b
+          ON a.doc_id < b.doc_id AND ({chunk_eq})
+        WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+def fingerprint_sql(toks_sql: str, window: int = 4) -> str:
+    mins_str = ("array_to_string(list_transform(mins, "
+                "m -> CAST(m AS VARCHAR)), ',')")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, list_transform({toks_sql}, tk -> {_ph('tk')}) AS hs
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) >= {window} THEN
+                   list_transform(range(0, len(hs) - {window} + 1),
+                     i -> list_min(hs[i + 1 : i + {window}]))
+                 ELSE [list_min(hs)] END AS mins
+          FROM t
+        )
+        SELECT doc_id AS id, {_ph(mins_str)} AS fingerprint
+        FROM m ORDER BY id
+    """

@@ -12,20 +12,17 @@ def test_oracle_keys_subset_of_queries():
 
 def test_rows_only_set_is_exactly_the_documented_one():
     """Every query without an oracle must be one whose semantics are
-    genuinely not ANSI-expressible (hash families, trained indexes,
-    stub codecs, sampling, streaming internals) — additions to this set
-    need the same justification."""
+    genuinely not ANSI-expressible (HLL sketch state, trained index,
+    stub media codecs) — additions to this set need the same
+    justification. The sketch family (minhash/oph/simhash/winnowing/
+    stratified-sample) is value-checked via portable_hash64 +
+    plans/sketch_oracles.py since round 2."""
     rows_only = set(queries()) - set(oracle_sql())
     assert rows_only == {
         "approx_count_distinct_dates",
-        "dedup_minhash_lsh",
-        "dedup_minhash_oph",
-        "dedup_simhash",
-        "doc_fingerprint",
         "multimodal_features",
         "multimodal_frame_sample",
         "multimodal_resize",
         "similarity_topk_lsh",
         "similarity_topk_ivf",
-        "stratified_sample_by_lang",
     }
