@@ -24,6 +24,14 @@ Three paths:
 
 The first two are pure Column expressions (zip_with/aggregate) — no UDF;
 IVF's assignment is the legitimate Pandas-UDF case (dense linear algebra).
+
+Index lifecycle: ``build_ivf_index`` / ``build_lsh_index`` run the
+expensive one-off work (centroid training + full-corpus assignment /
+bucketing) and persist the result; ``query_ivf`` / ``query_lsh`` only
+probe the persisted index — no training action, no UDF stage, no
+full-corpus rescan per query (plan-asserted in tests/test_similarity.py).
+``topk_ivf`` / ``topk_lsh`` remain as build+query conveniences for
+one-shot use.
 """
 
 from __future__ import annotations
@@ -148,6 +156,71 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids) -> DataFrame:
     return fan_out(df).withColumn("__cell", cell_of(F.col(vec_col)))
 
 
+class IvfIndex:
+    """Handle to a built IVF index: the assigned+persisted corpus and the
+    trained centroids. Build once, query many times."""
+
+    def __init__(self, indexed: DataFrame, centroids, vec_col: str, id_col: str):
+        self.indexed = indexed
+        self.centroids = centroids
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def unpersist(self) -> None:
+        self.indexed.unpersist()
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    sample_size: int = 1024,
+) -> IvfIndex:
+    """One-off IVF index build: train centroids on the bounded sample,
+    assign every vector to its cell (the single pandas-UDF pass), persist.
+    At 100 TB the persisted form is a table partitioned/clustered by
+    ``__cell``; here ``persist()`` stands in for that materialization."""
+    centroids = _train_centroids(df, vec_col, id_col, n_cells, sample_size)
+    indexed = ivf_assign(df, vec_col, centroids).persist()
+    indexed.count()  # materialize now so queries never re-run the UDF
+    return IvfIndex(indexed, centroids, vec_col, id_col)
+
+
+def query_ivf(
+    index: IvfIndex,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Probe-only IVF query: ``n_probe`` nearest cells of the PERSISTED
+    index, exact cosine rerank inside them. No training, no UDF stage —
+    the only driver action is the bounded lookup of the query row."""
+    qrow = (
+        index.indexed.filter(F.col(index.id_col) == query_id)
+        .select(index.vec_col).first()
+    )
+    q = np.asarray(qrow[0], dtype=np.float32)
+    cn = index.centroids / np.maximum(
+        np.linalg.norm(index.centroids, axis=1, keepdims=True), 1e-12
+    )
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
+
+    qv = F.array(*[F.lit(float(v)) for v in q])
+    return (
+        index.indexed.filter(F.col("__cell").isin(probe))
+        .filter(F.col(index.id_col) != query_id)
+        .select(
+            F.col(index.id_col).alias("id"),
+            F.round(cosine(F.col(index.vec_col), qv), round_to).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )
+
+
 def topk_ivf(
     df: DataFrame,
     vec_col: str,
@@ -159,24 +232,58 @@ def topk_ivf(
     sample_size: int = 1024,
     round_to: int = 6,
 ) -> DataFrame:
-    """Approximate top-k via IVF: probe the query's ``n_probe`` nearest
-    cells, exact cosine rerank inside them only."""
-    centroids = _train_centroids(df, vec_col, id_col, n_cells, sample_size)
-    indexed = ivf_assign(df, vec_col, centroids)
+    """One-shot convenience: build + single query. Amortized use (and the
+    registry) goes through ``build_ivf_index`` + ``query_ivf``."""
+    index = build_ivf_index(df, vec_col, id_col, n_cells, sample_size)
+    return query_ivf(index, query_id, k, n_probe, round_to)
 
-    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).first()
-    q = np.asarray(qrow[0], dtype=np.float32)
-    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-    qn = q / max(float(np.linalg.norm(q)), 1e-12)
-    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
 
-    qv = F.array(*[F.lit(float(v)) for v in q])
+def build_lsh_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """One-off LSH index build: sign-bit bucket per vector from the
+    deterministic hyperplane literals, persisted. At 100 TB ``__bucket``
+    is the partition/cluster key of the materialized table, so a query
+    scans ~2^-r of the corpus; ``persist()`` stands in for that here."""
+    planes = _hyperplanes(n_planes, dim, seed)
+    indexed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes)).persist()
+    indexed.count()  # materialize now so queries never re-bucket the corpus
+    return indexed
+
+
+def query_lsh(
+    indexed: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id: int,
+    k: int = 10,
+    hamming_probe: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Probe-only LSH query over a built index: candidates from the
+    query's bucket plus buckets within ``hamming_probe`` bit flips
+    (multi-probe), exact cosine rerank of candidates only. No bucketing
+    recomputation — reads the persisted ``__bucket``."""
+    q = indexed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"), F.col("__bucket").alias("__qb")
+    )
+    cand = indexed.crossJoin(F.broadcast(q)).filter(F.col(id_col) != query_id)
+    if hamming_probe > 0:
+        cand = cand.filter(
+            F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qb")).cast("long"))
+            <= hamming_probe
+        )
+    else:
+        cand = cand.filter(F.col("__bucket") == F.col("__qb"))
     return (
-        indexed.filter(F.col("__cell").isin(probe))
-        .filter(F.col(id_col) != query_id)
-        .select(
+        cand.select(
             F.col(id_col).alias("id"),
-            F.round(cosine(F.col(vec_col), qv), round_to).alias("score"),
+            F.round(cosine(F.col(vec_col), F.col("__qv")), round_to).alias("score"),
         )
         .orderBy(F.desc("score"), F.col("id"))
         .limit(k)
@@ -194,28 +301,9 @@ def topk_lsh(
     hamming_probe: int = 1,
     round_to: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: candidates from the query's LSH bucket and all
-    buckets within ``hamming_probe`` bit flips (multi-probe), then exact
-    cosine rerank of the candidates only.
-    """
+    """One-shot convenience: bucket + single query without persisting.
+    Amortized use (and the registry) goes through ``build_lsh_index`` +
+    ``query_lsh``."""
     planes = _hyperplanes(n_planes, dim)
     with_bucket = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
-    q = with_bucket.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__qv"), F.col("__bucket").alias("__qb")
-    )
-    cand = with_bucket.crossJoin(F.broadcast(q)).filter(F.col(id_col) != query_id)
-    if hamming_probe > 0:
-        cand = cand.filter(
-            F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qb")).cast("long"))
-            <= hamming_probe
-        )
-    else:
-        cand = cand.filter(F.col("__bucket") == F.col("__qb"))
-    return (
-        cand.select(
-            F.col(id_col).alias("id"),
-            F.round(cosine(F.col(vec_col), F.col("__qv")), round_to).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.col("id"))
-        .limit(k)
-    )
+    return query_lsh(with_bucket, vec_col, id_col, query_id, k, hamming_probe, round_to)

@@ -49,6 +49,32 @@ def _cos(a: str, b: str) -> str:
             f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))")
 
 
+# Session-scoped ANN index cache: the expensive build (centroid training,
+# full-corpus assignment/bucketing, persist) runs once per (session, sf);
+# every subsequent registered-query call is probe-only.
+_ANN_CACHE: dict = {}
+
+
+def _ivf_index(spark, sf):
+    key = ("ivf", spark.sparkContext.applicationId, sf)
+    if key not in _ANN_CACHE:
+        _ANN_CACHE[key] = S.build_ivf_index(
+            load_table(spark, "embeddings", sf), "embedding", "vec_id",
+            n_cells=16, sample_size=1024,
+        )
+    return _ANN_CACHE[key]
+
+
+def _lsh_index(spark, sf):
+    key = ("lsh", spark.sparkContext.applicationId, sf)
+    if key not in _ANN_CACHE:
+        _ANN_CACHE[key] = S.build_lsh_index(
+            load_table(spark, "embeddings", sf), "embedding", "vec_id",
+            n_planes=8, dim=64,
+        )
+    return _ANN_CACHE[key]
+
+
 def contribute(register) -> None:
     # ---------------- dedup family ------------------------------------
     register(
@@ -251,20 +277,25 @@ def contribute(register) -> None:
         """,
     )
 
+    # ANN indexes are built ONCE per (session, sf) and cached; the
+    # registered queries only probe the persisted index — no training
+    # action, no UDF stage, no corpus re-bucketing per call
+    # (plan-asserted in tests/test_similarity.py).
     register(
-        "similarity_topk_lsh",   # plan-literal hyperplanes ⇒ rows-only
-        lambda spark, sf: S.topk_lsh(
-            load_table(spark, "embeddings", sf), "embedding", "vec_id",
-            query_id=0, k=10, n_planes=8, hamming_probe=2,
+        "similarity_topk_lsh",
+        lambda spark, sf: S.query_lsh(
+            _lsh_index(spark, sf), "embedding", "vec_id",
+            query_id=0, k=10, hamming_probe=2,
         ),
-        None,
+        SK.lsh_topk_sql(
+            S._hyperplanes(8, 64), query_id=0, k=10, hamming_probe=2, dim=64
+        ),
     )
 
     register(
         "similarity_topk_ivf",   # trained index ⇒ rows-only
-        lambda spark, sf: S.topk_ivf(
-            load_table(spark, "embeddings", sf), "embedding", "vec_id",
-            query_id=0, k=10, n_cells=16, n_probe=4,
+        lambda spark, sf: S.query_ivf(
+            _ivf_index(spark, sf), query_id=0, k=10, n_probe=4
         ),
         None,
     )

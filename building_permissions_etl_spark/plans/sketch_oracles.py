@@ -137,6 +137,53 @@ def simhash_sql(toks_sql: str, max_hamming: int = 3) -> str:
     """
 
 
+def lsh_topk_sql(
+    planes: list[list[float]],
+    query_id: int = 0,
+    k: int = 10,
+    hamming_probe: int = 1,
+    dim: int = 64,
+) -> str:
+    """DuckDB replica of ``build_lsh_index`` + ``query_lsh``: the
+    hyperplanes are plan literals (deterministic LCG + Box-Muller), so
+    the oracle recomputes the same sign-bit buckets, multi-probes within
+    the hamming radius, and exact-reranks — value-checking the whole LSH
+    path. Float literals are emitted via repr (round-trip exact); the dot
+    product mirrors Spark's sequential double fold, verified bit-exact
+    for the cosine oracles in round 1."""
+    def dot_plane(p: list[float]) -> str:
+        lits = "[" + ", ".join(repr(float(c)) for c in p) + "]"
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"j -> CAST(embedding[j] AS DOUBLE) * ({lits})[j]))")
+
+    bucket = "\n            + ".join(
+        f"CASE WHEN {dot_plane(p)} > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    dot_q = (f"list_sum(list_transform(range(1, {dim + 1}), "
+             "j -> CAST(embedding[j] AS DOUBLE) * CAST(qv[j] AS DOUBLE)))")
+    nrm = ("sqrt(list_sum(list_transform(range(1, {d} + 1), "
+           "j -> CAST({v}[j] AS DOUBLE) * CAST({v}[j] AS DOUBLE))))")
+    cos = (f"({dot_q}) / ({nrm.format(v='embedding', d=dim)} * "
+           f"{nrm.format(v='qv', d=dim)})")
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, (
+            {bucket}
+          ) AS bucket FROM embeddings
+        ),
+        q AS (
+          SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = {query_id}
+        )
+        SELECT vec_id AS id, round({cos}, 6) AS score
+        FROM b, q
+        WHERE vec_id <> {query_id}
+          AND bit_count(xor(CAST(bucket AS BIGINT), CAST(qb AS BIGINT)))
+              <= {hamming_probe}
+        ORDER BY score DESC, id LIMIT {k}
+    """
+
+
 def fingerprint_sql(toks_sql: str, window: int = 4) -> str:
     mins_str = ("array_to_string(list_transform(mins, "
                 "m -> CAST(m AS VARCHAR)), ',')")

@@ -23,6 +23,5 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "multimodal_features",
         "multimodal_frame_sample",
         "multimodal_resize",
-        "similarity_topk_lsh",
         "similarity_topk_ivf",
     }

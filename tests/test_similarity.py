@@ -87,6 +87,49 @@ def test_topk_ivf_deterministic(spark):
     assert a == b
 
 
+def test_ivf_query_path_has_no_udf_stage(spark):
+    """After build_ivf_index, the query plan must read the persisted
+    index (InMemoryTableScan) and contain NO Python-UDF stage — the
+    assignment UDF runs only at build time."""
+    from building_permissions_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", SF)
+    idx = S.build_ivf_index(emb, "embedding", "vec_id", n_cells=8, sample_size=256)
+    try:
+        q = S.query_ivf(idx, query_id=0, k=5, n_probe=2)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        # the LIVE plan (everything above the cached relation) must have
+        # no Python-UDF stage; the EvalPython inside InMemoryRelation is
+        # just the cached lineage printout, already materialized at build
+        live = plan.split("InMemoryRelation")[0]
+        assert "EvalPython" not in live          # Batch/ArrowEvalPython
+        assert len(q.collect()) == 5
+        # second query reuses the same persisted index: still no UDF
+        q2 = S.query_ivf(idx, query_id=1, k=5, n_probe=2)
+        live2 = (q2._jdf.queryExecution().executedPlan().toString()
+                 .split("InMemoryRelation")[0])
+        assert "EvalPython" not in live2
+    finally:
+        idx.unpersist()
+
+
+def test_lsh_query_path_reads_persisted_buckets(spark):
+    """query_lsh over a built index must not recompute buckets: the plan
+    reads the cached __bucket column instead of re-deriving it."""
+    from building_permissions_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", SF)
+    idx = S.build_lsh_index(emb, "embedding", "vec_id", n_planes=8, dim=64)
+    try:
+        q = S.query_lsh(idx, "embedding", "vec_id", query_id=0, k=5, hamming_probe=2)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert len(q.collect()) == 5
+    finally:
+        idx.unpersist()
+
+
 def test_stratified_sample_deterministic_and_proportional(spark):
     from building_permissions_etl_spark.plans.registry import queries
 
