@@ -67,6 +67,29 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+# Hot-bucket safety valve for the banded self-joins: a boilerplate-heavy
+# corpus can put millions of documents into one band bucket, and the
+# within-bucket pairing is quadratic in the bucket size. Buckets larger
+# than this are dropped BEFORE the self-join. A document in an over-cap
+# bucket loses only that one band — its other bands still generate
+# candidates — and a bucket this hot is near-always an exact-duplicate
+# flood, which the exact-dedup-first pipeline stage removes anyway
+# (SCALE.md §10). The count adds one shuffle on the SAME key as the
+# subsequent join, so it co-partitions with work we already do.
+DEFAULT_MAX_BUCKET = 1000
+
+
+def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    if not max_bucket:
+        return banded
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the lowest-id row per identical text.
 
@@ -146,6 +169,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     min_est_jaccard: float = 0.5,
     base_hash=None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -153,8 +177,9 @@ def minhash_lsh_pairs(
     pairs within buckets → dedup pairs → estimate Jaccard as the fraction
     of equal minhash components. Returns (id_a, id_b, est_jaccard) with
     id_a < id_b. The join key is (band index, 64-bit band hash): fixed
-    width regardless of document size — this is the property that holds
-    at 100 TB.
+    width regardless of document size, and buckets above ``max_bucket``
+    are dropped before pairing (see ``DEFAULT_MAX_BUCKET``) — together
+    these are the properties that hold at 100 TB.
     """
     r = k // bands
     df = fan_out(df)  # signature computation is the per-row hot loop
@@ -175,6 +200,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", "sig", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -210,6 +236,7 @@ def minhash_oph_pairs(
     shingle_n: int = 3,
     min_est_jaccard: float = 0.5,
     base_hash=None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """One-permutation-hashing near-dup pairs — the shuffle-based twin of
     ``minhash_lsh_pairs`` (Li, Owen & Zhang, NIPS 2012).
@@ -278,6 +305,7 @@ def minhash_oph_pairs(
             )
         ).alias("bs"),
     ).select("id", "sig", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
@@ -352,11 +380,14 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     base_hash=None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Candidates via 4×16-bit chunk banding (pigeonhole: ≤3 differing bits
     ⇒ at least one of 4 chunks identical), then exact hamming verify.
+    Chunk buckets above ``max_bucket`` are dropped before pairing (see
+    ``DEFAULT_MAX_BUCKET``).
     """
     sigs = fan_out(df).select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col), base_hash).alias("fp")
@@ -374,6 +405,7 @@ def simhash_pairs(
             ])
         ).alias("c"),
     ).select("id", "fp", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    chunks = _cap_buckets(chunks, ["chunk", "cv"], max_bucket)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
@@ -454,6 +486,14 @@ def connected_components(
 
     Only ids that appear in ``pairs`` are returned — singleton documents
     never enter the pair graph and survive dedup by construction.
+
+    Memory discipline: each round fully materializes the new labels
+    (count), then unpersists the superseded generation — at most the
+    edge list plus ONE labels generation stay cached at any time (the
+    round-1 form leaked up to ``max_iters`` cached frames). Every 5
+    rounds the labels are localCheckpoint'ed so the join lineage cannot
+    grow unboundedly (recompute-from-scratch on executor loss would be
+    O(rounds²) otherwise). The edge cache is released before returning.
     """
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -464,28 +504,44 @@ def connected_components(
         sym.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
     )
-    for _ in range(max_iters):
-        nbr_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src").agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+    prev_cached = None
+    try:
+        for i in range(max_iters):
+            nbr_min = (
+                sym.join(labels, sym.dst == labels.id)
+                .groupBy("src").agg(F.min("label").alias("nbr_label"))
             )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            new_labels = (
+                labels.join(nbr_min, labels.id == nbr_min.src, "left")
+                .select(
+                    "id",
+                    F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                )
+                .cache()
+            )
+            # materialize ALL partitions before dropping the parent —
+            # the limit(1) change-probe alone may leave partitions
+            # uncomputed, and those would recompute through the
+            # unpersisted lineage
+            new_labels.count()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1).count()
+            )
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = new_labels
+            labels = new_labels
+            if changed == 0:
+                break
+            if (i + 1) % 5 == 0:
+                labels = labels.localCheckpoint(eager=True)
+                prev_cached.unpersist()
+                prev_cached = None
+    finally:
+        sym.unpersist()
     return labels
 
 

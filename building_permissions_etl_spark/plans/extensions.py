@@ -100,8 +100,10 @@ def contribute(register) -> None:
         lambda spark, sf: D.minhash_lsh_pairs(
             load_table(spark, "documents", sf), "text", "doc_id",
             k=64, bands=16, min_est_jaccard=0.5, base_hash=portable_hash64,
+            max_bucket=D.DEFAULT_MAX_BUCKET,
         ),
-        SK.minhash_lsh_sql(_SHINGLES3, k=64, bands=16, min_est=0.5),
+        SK.minhash_lsh_sql(_SHINGLES3, k=64, bands=16, min_est=0.5,
+                           max_bucket=D.DEFAULT_MAX_BUCKET),
     )
 
     register(
@@ -109,8 +111,10 @@ def contribute(register) -> None:
         lambda spark, sf: D.minhash_oph_pairs(
             load_table(spark, "documents", sf), "text", "doc_id",
             k=64, bands=16, min_est_jaccard=0.5, base_hash=portable_hash64,
+            max_bucket=D.DEFAULT_MAX_BUCKET,
         ),
-        SK.minhash_oph_sql(_SHINGLES3, k=64, bands=16, min_est=0.5),
+        SK.minhash_oph_sql(_SHINGLES3, k=64, bands=16, min_est=0.5,
+                           max_bucket=D.DEFAULT_MAX_BUCKET),
     )
 
     register(
@@ -118,8 +122,9 @@ def contribute(register) -> None:
         lambda spark, sf: D.simhash_pairs(
             load_table(spark, "documents", sf), "text", "doc_id",
             max_hamming=3, base_hash=portable_hash64,
+            max_bucket=D.DEFAULT_MAX_BUCKET,
         ),
-        SK.simhash_sql(_TOKS, max_hamming=3),
+        SK.simhash_sql(_TOKS, max_hamming=3, max_bucket=D.DEFAULT_MAX_BUCKET),
     )
 
     # Block key = lang × length-bucket: near-dups have near-equal length,

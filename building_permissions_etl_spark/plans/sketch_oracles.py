@@ -30,31 +30,52 @@ def _ph(x: str) -> str:
     return PORTABLE_HASH_SQL.format(x=x)
 
 
-def _pair_tail(bands: int, r: int, k: int, min_est: float) -> str:
-    """Shared candidate-join + estimator tail over a ``sigs(doc_id, sig)``
-    CTE: a pair is a candidate iff SOME band's r-slice of the signatures
-    is equal (identical to the Spark band-hash equi-join, which only
-    hashes those slices), est = fraction of equal components."""
-    band_eq = " OR ".join(
-        f"a.sig[{b * r + 1}:{b * r + r}] = b.sig[{b * r + 1}:{b * r + r}]"
+def _pair_tail(
+    bands: int, r: int, k: int, min_est: float, max_bucket: int | None
+) -> str:
+    """Shared banding + candidate-join + estimator tail over a
+    ``sigs(doc_id, sig)`` CTE: each band's r-slice (as a string key)
+    buckets the corpus; buckets above ``max_bucket`` are dropped exactly
+    as in the Spark operator; pairs come from the within-bucket
+    equi-join; est = fraction of equal components. The string band key
+    and Spark's 64-bit band hash induce the same equivalence classes."""
+    banded_selects = "\n          UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band, "
+        f"CAST(sig[{b * r + 1}:{b * r + r}] AS VARCHAR) AS key FROM sigs"
         for b in range(bands)
     )
+    cap = f"WHERE bsz <= {max_bucket}" if max_bucket else ""
     return f"""
+        banded AS (
+          {banded_selects}
+        ),
+        capped AS (
+          SELECT doc_id, sig, band, key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
+            FROM banded
+          ) {cap}
+        ),
         pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.sig AS sig_a, b.sig AS sig_b
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+          SELECT id_a, id_b,
                  list_sum(list_transform(range(1, {k + 1}),
-                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS neq
-          FROM sigs a JOIN sigs b
-            ON a.doc_id < b.doc_id AND ({band_eq})
+                   i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS neq
+          FROM pairs
         )
-        SELECT id_a, id_b, neq / {float(k)} AS est_jaccard FROM pairs
+        SELECT id_a, id_b, neq / {float(k)} AS est_jaccard FROM scored
         WHERE neq / {float(k)} >= {min_est}
         ORDER BY id_a, id_b
     """
 
 
 def minhash_lsh_sql(
-    shingles_sql: str, k: int = 64, bands: int = 16, min_est: float = 0.5
+    shingles_sql: str, k: int = 64, bands: int = 16, min_est: float = 0.5,
+    max_bucket: int | None = 1000,
 ) -> str:
     r = k // bands
     perms = _perm_params(k)
@@ -73,12 +94,13 @@ def minhash_lsh_sql(
             {sig_exprs}
           ] AS sig FROM t
         ),
-        {_pair_tail(bands, r, k, min_est)}
+        {_pair_tail(bands, r, k, min_est, max_bucket)}
     """
 
 
 def minhash_oph_sql(
-    shingles_sql: str, k: int = 64, bands: int = 16, min_est: float = 0.5
+    shingles_sql: str, k: int = 64, bands: int = 16, min_est: float = 0.5,
+    max_bucket: int | None = 1000,
 ) -> str:
     r = k // bands
     probes = ",\n              ".join(
@@ -102,11 +124,13 @@ def minhash_oph_sql(
               list_min(hs) + i * {OPH_MIX})) AS sig
           FROM binned
         ),
-        {_pair_tail(bands, r, k, min_est)}
+        {_pair_tail(bands, r, k, min_est, max_bucket)}
     """
 
 
-def simhash_sql(toks_sql: str, max_hamming: int = 3) -> str:
+def simhash_sql(
+    toks_sql: str, max_hamming: int = 3, max_bucket: int | None = 1000
+) -> str:
     # two's-complement bit values: bit 63 is min-long
     fold = "\n            + ".join(
         "CASE WHEN coalesce(list_sum(list_transform(hs, "
@@ -114,10 +138,11 @@ def simhash_sql(toks_sql: str, max_hamming: int = 3) -> str:
         f"THEN {(1 << i) if i < 63 else -(1 << 63)} ELSE 0 END"
         for i in range(64)
     )
-    chunk_eq = " OR ".join(
-        f"((a.fp >> {i * 16}) & 65535) = ((b.fp >> {i * 16}) & 65535)"
+    chunk_selects = "\n          UNION ALL ".join(
+        f"SELECT doc_id, fp, {i} AS chunk, (fp >> {i * 16}) & 65535 AS cv FROM fps"
         for i in range(4)
     )
+    cap = f"WHERE bsz <= {max_bucket}" if max_bucket else ""
     return f"""
         WITH t AS (
           SELECT doc_id, list_transform({toks_sql}, tk -> {_ph('tk')}) AS hs
@@ -127,11 +152,20 @@ def simhash_sql(toks_sql: str, max_hamming: int = 3) -> str:
           SELECT doc_id, (
               {fold}
           ) AS fp FROM t
+        ),
+        chunks AS (
+          {chunk_selects}
+        ),
+        capped AS (
+          SELECT doc_id, fp, chunk, cv FROM (
+            SELECT *, count(*) OVER (PARTITION BY chunk, cv) AS bsz
+            FROM chunks
+          ) {cap}
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-        FROM fps a JOIN fps b
-          ON a.doc_id < b.doc_id AND ({chunk_eq})
+        FROM capped a JOIN capped b
+          ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
         ORDER BY id_a, id_b
     """

@@ -84,6 +84,22 @@ def main() -> None:
     )
     timed("ngram_jaccard_after_exact_dedup",
           D.ngram_jaccard_pairs(surv, "text", "doc_id", "block"))
+
+    # hot-bucket probe: the N× corpus is a planted boilerplate flood
+    # (every doc has N-1 identical twins → every band bucket is ≥ N
+    # deep). The cap drops flooded buckets BEFORE the self-join, so the
+    # candidate-pair count and runtime stay bounded while the uncapped
+    # form grows quadratically in N.
+    t0 = time.time()
+    n_unc = D.minhash_lsh_pairs(docs, "text", "doc_id", 64, 16,
+                                max_bucket=None).count()
+    t_unc = time.time() - t0
+    t0 = time.time()
+    n_cap = D.minhash_lsh_pairs(docs, "text", "doc_id", 64, 16,
+                                max_bucket=max(4, n // 2)).count()
+    t_cap = time.time() - t0
+    print(f"hot_bucket_cap: uncapped={n_unc} pairs {t_unc:.2f} s, "
+          f"capped={n_cap} pairs {t_cap:.2f} s")
     shutil.rmtree(out, ignore_errors=True)
 
 

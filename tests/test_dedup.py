@@ -162,3 +162,72 @@ def test_minhash_oph_deterministic_and_no_self_match_on_short_docs(spark):
     again = {(r["id_a"], r["id_b"]) for r in minhash_oph_pairs(
         short, "text", "doc_id", min_est_jaccard=0.5).collect()}
     assert got == again
+
+
+def test_connected_components_releases_caches(spark):
+    """At most the edge list + one labels generation stay cached during
+    the label-propagation loop, and the edge cache is dropped on return.
+    Short graph (no checkpoint rounds): net persisted-RDD growth is <= 1
+    (the returned labels). Long graph: growth is bounded by the returned
+    labels plus one checkpoint residue per 5 rounds — NOT one cache per
+    round as in the round-1 form."""
+    from building_permissions_etl_spark.operators.dedup import connected_components
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    # 4-node path: converges within 5 rounds, no checkpoint residue
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(3)], "id_a long, id_b long"
+    )
+    before = jsc.getPersistentRDDs().size()
+    labels = connected_components(edges, max_iters=20)
+    assert jsc.getPersistentRDDs().size() - before <= 1
+    assert {(r.id, r.label) for r in labels.collect()} == {(i, 0) for i in range(4)}
+    labels.unpersist()
+
+    # 12-node path (diameter 11, ~12 rounds): labels + <= 2 checkpoints,
+    # far below the 12+ frames the leaky form would retain
+    edges12 = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    before = jsc.getPersistentRDDs().size()
+    labels12 = connected_components(edges12, max_iters=20)
+    assert jsc.getPersistentRDDs().size() - before <= 3
+    assert {(r.id, r.label) for r in labels12.collect()} == {(i, 0) for i in range(12)}
+    labels12.unpersist()
+
+
+def test_hot_bucket_cap_bounds_boilerplate_flood(spark):
+    """A planted boilerplate flood (60 identical docs) would generate
+    ~1.8k within-bucket pairs; with the cap active those buckets are
+    dropped BEFORE the self-join, real near-dups elsewhere survive, and
+    the DuckDB oracle (which replicates the cap) agrees exactly."""
+    import duckdb
+    import pandas as pd
+    from building_permissions_etl_spark.functions.portable import portable_hash64
+    from building_permissions_etl_spark.operators.dedup import minhash_lsh_pairs
+    from building_permissions_etl_spark.plans.extensions import _SHINGLES3
+    from building_permissions_etl_spark.plans.sketch_oracles import minhash_lsh_sql
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    near_a = "the quick brown fox jumps over the lazy dog in the misty park"
+    near_b = "the quick brown fox jumps over the lazy dog in the misty yard"
+    rows = [(i, boiler) for i in range(60)]
+    rows += [(100, near_a), (101, near_b), (102, "completely unrelated text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(df, "text", "doc_id", base_hash=portable_hash64,
+                                 max_bucket=None).collect()
+    capped = minhash_lsh_pairs(df, "text", "doc_id", base_hash=portable_hash64,
+                               max_bucket=8).collect()
+    assert len(uncapped) >= 60 * 59 // 2          # the quadratic flood
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in got                      # real near-dup survives
+    assert all(a >= 100 for a, _ in got)          # flood suppressed
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = con.execute(minhash_lsh_sql(_SHINGLES3, max_bucket=8)).fetchall()
+    s = sorted((r.id_a, r.id_b, round(r.est_jaccard, 6)) for r in capped)
+    d = sorted((a, b, round(e, 6)) for a, b, e in oracle)
+    assert s == d
