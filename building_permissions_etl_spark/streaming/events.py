@@ -134,8 +134,17 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) 
 def _sessionize_fn(key, pdfs, state: GroupState):
     """Stateful per-user session accumulator (applyInPandasWithState).
 
-    State = (start_us, end_us, n, total) of the OPEN session. Emits a
-    session when a gap closes it or event-time timeout fires. Self-
+    State = (start_us, end_us, n, total, next_sid) — the OPEN session plus
+    a MONOTONIC per-user session counter. Sessions close in event-time
+    order per user, so the emitted ids reproduce ``sessionize_batch``'s
+    1-based running numbering across micro-batches (round-1 form emitted
+    a per-batch enumerate that repeated ids between batches). A session
+    is emitted when a gap closes it or the event-time timeout fires; the
+    timeout emission carries the stored counter, then the state keeps
+    only the advanced counter (a 5-number stub, no timeout re-armed) so a
+    user who returns later continues the numbering — bounded by live
+    users; pipelines that prefer strict state reclamation over numbering
+    continuity can drop the stub and accept a per-user restart. Self-
     contained closure: executor workers may not have this package on
     sys.path (driver-side module refs would break cloudpickle).
     """
@@ -150,36 +159,44 @@ def _sessionize_fn(key, pdfs, state: GroupState):
         return _dt.datetime.fromtimestamp(u / 1_000_000, _dt.timezone.utc).replace(tzinfo=None)
 
     (user_id,) = key
+    cols = ["user_id", "session_id", "session_start", "session_end",
+            "n_events", "total_value"]
     if state.hasTimedOut:
-        start, end, n, total = state.get
-        state.remove()
+        start, end, n, total, sid = state.get
+        if start is None:          # counter stub: nothing open to emit
+            state.remove()
+            return
+        state.update((None, None, 0, 0.0, sid + 1))
         yield pd.DataFrame(
-            [[user_id, 0, ts(start), ts(end), n, round(total, 6)]],
-            columns=["user_id", "session_id", "session_start", "session_end",
-                     "n_events", "total_value"],
+            [[user_id, sid, ts(start), ts(end), n, round(total, 6)]],
+            columns=cols,
         )
         return
 
+    if state.exists:
+        start, end, n, total, sid = state.get
+        cur = None if start is None else [start, end, n, total]
+    else:
+        cur, sid = None, 1
     rows = pd.concat(list(pdfs)).sort_values("ts")
-    cur = list(state.get) if state.exists else None
     out = []
     for t, v in zip(rows["ts"], rows["value"]):
         t_us = us(t.to_pydatetime())
         if cur is None:
             cur = [t_us, t_us, 0, 0.0]
         elif t_us - cur[1] > GAP_US:
-            out.append(cur)
+            out.append((sid, cur))
+            sid += 1
             cur = [t_us, t_us, 0, 0.0]
         cur[1] = max(cur[1], t_us)
         cur[2] += 1
         cur[3] += float(v)
-    state.update(tuple(cur))
+    state.update((cur[0], cur[1], cur[2], cur[3], sid))
     state.setTimeoutTimestamp(cur[1] // 1000 + GAP_US // 1000)
     if out:
         yield pd.DataFrame(
-            [[user_id, i, ts(s[0]), ts(s[1]), s[2], round(s[3], 6)] for i, s in enumerate(out)],
-            columns=["user_id", "session_id", "session_start", "session_end",
-                     "n_events", "total_value"],
+            [[user_id, s, ts(c[0]), ts(c[1]), c[2], round(c[3], 6)] for s, c in out],
+            columns=cols,
         )
 
 
@@ -188,6 +205,7 @@ _SESSION_STATE_SCHEMA = StructType([
     StructField("end_us", LongType()),
     StructField("n", LongType()),
     StructField("total", DoubleType()),
+    StructField("next_sid", LongType()),
 ])
 
 

@@ -102,6 +102,65 @@ def test_stateful_sessionization_emits_closed_sessions(spark, micro_batches):
     batch_keys = _rows(batch, ["user_id", "session_start", "session_end", "n_events"])
     assert len(got_keys) > 0
     assert set(got_keys) <= set(batch_keys)
+    # ids must reproduce the batch 1-based numbering, not restart per batch
+    cols = ["user_id", "session_id", "session_start", "session_end", "n_events"]
+    assert set(_rows(got, cols)) <= set(_rows(batch, cols))
+
+
+def test_sessionize_counter_is_monotonic_across_batches():
+    """Drive _sessionize_fn directly through two micro-batches and a
+    timeout: session ids continue 1, 2, 3, ... instead of re-enumerating
+    from 0 each batch (the round-1 defect)."""
+    import pandas as pd
+
+    from building_permissions_etl_spark.streaming.events import _sessionize_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.hasTimedOut = None, False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    def batch(times):
+        return [pd.DataFrame({
+            "ts": [pd.Timestamp(t) for t in times],
+            "value": [1.0] * len(times),
+        })]
+
+    st = FakeState()
+    h = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = dt.timedelta(hours=2)
+    # batch 1: two closed sessions + one open
+    out1 = pd.concat(list(_sessionize_fn(
+        (7,), batch([h, h + gap, h + 2 * gap]), st)))
+    assert list(out1["session_id"]) == [1, 2]
+    # batch 2: closes the open session, opens another
+    out2 = pd.concat(list(_sessionize_fn(
+        (7,), batch([h + 4 * gap, h + 6 * gap]), st)))
+    assert list(out2["session_id"]) == [3, 4]
+    # timeout: emits the open session with the NEXT id, keeps the counter
+    st.hasTimedOut = True
+    out3 = pd.concat(list(_sessionize_fn((7,), iter(()), st)))
+    assert list(out3["session_id"]) == [5]
+    st.hasTimedOut = False
+    out4 = pd.concat(list(_sessionize_fn(
+        (7,), batch([h + 20 * gap, h + 22 * gap]), st)))
+    assert list(out4["session_id"]) == [6]
 
 
 def test_stream_rejects_missing_path(spark):
