@@ -108,7 +108,45 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }))
+    _diff_vs_previous_round(timings)
     spark.stop()
+
+
+def _diff_vs_previous_round(timings: dict[str, float]) -> None:
+    """Round-over-round tracking: compare per-query against the newest
+    BENCH_r{N}.json the driver recorded and flag >1.5x changes — to
+    STDERR, so stdout stays the one-JSON-line driver contract. Per-query
+    comparison is the only meaningful one: suite totals swing ±30% with
+    machine load (SCALE.md §10)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prev_files:
+        return
+    try:
+        with open(prev_files[-1]) as f:
+            doc = json.load(f)
+        # the driver wraps our JSON line under "parsed"
+        prev = (doc.get("queries")
+                or (doc.get("parsed") or {}).get("queries") or {})
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return
+    lines = [f"--- vs {os.path.basename(prev_files[-1])} (per-query, best-of-2) ---"]
+    flagged = 0
+    for name, now in timings.items():
+        was = prev.get(name)
+        if was is None:
+            lines.append(f"  NEW        {name}: {now:.3f}s")
+            continue
+        ratio = now / was if was else float("inf")
+        if ratio > 1.5 or ratio < 1 / 1.5:
+            tag = "REGRESSED" if ratio > 1.5 else "IMPROVED "
+            lines.append(f"  {tag}  {name}: {was:.3f}s -> {now:.3f}s ({ratio:.2f}x)")
+            flagged += 1
+    lines.append(f"--- {flagged} queries changed >1.5x, "
+                 f"{len(timings)} compared ---")
+    print("\n".join(lines), file=sys.stderr)
 
 
 if __name__ == "__main__":
