@@ -19,9 +19,25 @@ from pyspark.sql import DataFrame
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition iff the plan currently has fewer partitions
-    than the session's default parallelism (or ``min_partitions``)."""
+    """Round-robin repartition iff the scan would yield fewer partitions
+    than the session's default parallelism (or ``min_partitions``).
+
+    The probe is the FileIndex's file listing (``inputFiles``) — already
+    cached by the data source, no RDD or physical plan is built. A scan
+    with at least ``target`` files always yields at least that many
+    splits, so the helper is a guaranteed no-op at warehouse scale
+    without paying plan-analysis latency per call (the round-1 form
+    forced ``df.rdd`` materialization on every invocation). Only
+    non-file sources (in-memory test frames) fall back to the exact
+    RDD-partition check.
+    """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    if n_files == 0 and df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

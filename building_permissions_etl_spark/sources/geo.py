@@ -50,3 +50,73 @@ def geo_dim_from_shapefile(
         for _, r in gdf.iterrows()
     ]
     return geo_dim_from_records(spark, records)
+
+
+def dissolve_wkt(
+    dim: DataFrame,
+    code_col: str = "JPT_KOD_JE",
+    wkt_col: str = "wkt",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """A10 analog: dissolve county geometries per voivodeship
+    (reference: csv_analyze.ipynb cells 21/25, ``dissolve(by=...)``).
+
+    Engine-native path — no geometry library: each county polygon becomes
+    a member of the voivodeship's MULTIPOLYGON (WKT string surgery +
+    grouped collect). Interior county boundaries are kept, so this is a
+    geometry-collection dissolve, which renders the identical region on
+    a choropleth; ``dissolve_union`` below removes interior boundaries
+    when shapely is available. Members are sorted for determinism. The
+    dim is ~380 rows — the aggregation is driver-scale by construction,
+    exactly like the reference's GeoDataFrame dissolve.
+    """
+    from pyspark.sql import functions as F
+
+    member = F.when(
+        F.col(wkt_col).startswith("MULTIPOLYGON"),
+        # strip the MULTIPOLYGON ( ... ) wrapper, keep the member list
+        F.expr(
+            f"substring(regexp_replace({wkt_col}, '^MULTIPOLYGON\\\\s*\\\\(', ''), "
+            f"1, length(regexp_replace({wkt_col}, '^MULTIPOLYGON\\\\s*\\\\(', '')) - 1)"
+        ),
+    ).otherwise(F.regexp_replace(F.col(wkt_col), r"^POLYGON\s*", ""))
+    return (
+        dim.groupBy(F.substring(F.col(code_col), 1, prefix_len).alias("voivodeship"))
+        .agg(
+            F.concat(
+                F.lit("MULTIPOLYGON ("),
+                F.concat_ws(", ", F.sort_array(F.collect_list(member))),
+                F.lit(")"),
+            ).alias("wkt"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("voivodeship")
+    )
+
+
+def dissolve_union(
+    dim: DataFrame,
+    code_col: str = "JPT_KOD_JE",
+    wkt_col: str = "wkt",
+    prefix_len: int = 2,
+):
+    """True geometric dissolve (interior boundaries removed) — the exact
+    ``dissolve(by=...)`` semantics, via shapely's unary_union on the
+    driver (the dim is tiny; this mirrors the reference doing it in
+    geopandas). Import-gated: raises with guidance if shapely is absent.
+    Returns a list of (voivodeship, wkt) tuples like the notebook's
+    GeoDataFrame."""
+    try:
+        from shapely import unary_union, wkt as _wkt
+    except ImportError as ex:  # pragma: no cover - shapely not in container
+        raise ImportError(
+            "dissolve_union needs shapely; use dissolve_wkt for the "
+            "engine-native geometry-collection dissolve"
+        ) from ex
+    rows = dim.select(code_col, wkt_col).collect()
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r[0][:prefix_len], []).append(_wkt.loads(r[1]))
+    return sorted(
+        (voiv, unary_union(geoms).wkt) for voiv, geoms in groups.items()
+    )

@@ -41,3 +41,31 @@ def test_validation_html_report(spark, tmp_path):
     assert "Validation succeeded" in html
     for name in rep["results"]:
         assert name in html
+
+
+def test_dissolve_wkt_groups_counties_into_voivodeship_multipolygons(spark):
+    """A10 analog: counties collapse into one MULTIPOLYGON per
+    voivodeship (code prefix), members sorted, polygon and multipolygon
+    inputs both handled."""
+    from building_permissions_etl_spark.sources.geo import (
+        dissolve_wkt,
+        geo_dim_from_records,
+    )
+
+    recs = [
+        ("0201", "a", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        ("0202", "b", "MULTIPOLYGON (((1 0, 2 0, 2 1, 1 1, 1 0)), "
+                      "((5 5, 6 5, 6 6, 5 6, 5 5)))"),
+        ("0401", "c", "POLYGON ((9 9, 10 9, 10 10, 9 10, 9 9))"),
+    ]
+    out = {r.voivodeship: r for r in
+           dissolve_wkt(geo_dim_from_records(spark, recs)).collect()}
+    assert set(out) == {"02", "04"}
+    assert out["02"].n_members == 2
+    # all three member polygons of voivodeship 02 present in the output
+    for part in ["((0 0, 1 0, 1 1, 0 1, 0 0))",
+                 "((1 0, 2 0, 2 1, 1 1, 1 0))",
+                 "((5 5, 6 5, 6 6, 5 6, 5 5))"]:
+        assert part in out["02"].wkt
+    assert out["02"].wkt.startswith("MULTIPOLYGON (") and out["02"].wkt.endswith(")")
+    assert out["04"].wkt == "MULTIPOLYGON (((9 9, 10 9, 10 10, 9 10, 9 9)))"
