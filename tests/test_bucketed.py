@@ -48,3 +48,43 @@ def test_bucketed_join_matches_plain(spark, bucketed):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_zorder_write_gives_multi_column_file_pruning(spark, tmp_path):
+    """Z-order clustering vs single-column sort on (l_orderkey,
+    l_partkey): for point lookups on the SECOND column, footer min/max
+    ranges must make far fewer z-ordered files candidates — the
+    multi-dimensional locality that single-column clustering cannot
+    give."""
+    import glob
+
+    from building_permissions_etl_spark.sources.sinks import write_zordered
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet") \
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "single")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], n_files=8)
+    (li.repartitionByRange(8, "l_orderkey")
+       .sortWithinPartitions("l_orderkey")
+       .write.mode("overwrite").parquet(spath))
+
+    def file_ranges(path):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            r = spark.read.parquet(f).agg(
+                {"l_partkey": "min"}).collect()[0][0], \
+                spark.read.parquet(f).agg({"l_partkey": "max"}).collect()[0][0]
+            out.append(r)
+        return out
+
+    zr, sr = file_ranges(zpath), file_ranges(spath)
+    assert len(zr) == 8 and len(sr) == 8
+    # no rows lost
+    assert spark.read.parquet(zpath).count() == li.count()
+
+    probes = [r.l_partkey for r in li.select("l_partkey").distinct().limit(40).collect()]
+    z_hits = sum(sum(1 for lo, hi in zr if lo <= p <= hi) for p in probes)
+    s_hits = sum(sum(1 for lo, hi in sr if lo <= p <= hi) for p in probes)
+    # single-column layout: nearly every file is a candidate for every
+    # probe; z-order: a small fraction
+    assert z_hits < 0.6 * s_hits, (z_hits, s_hits)
