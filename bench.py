@@ -101,6 +101,10 @@ def main() -> None:
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else None
     total = round(sum(timings.values()), 3)
+    # diff first (stderr), JSON line LAST: a runner that takes the final
+    # line of combined output must still see the contract line
+    _diff_vs_previous_round(timings)
+    sys.stderr.flush()
     print(json.dumps({
         "metric": "headline_query_suite_total_time",
         "value": total,
@@ -108,7 +112,6 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }))
-    _diff_vs_previous_round(timings)
     spark.stop()
 
 

@@ -74,20 +74,29 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 # bucket loses only that one band — its other bands still generate
 # candidates — and a bucket this hot is near-always an exact-duplicate
 # flood, which the exact-dedup-first pipeline stage removes anyway
-# (SCALE.md §10). The count adds one shuffle on the SAME key as the
-# subsequent join, so it co-partitions with work we already do.
+# (SCALE.md §10).
+#
+# Shape: the over-cap key set is found with a partial-agg groupBy (the
+# shuffle carries only (key, count) — bytes per bucket, not rows) and
+# removed with a BROADCAST anti-join, so the full banded rows (which
+# carry the k-long signature arrays) are never shuffled for the cap. A
+# window-count formulation was measured to add two full-data exchanges
+# on the self-join sides. The hot set is bounded by rows/cap buckets;
+# if a pathological corpus ever made it too big to broadcast, fall back
+# to a window count over the bucket key.
 DEFAULT_MAX_BUCKET = 1000
 
 
 def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
     if not max_bucket:
         return banded
-    w = Window.partitionBy(*[F.col(k) for k in keys])
-    return (
-        banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bsz") <= max_bucket)
+    hot = (
+        banded.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket)
         .drop("__bsz")
     )
+    return banded.join(F.broadcast(hot), keys, "left_anti")
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
