@@ -29,7 +29,7 @@ from building_permissions_etl_spark.operators.scale import fan_out
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -50,7 +50,11 @@ FEATURE_SCHEMA = StructType([
     StructField("asset_id", LongType(), False),
     StructField("kind", StringType(), False),
     StructField("n_bytes", LongType(), True),
-    StructField("features", ArrayType(FloatType()), True),
+    # double, not float32: the fake featureizer's outputs are defined by
+    # exact double arithmetic (trunc at 6 decimals) so the whole decode
+    # path is value-checkable cross-engine; a real float32 decoder would
+    # flip this to FloatType and rows-only checks
+    StructField("features", ArrayType(DoubleType()), True),
 ])
 
 N_FEATURES = 8
@@ -85,7 +89,10 @@ def _fake_features(payload: bytes) -> list[float]:
     for i, b in enumerate(payload[:4096]):   # bounded per-asset work
         buckets[b % N_FEATURES] += 1
     total = float(sum(buckets))
-    return [round(c / total, 6) for c in buckets]
+    # TRUNCATE at 6 decimals (not round): double-exact and identical in
+    # every engine, so the DuckDB oracle reproduces the values bit-for-
+    # bit; Python's banker's rounding has no portable SQL twin
+    return [int((c / total) * 1e6) / 1e6 for c in buckets]
 
 
 def decode_asset(payload: bytes, kind: str, fake: bool = False) -> list[float]:
@@ -122,7 +129,7 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
             for b in payload[:4096]:
                 buckets[b % n_features] += 1
             total = float(sum(buckets))
-            return [round(c / total, 6) for c in buckets]
+            return [int((c / total) * 1e6) / 1e6 for c in buckets]
 
         def decode(payload):
             if not fake:

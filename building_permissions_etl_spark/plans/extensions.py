@@ -412,12 +412,20 @@ def contribute(register) -> None:
     )
 
     # ---------------- multimodal plumbing -------------------------------
+    # Flattened to f0..f7 doubles: the fake featureizer is defined by
+    # exact double arithmetic, so the whole mapInPandas decode path is
+    # value-checked against SQL (and array cells would break the
+    # driver's canonicalizer anyway).
     register(
-        "multimodal_features",   # pandas-UDF fake decoder ⇒ rows-only
+        "multimodal_features",
         lambda spark, sf: M.extract_features(
             M.assets_from_documents(load_table(spark, "documents", sf)), fake=True
+        ).select(
+            "asset_id", "kind", "n_bytes",
+            *[F.element_at("features", i + 1).alias(f"f{i}")
+              for i in range(M.N_FEATURES)],
         ).orderBy("asset_id"),
-        None,
+        SK.multimodal_features_sql(M.N_FEATURES),
     )
 
     register(

@@ -218,6 +218,49 @@ def lsh_topk_sql(
     """
 
 
+def multimodal_features_sql(n_features: int = 8, cap: int = 4096) -> str:
+    """DuckDB replica of assets_from_documents → extract_features(fake):
+    payload = utf-8 bytes of text, features = byte-histogram ratios over
+    the first ``cap`` bytes, TRUNCATED at 6 decimals (double-exact in
+    both engines; see _fake_features). Byte values come from the hex
+    encoding since DuckDB blobs aren't indexable. Verifies the whole
+    mapInPandas decode plumbing — batch iteration, null/empty handling,
+    schema — against independent SQL."""
+    fcols = ",\n               ".join(
+        f"CASE WHEN total = 0 THEN 0.0 ELSE "
+        f"trunc((cnts[{k + 1}] / total) * 1000000.0) / 1000000.0 END AS f{k}"
+        for k in range(n_features)
+    )
+    return f"""
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 encode(text) AS payload
+          FROM documents
+        ),
+        b AS (
+          SELECT asset_id, kind,
+                 CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                 list_transform(
+                   range(0, least(octet_length(payload), {cap})),
+                   i -> CAST(CONCAT('0x', substr(hex(payload), 2 * i + 1, 2))
+                             AS INT) % {n_features}) AS bk
+          FROM a
+        ),
+        c AS (
+          SELECT asset_id, kind, n_bytes,
+                 list_transform(range(0, {n_features}),
+                   k -> CAST(len(list_filter(bk, x -> x = k)) AS DOUBLE)) AS cnts,
+                 CAST(len(bk) AS DOUBLE) AS total
+          FROM b
+        )
+        SELECT asset_id, kind, n_bytes,
+               {fcols}
+        FROM c ORDER BY asset_id
+    """
+
+
 def fingerprint_sql(toks_sql: str, window: int = 4) -> str:
     mins_str = ("array_to_string(list_transform(mins, "
                 "m -> CAST(m AS VARCHAR)), ',')")

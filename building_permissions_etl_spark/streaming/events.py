@@ -20,6 +20,13 @@ map-side partial aggregation; sessionization shuffles once on user_id —
 state per key is O(1) (open-session bounds only), so state store size is
 bounded by live keys, not history. Watermarks bound both state and
 late-data reprocessing.
+
+API note: Spark 4's ``transformWithStateInPandas`` would be the modern
+home for the stateful operator (typed value state, timers, TTL), but its
+Python driver worker needs a working ``google.protobuf``, which this
+container lacks (probed: StateMessage_pb2 import fails) —
+``applyInPandasWithState`` is the deliberate, GA-stable choice here and
+the operator's logic ports to a StatefulProcessor unchanged.
 """
 
 from __future__ import annotations
