@@ -428,26 +428,65 @@ def contribute(register) -> None:
         SK.multimodal_features_sql(M.N_FEATURES),
     )
 
+    # Frame-sample plumbing check: the oracle recomputes the frame count
+    # law (one frame per 64-byte window, capped at 16) from the payload
+    # length — verifying the mapInPandas explode produced exactly the
+    # right cardinality per asset.
     register(
-        "multimodal_frame_sample",   # pandas-UDF stub ⇒ rows-only
+        "multimodal_frame_sample",
         lambda spark, sf: M.frame_sample(
             M.assets_from_documents(load_table(spark, "documents", sf))
         ).groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_frames"))
         .orderBy("asset_id"),
-        None,
+        """
+        SELECT doc_id AS asset_id,
+               CAST(least(16, greatest(1, octet_length(encode(text)) // 64))
+                    AS BIGINT) AS n_frames
+        FROM documents ORDER BY asset_id
+        """,
     )
 
     _contribute_corpus(register)
 
+    # Resize plumbing check: output dims and the post-stride byte count
+    # are pure integer arithmetic on (width, height, payload length) —
+    # the oracle replicates the stride law exactly, so the batchwise
+    # payload rewrite is verified by its observable effects.
     register(
-        "multimodal_resize",   # pandas-UDF stub codec ⇒ rows-only
+        "multimodal_resize",
         lambda spark, sf: M.resize_assets(
             M.assets_from_documents(load_table(spark, "documents", sf))
         ).select(
             "asset_id", "kind", "width", "height",
             F.length("payload").alias("n_bytes"),
         ).orderBy("asset_id"),
-        None,
+        """
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 CAST(n_chars % 1024 AS BIGINT) AS w,
+                 CAST(n_chars % 768 AS BIGINT) AS h,
+                 octet_length(encode(text)) AS len
+          FROM documents
+        ),
+        s AS (
+          -- stride = max(1, ((w or 1) * (h or 1)) // (224*224) or 1):
+          -- Python's `x or 1` maps 0 to 1 at each step
+          SELECT asset_id, kind, w, h, len,
+                 greatest(1, CASE WHEN ((CASE WHEN w = 0 THEN 1 ELSE w END)
+                                        * (CASE WHEN h = 0 THEN 1 ELSE h END))
+                                       // 50176 = 0 THEN 1
+                                  ELSE ((CASE WHEN w = 0 THEN 1 ELSE w END)
+                                        * (CASE WHEN h = 0 THEN 1 ELSE h END))
+                                       // 50176 END) AS stride
+          FROM a
+        )
+        SELECT asset_id, kind,
+               least(w, 224) AS width, least(h, 224) AS height,
+               CAST((len + stride - 1) // stride AS INT) AS n_bytes
+        FROM s ORDER BY asset_id
+        """,
     )
 
 

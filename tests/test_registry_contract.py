@@ -20,8 +20,6 @@ def test_rows_only_set_is_exactly_the_documented_one():
     rows_only = set(queries()) - set(oracle_sql())
     assert rows_only == {
         "approx_count_distinct_dates",
-        "multimodal_frame_sample",
-        "multimodal_resize",
         "similarity_topk_ivf",
     }
 
