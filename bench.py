@@ -60,14 +60,21 @@ HEADLINE = [
 EXTENSION_HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_oph",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_cluster_survivors",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "text_quality_stats",
     "language_id",
     "token_counts",
     "doc_fingerprint",
+    "corpus_vocabulary_top100",
+    "multimodal_features",
+    "stratified_sample_by_lang",
+    "stream_window_counts",
 ]
 
 
