@@ -91,15 +91,19 @@ def main() -> None:
     # candidate-pair count and runtime stay bounded while the uncapped
     # form grows quadratically in N.
     t0 = time.time()
-    n_unc = D.minhash_lsh_pairs(docs, "text", "doc_id", 64, 16,
-                                max_bucket=None).count()
-    t_unc = time.time() - t0
-    t0 = time.time()
     n_cap = D.minhash_lsh_pairs(docs, "text", "doc_id", 64, 16,
                                 max_bucket=max(4, n // 2)).count()
     t_cap = time.time() - t0
-    print(f"hot_bucket_cap: uncapped={n_unc} pairs {t_unc:.2f} s, "
-          f"capped={n_cap} pairs {t_cap:.2f} s")
+    line = f"hot_bucket_cap: capped={n_cap} pairs {t_cap:.2f} s"
+    if n <= 20:
+        # the uncapped pair count is O(N²) on this corpus (measured:
+        # 250k at 10×, 1.05M at 20×) and GC-thrashes beyond that —
+        # which is the point; only measure it where it's survivable
+        t0 = time.time()
+        n_unc = D.minhash_lsh_pairs(docs, "text", "doc_id", 64, 16,
+                                    max_bucket=None).count()
+        line += f" | uncapped={n_unc} pairs {time.time() - t0:.2f} s"
+    print(line)
     shutil.rmtree(out, ignore_errors=True)
 
 
