@@ -232,10 +232,93 @@ def topk_ivf(
     sample_size: int = 1024,
     round_to: int = 6,
 ) -> DataFrame:
-    """One-shot convenience: build + single query. Amortized use (and the
-    registry) goes through ``build_ivf_index`` + ``query_ivf``."""
+    """One-shot convenience: build + single query. Amortized use goes
+    through ``build_ivf_index`` + ``query_ivf``."""
     index = build_ivf_index(df, vec_col, id_col, n_cells, sample_size)
     return query_ivf(index, query_id, k, n_probe, round_to)
+
+
+# ---------------------------------------------------------------------------
+# Portable IVF (verification variant) — same pattern as the sketch family's
+# portable_hash64 twin: the production path above trains centroids (numpy
+# float32, non-replicable in SQL); THIS path uses deterministic gaussian
+# centroid literals (the same LCG+Box-Muller generator as the LSH planes)
+# and assigns cells with pure double-precision Column expressions, so
+# DuckDB replicates the whole pipeline bit-exactly
+# (plans/sketch_oracles.ivf_topk_sql). Structure under test — cell
+# assignment, top-n_probe cell pruning, exact rerank — is identical;
+# only the training differs. Recall of the TRAINED variant stays pinned
+# by tests/test_similarity.py.
+
+PORTABLE_IVF_SEED = 11
+
+
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of cosine(vec, centroid_i) — plan-literal centroids."""
+    return F.array(*[
+        cosine(vec, F.array(*[F.lit(float(c)) for c in p])) for p in centroids
+    ])
+
+
+def build_ivf_index_portable(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = PORTABLE_IVF_SEED,
+) -> tuple[DataFrame, list[list[float]]]:
+    """One-off portable-IVF index build: nearest-centroid cell per vector
+    (argmax over the literal centroids, first index on ties), persisted.
+    Returns (indexed df with ``__cell``, centroids)."""
+    cents = _hyperplanes(n_cells, dim, seed)
+    scores = _centroid_scores(F.col(vec_col), cents)
+    indexed = df.withColumn(
+        "__cell", (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    ).persist()
+    indexed.count()  # materialize now so queries never re-assign the corpus
+    return indexed, cents
+
+
+def query_ivf_portable(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Probe-only query over a portable-IVF index: the query row's
+    top-``n_probe`` cells (by centroid score desc, cell id asc — via a
+    (-score, id) struct sort) become a broadcast array; a corpus row is
+    kept iff its persisted ``__cell`` is in that set, then exact-reranked.
+    At 100 TB the same probe set would instead prune partitions of a
+    table clustered by ``__cell`` (as ``query_ivf`` does with ``isin``)."""
+    qs = _centroid_scores(F.col(vec_col), centroids)
+    probe = F.transform(
+        F.slice(
+            F.array_sort(F.transform(
+                qs, lambda s, i: F.struct((-s).alias("ns"), i.alias("i"))
+            )),
+            1, n_probe,
+        ),
+        lambda x: x["i"],
+    )
+    q = indexed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"), probe.alias("__probe")
+    )
+    return (
+        indexed.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .filter(F.array_contains(F.col("__probe"), F.col("__cell")))
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(cosine(F.col(vec_col), F.col("__qv")), round_to).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )
 
 
 def build_lsh_index(

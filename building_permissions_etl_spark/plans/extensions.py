@@ -12,9 +12,11 @@ ENTIRE sketch pipeline is replicated in independent SQL by
 ``plans/sketch_oracles.py`` and value-checked end-to-end — no recall
 assumption anywhere. The xxhash64 production default of those operators
 stays pinned by unit tests (tests/test_dedup.py asserts recall/precision
-against exact Jaccard on planted near-duplicates). Only genuinely
-non-replicable ops remain rows-only: HLL approx-distinct, the trained
-IVF index, and the stub media codecs.
+against exact Jaccard on planted near-duplicates). IVF similarity
+registers its PORTABLE twin (deterministic centroid literals + native
+double argmax; trained production path pinned by tests/test_similarity.py).
+Only one genuinely non-replicable op remains rows-only: HLL
+approx-distinct.
 """
 
 from __future__ import annotations
@@ -55,12 +57,12 @@ def _cos(a: str, b: str) -> str:
 _ANN_CACHE: dict = {}
 
 
-def _ivf_index(spark, sf):
-    key = ("ivf", spark.sparkContext.applicationId, sf)
+def _ivf_portable_index(spark, sf):
+    key = ("ivf_portable", spark.sparkContext.applicationId, sf)
     if key not in _ANN_CACHE:
-        _ANN_CACHE[key] = S.build_ivf_index(
-            load_table(spark, "embeddings", sf), "embedding", "vec_id",
-            n_cells=16, sample_size=1024,
+        _ANN_CACHE[key] = S.build_ivf_index_portable(
+            load_table(spark, "embeddings", sf), "embedding",
+            n_cells=16, dim=64,
         )
     return _ANN_CACHE[key]
 
@@ -297,12 +299,22 @@ def contribute(register) -> None:
         ),
     )
 
+    # Registry variant runs the PORTABLE IVF (deterministic centroid
+    # literals + native double argmax assignment — same pattern as the
+    # portable-hash sketch family), so the whole IVF path is value-checked
+    # against independent SQL. The TRAINED production path
+    # (build_ivf_index/query_ivf: numpy k-means + Arrow-batched
+    # assignment) stays pinned by tests/test_similarity.py.
     register(
-        "similarity_topk_ivf",   # trained index ⇒ rows-only
-        lambda spark, sf: S.query_ivf(
-            _ivf_index(spark, sf), query_id=0, k=10, n_probe=4
+        "similarity_topk_ivf",
+        lambda spark, sf: S.query_ivf_portable(
+            *_ivf_portable_index(spark, sf), "embedding", "vec_id",
+            query_id=0, k=10, n_probe=4,
         ),
-        None,
+        SK.ivf_topk_sql(
+            S._hyperplanes(16, 64, seed=S.PORTABLE_IVF_SEED),
+            query_id=0, k=10, n_probe=4, dim=64,
+        ),
     )
 
     # ---------------- text analysis ------------------------------------

@@ -14,7 +14,9 @@ first everything that got NO verdict in round 1 (as-of/range joins, the
 event/stream family, salted/skew, text stats, vocabulary, the fixed
 array query), then the queries newly value-checked in round 2 (the
 portable-hash sketch family, winnowing, stratified sample, LSH top-k),
-then the core SURVEY §2 evidence queries for re-confirmation. Everything
+then the core SURVEY §2 evidence queries for re-confirmation, and the
+four queries that have never had any driver verdict (the round-2
+value-checked multimodal trio and the rows-only IVF probe). Everything
 past position 50 was verified green in CORRECTNESS_r01 (or is a declared
 rows-only check), so the UNION of r01+r02 driver verdicts covers every
 oracle-backed query in the registry. Local tri-scale parity
@@ -82,11 +84,12 @@ _DRIVER_WINDOW = [
     "scalar_max_watermark",
     "timestamp_parse_metrics",
     "top_k_parts",
-    "region_rollup_with_default",
-    "scalar_function_showcase",
-    "roman_numeral_codec",
-    "projection_rename",
     "validation_suite",
+    # -- never driver-verified: new-in-round-2 value checks + IVF probe --
+    "similarity_topk_ivf",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
 ]
 
 

@@ -218,6 +218,66 @@ def lsh_topk_sql(
     """
 
 
+def ivf_topk_sql(
+    centroids: list[list[float]],
+    query_id: int = 0,
+    k: int = 10,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB replica of ``build_ivf_index_portable`` + ``query_ivf_portable``:
+    the centroids are plan literals (same LCG+Box-Muller generator as the
+    LSH planes), so the oracle recomputes the per-row nearest-centroid
+    cell (argmax, first index on ties), the query's top-``n_probe`` cell
+    set (rank by score desc, cell asc), and the exact cosine rerank —
+    value-checking the whole IVF path. All math is sequential double
+    folds, bit-exact across engines (see lsh_topk_sql)."""
+    n_cells = len(centroids)
+
+    def dot_cent(p: list[float]) -> str:
+        lits = "[" + ", ".join(repr(float(c)) for c in p) + "]"
+        ce = f"CAST(({lits})[j] AS DOUBLE)"
+        d = (f"list_sum(list_transform(range(1, {dim + 1}), "
+             f"j -> CAST(embedding[j] AS DOUBLE) * {ce}))")
+        nc = (f"sqrt(list_sum(list_transform(range(1, {dim + 1}), "
+              f"j -> {ce} * {ce})))")
+        ne = ("sqrt(list_sum(list_transform(range(1, {d} + 1), "
+              "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))))"
+              ).format(d=dim)
+        return f"({d}) / ({ne} * {nc})"
+
+    cs = "[\n            " + ",\n            ".join(
+        dot_cent(p) for p in centroids
+    ) + "\n          ]"
+    dot_q = (f"list_sum(list_transform(range(1, {dim + 1}), "
+             "j -> CAST(embedding[j] AS DOUBLE) * CAST(qv[j] AS DOUBLE)))")
+    nrm = ("sqrt(list_sum(list_transform(range(1, {d} + 1), "
+           "j -> CAST({v}[j] AS DOUBLE) * CAST({v}[j] AS DOUBLE))))")
+    cos_q = (f"({dot_q}) / ({nrm.format(v='embedding', d=dim)} * "
+             f"{nrm.format(v='qv', d=dim)})")
+    return f"""
+        WITH c AS (
+          SELECT vec_id, embedding, {cs} AS cs
+          FROM embeddings
+        ),
+        a AS (
+          SELECT vec_id, embedding, cs,
+                 CAST(list_position(cs, list_max(cs)) - 1 AS INT) AS cell
+          FROM c
+        ),
+        q AS (
+          SELECT embedding AS qv, cs AS qs FROM a WHERE vec_id = {query_id}
+        )
+        SELECT vec_id AS id, round({cos_q}, 6) AS score
+        FROM a, q
+        WHERE vec_id <> {query_id}
+          AND len(list_filter(range(1, {n_cells + 1}),
+                j -> qs[j] > qs[cell + 1]
+                     OR (qs[j] = qs[cell + 1] AND j - 1 < cell))) < {n_probe}
+        ORDER BY score DESC, id LIMIT {k}
+    """
+
+
 def multimodal_features_sql(n_features: int = 8, cap: int = 4096) -> str:
     """DuckDB replica of assets_from_documents → extract_features(fake):
     payload = utf-8 bytes of text, features = byte-histogram ratios over

@@ -12,16 +12,13 @@ def test_oracle_keys_subset_of_queries():
 
 def test_rows_only_set_is_exactly_the_documented_one():
     """Every query without an oracle must be one whose semantics are
-    genuinely not ANSI-expressible (HLL sketch state, trained index,
-    stub media codecs) — additions to this set need the same
+    genuinely not ANSI-expressible — additions to this set need the same
     justification. The sketch family (minhash/oph/simhash/winnowing/
     stratified-sample) is value-checked via portable_hash64 +
-    plans/sketch_oracles.py since round 2."""
+    plans/sketch_oracles.py, and IVF similarity via its portable-centroid
+    twin, since round 2. Only HLL sketch state remains."""
     rows_only = set(queries()) - set(oracle_sql())
-    assert rows_only == {
-        "approx_count_distinct_dates",
-        "similarity_topk_ivf",
-    }
+    assert rows_only == {"approx_count_distinct_dates"}
 
 
 def test_driver_window_is_oracle_backed_and_complete():

@@ -114,6 +114,33 @@ def test_ivf_query_path_has_no_udf_stage(spark):
         idx.unpersist()
 
 
+def test_portable_ivf_prunes_and_recalls(spark):
+    """The portable (verification) IVF twin must share the trained path's
+    structure: probe ≤ n_probe/n_cells of the corpus, decent recall, and
+    a probe-only plan over the persisted index (no re-assignment)."""
+    from building_permissions_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    idx, cents = S.build_ivf_index_portable(emb, "embedding", n_cells=16, dim=64)
+    try:
+        got_rows = S.query_ivf_portable(
+            idx, cents, "embedding", "vec_id", 0, k=10, n_probe=4
+        ).collect()
+        assert len(got_rows) == 10
+        exact = {r.id for r in topk_bruteforce(
+            emb, "embedding", "vec_id", 0, k=10).collect()}
+        assert len({r.id for r in got_rows} & exact) >= 4
+        # probed cells hold less than the corpus (the pruning is real)
+        q = S.query_ivf_portable(idx, cents, "embedding", "vec_id", 0,
+                                 k=10**6, n_probe=4)
+        assert q.count() < emb.count() * 0.5
+        # probe-only: the live plan reads the cached index, no re-assign
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        idx.unpersist()
+
+
 def test_lsh_query_path_reads_persisted_buckets(spark):
     """query_lsh over a built index must not recompute buckets: the plan
     reads the cached __bucket column instead of re-deriving it."""
