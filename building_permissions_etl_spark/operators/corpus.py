@@ -1,0 +1,208 @@
+"""Corpus-preparation operators for LLM training-data pipelines: PII
+redaction, benchmark decontamination, sequence packing, repetition
+detection, and corpus-composition reporting.
+
+These extend the reference's text-column surface (it stops at simple
+string scalars — SURVEY.md §2.8) with the standard pre-training curation
+stages described in public pipeline papers: decontamination via n-gram
+overlap (Brown et al. 2020 §4, GPT-3 appendix C), repetition filters
+(Rae et al. 2021, Gopher §A1.1), and greedy sequence packing (the
+concat-then-chunk scheme every causal-LM data loader uses).
+
+All row-level logic is native Column expressions — no Python UDFs. The
+only shuffles are (a) the broadcast-joined eval-gram probe and the final
+per-doc count in decontamination, and (b) the per-partition window in
+packing; everything else runs at parquet-scan speed. Every operator has
+an independently-formulated DuckDB oracle in ``plans/corpus_queries.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from building_permissions_etl_spark.functions.expr import let
+from building_permissions_etl_spark.operators.dedup import tokens
+from building_permissions_etl_spark.operators.scale import fan_out
+
+# PII patterns restricted to the regex subset with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB oracle): no lookaround, no
+# backreferences, ASCII classes only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+LONGNUM_RE = r"\b\d{7,}\b"  # phone-ish / account-ish digit runs
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact emails, IPv4 literals, and long digit runs; count each.
+
+    Counts are taken on the ORIGINAL text (so they are audit metrics, not
+    post-hoc), and replacement is sequential email → ip → number so a
+    digit run inside an already-redacted span is not double-counted in
+    the output text. One narrow pass, no shuffle; at 100 TB this runs at
+    scan speed and the regexes stay inside codegen.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>"),
+        LONGNUM_RE, "<NUM>")
+    return fan_out(df).select(
+        F.col(id_col).alias("id"),
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t, F.lit(LONGNUM_RE)).cast("bigint").alias("n_longnums"),
+    )
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-grams (set semantics); whole doc as a single gram
+    when shorter than ``n`` tokens, so short docs still participate."""
+    toks = tokens(col)
+    return let(toks, lambda tk: F.when(
+        F.size(tk) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+        )),
+    ).otherwise(F.array(F.concat_ws(" ", tk))))
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_pred: Column,
+    n: int = 8,
+) -> DataFrame:
+    """Flag training docs that share any word ``n``-gram with the eval
+    partition (the GPT-3-style 8-gram decontamination rule).
+
+    Returns (doc_id, n_shared_grams) for contaminated training docs.
+    Scale shape: the eval side (held-out benchmarks) is orders of
+    magnitude smaller than the corpus, so its distinct gram set is
+    BROADCAST — the train side never shuffles its exploded grams; the
+    only wide exchange is the final per-doc count, whose input is already
+    filtered down to matching grams.
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    eval_grams = (
+        df.filter(eval_pred)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    train = (
+        fan_out(df.filter(~eval_pred))
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .orderBy("id")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int = 512,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Deterministic contiguous sequence packing: order docs by id within
+    each partition stream, accumulate token counts, and assign each doc
+    to the fixed-budget sequence in which it STARTS (concat-then-chunk
+    semantics — a doc may straddle a boundary; its sequence is where its
+    first token lands).
+
+    Scale shape: the running sum is windowed PER ``part_col`` (language
+    here), never a global single-partition window — each language stream
+    packs independently and in parallel, which is both the realistic
+    curriculum layout and the scalable plan. A global pack at 100 TB
+    would serialize on one task; if global order is truly required, use
+    a two-pass range-partitioned prefix-sum instead.
+    """
+    n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    part = [part_col] if part_col else []
+    w = (
+        Window.partitionBy(*part).orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    start = cum - n_tok  # tokens before this doc in its stream
+    out = [F.col(part_col).alias(part_col)] if part_col else []
+    return df.select(
+        F.col(id_col).alias("id"),
+        *out,
+        n_tok.alias("n_tokens"),
+        F.floor(start / budget).cast("bigint").alias("seq_id"),
+        (start % budget).cast("bigint").alias("seq_offset"),
+    ).orderBy("id")
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Within-document repetition features (Gopher-style filters):
+    distinct-token ratio, top-token share, duplicate-bigram ratio.
+
+    Pure per-row higher-order functions — no explode, no shuffle. The
+    top-token count is O(distinct × tokens) per row, bounded by the
+    document length cap upstream quality filters enforce; the oracle
+    formulates the same features via unnest + GROUP BY, an independent
+    computation path.
+    """
+    def body(tk: Column) -> list[Column]:
+        n = F.size(tk)
+        dist = F.array_distinct(tk)
+        top = F.coalesce(F.array_max(
+            F.transform(dist, lambda t: F.size(F.filter(tk, lambda x: x == t)))
+        ), F.lit(0))
+        bigrams = F.when(
+            n >= 2,
+            F.transform(F.sequence(F.lit(0), n - 2),
+                        lambda i: F.concat_ws(" ", F.slice(tk, i + 1, 2))),
+        ).otherwise(F.array().cast("array<string>"))
+        dup_big = let(bigrams, lambda bg: F.when(
+            F.size(bg) > 0,
+            1.0 - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+        ).otherwise(F.lit(0.0)))
+        safe_n = F.greatest(n, F.lit(1))
+        return [
+            n.cast("bigint").alias("n_tokens"),
+            F.size(dist).cast("bigint").alias("n_distinct"),
+            F.round(F.size(dist).cast("double") / safe_n, 6).alias("distinct_ratio"),
+            F.round(top.cast("double") / safe_n, 6).alias("top_token_share"),
+            F.round(dup_big, 6).alias("dup_bigram_ratio"),
+        ]
+
+    toks = tokens(F.col(text_col))
+    packed = let(toks, lambda tk: F.struct(*body(tk)))
+    return fan_out(df).select(
+        F.col(id_col).alias("id"), packed.alias("_s")
+    ).select("id", "_s.*")
+
+
+def corpus_composition(df: DataFrame, text_col: str) -> DataFrame:
+    """Per (source, lang) corpus mix report: docs, token volume, mean doc
+    length, and share of total corpus tokens.
+
+    Aggregate-then-window: the global-total window runs over the tiny
+    aggregated result (|sources|×|langs| rows), never the corpus — the
+    expensive pass is one partial-aggregated groupBy.
+    """
+    n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    agg = df.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.avg(F.length(F.col(text_col))), 6).alias("avg_chars"),
+    )
+    share = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(
+        Window.partitionBy()
+    )
+    return agg.select(
+        "source", "lang", "n_docs", "total_tokens", "avg_chars",
+        F.round(share, 6).alias("token_share"),
+    ).orderBy("source", "lang")

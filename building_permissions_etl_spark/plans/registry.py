@@ -14,12 +14,14 @@ first everything that got NO verdict in round 1 (as-of/range joins, the
 event/stream family, salted/skew, text stats, vocabulary, the fixed
 array query), then the queries newly value-checked in round 2 (the
 portable-hash sketch family, winnowing, stratified sample, LSH top-k),
-then the core SURVEY §2 evidence queries for re-confirmation, and the
-four queries that have never had any driver verdict (the round-2
-value-checked multimodal trio and the rows-only IVF probe). Everything
-past position 50 was verified green in CORRECTNESS_r01 (or is a declared
-rows-only check), so the UNION of r01+r02 driver verdicts covers every
-oracle-backed query in the registry. Local tri-scale parity
+then the core SURVEY §2 evidence queries for re-confirmation, the
+round-2 corpus-preparation family (PII redaction, decontamination,
+packing, repetition, composition), and the four queries that have never
+had any driver verdict (the round-2 value-checked multimodal trio and
+the rows-only IVF probe). Everything past position 50 was verified green
+in CORRECTNESS_r01 (or is a declared rows-only check), so the UNION of
+r01+r02 driver verdicts covers every oracle-backed query in the
+registry. Local tri-scale parity
 (scripts/oracle_check.py at sf0.001/0.01/0.1) covers all of them every
 round regardless of the window.
 """
@@ -66,15 +68,16 @@ _DRIVER_WINDOW = [
     "pivot_counts_90d",
     "marginal_counts",
     "range_filter_halfopen",
-    "upper_bound_filter",
     "audit_metrics",
-    "not_in_set_filter",
     "days_lookback_window",
-    "prefix_filter_drilldown",
     "outer_merge_windows",
-    "semi_join_known_keys",
-    "anti_join_unknown_keys",
     "dim_completion_zero_rows",
+    # -- new in round 2: corpus-preparation family (plans/corpus_queries) --
+    "pii_redact",
+    "decontaminate_8gram",
+    "pack_sequences_by_lang",
+    "repetition_stats",
+    "corpus_composition",
     "fuzzy_first_match",
     "terc_decision_tree",
     "dim_summary_left_join",
@@ -105,6 +108,7 @@ def _populate() -> None:
         return
     from building_permissions_etl_spark.plans import (  # noqa: F401
         analytics,
+        corpus_queries,
         extensions,
         flagship_queries,
         scale_queries,
@@ -121,6 +125,7 @@ def _populate() -> None:
     flagship_queries.contribute(stage)
     analytics.contribute(stage)
     extensions.contribute(stage)
+    corpus_queries.contribute(stage)
     streaming_queries.contribute(stage)
     scale_queries.contribute(stage)
 
