@@ -90,24 +90,37 @@ def main() -> None:
 
     # One untimed warmup absorbs JVM/codegen/session startup so timings
     # measure steady-state plan execution, as on a long-lived cluster.
-    queries[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    try:
+        queries[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
     # best of 2 per query: machine-load variance at sf0.1 was measured at
-    # ±30% run-to-run; the min is the reproducible steady-state figure
-    timings: dict[str, float] = {}
+    # ±30% run-to-run; the min is the reproducible steady-state figure.
+    # Per-query fault isolation: one broken query records null and the
+    # rest still get measured — round 2 lost ALL its evidence to a single
+    # AnalysisException aborting this loop.
+    timings: dict[str, float | None] = {}
+    failures = 0
     for name in names:
         best = None
-        for _ in range(2):
-            df = queries[name](spark, SF_DIR)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                df = queries[name](spark, SF_DIR)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            timings[name] = round(best, 3)
+        except Exception as exc:
+            failures += 1
+            timings[name] = None
+            print(f"bench: {name} FAILED: {type(exc).__name__}: "
+                  f"{str(exc)[:200]}", file=sys.stderr)
 
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else None
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     # diff first (stderr), JSON line LAST: a runner that takes the final
     # line of combined output must still see the contract line
     _diff_vs_previous_round(timings)
@@ -132,20 +145,30 @@ def _diff_vs_previous_round(timings: dict[str, float]) -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not prev_files:
+    prev, prev_name = {}, None
+    # newest round WITH numbers: a crashed round (parsed: null, like r02)
+    # must not mask the last real evidence
+    for path in reversed(prev_files):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            # the driver wraps our JSON line under "parsed"
+            cand = (doc.get("queries")
+                    or (doc.get("parsed") or {}).get("queries") or {})
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+        if cand:
+            prev, prev_name = cand, os.path.basename(path)
+            break
+    if not prev:
         return
-    try:
-        with open(prev_files[-1]) as f:
-            doc = json.load(f)
-        # the driver wraps our JSON line under "parsed"
-        prev = (doc.get("queries")
-                or (doc.get("parsed") or {}).get("queries") or {})
-    except (OSError, json.JSONDecodeError, AttributeError):
-        return
-    lines = [f"--- vs {os.path.basename(prev_files[-1])} (per-query, best-of-2) ---"]
+    lines = [f"--- vs {prev_name} (per-query, best-of-2) ---"]
     flagged = 0
     for name, now in timings.items():
         was = prev.get(name)
+        if now is None:
+            lines.append(f"  BROKEN     {name}: no timing this round")
+            continue
         if was is None:
             lines.append(f"  NEW        {name}: {now:.3f}s")
             continue

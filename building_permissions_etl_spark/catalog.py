@@ -34,18 +34,44 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.parquet(path)
 
 
-def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long (legacy
-    conf) and rebuild a microsecond timestamp — lossless for this data
-    and identical to DuckDB's own ns→µs view of the table."""
+def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Physical read of the events parquet, tolerant of both fixture eras:
+    current files store ``ts`` as µs TIMESTAMP_NTZ (reads directly); older
+    ones stored TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    (PARQUET_TYPE_ILLEGAL) unless the legacy nanosAsLong conf surfaces it
+    as bigint — set only on that fallback path, never as a blanket side
+    effect."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to TIMESTAMP (ltz) whatever the physical type:
+
+      * bigint          — ns-as-long era: rebuild µs timestamps;
+      * timestamp_ntz   — current µs fixtures: cast (session tz is UTC,
+                          so the cast is wall-clock preserving and epoch
+                          math matches DuckDB's naive view);
+      * timestamp       — already normalized.
+
+    ltz is required downstream: ``withWatermark`` rejects NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and ``cast("long")`` epoch
+    math raises CAST_WITHOUT_SUGGESTION on NTZ."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    return normalize_events_ts(_read_events_raw(spark, path))
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:

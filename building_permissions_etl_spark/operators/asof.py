@@ -90,12 +90,18 @@ def range_join_binned(
     by at most ``tolerance_seconds``. Equi-join on (key, bin±1) bounds
     candidates; the exact |Δt| predicate filters after."""
     tol = tolerance_seconds
-    lb = (F.col(left_ts).cast("long") / tol).cast("long")
+
+    # cast("timestamp") first: no-op for ltz, the only legal epoch route
+    # for NTZ input (long-typed inputs also survive the double cast).
+    def _epoch(c):
+        return F.col(c).cast("timestamp").cast("long")
+
+    lb = (_epoch(left_ts) / tol).cast("long")
     l = left.select(
         F.col(key).alias("__lk"), F.col(left_ts).alias("__lts"),
         F.explode(F.array(lb - 1, lb, lb + 1)).alias("__bin"),
     )
-    rb = (F.col(right_ts).cast("long") / tol).cast("long")
+    rb = (_epoch(right_ts) / tol).cast("long")
     r = right.select(
         F.col(key).alias("__rk"), F.col(right_ts).alias("__rts"),
         rb.alias("__bin"),
@@ -103,7 +109,11 @@ def range_join_binned(
     return (
         l.join(r, (l["__lk"] == r["__rk"]) & (l["__bin"] == r["__bin"]))
         .filter(
-            F.abs(F.col("__lts").cast("long") - F.col("__rts").cast("long")) <= tol
+            F.abs(
+                F.col("__lts").cast("timestamp").cast("long")
+                - F.col("__rts").cast("timestamp").cast("long")
+            )
+            <= tol
         )
         .select(
             F.col("__lk").alias(key),

@@ -149,17 +149,37 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     distinct-token ratio, top-token share, duplicate-bigram ratio.
 
     Pure per-row higher-order functions — no explode, no shuffle. The
-    top-token count is O(distinct × tokens) per row, bounded by the
-    document length cap upstream quality filters enforce; the oracle
-    formulates the same features via unnest + GROUP BY, an independent
-    computation path.
+    top-token count sorts the token array and takes the longest run of
+    equal neighbours with one linear ``aggregate`` pass: O(n log n) per
+    row in the doc's own length, so a planted 100k-token doc costs ~100k
+    comparisons, not the 10^10 the earlier distinct×tokens form did
+    (measured flat in SCALE.md). The oracle formulates the same features
+    via unnest + GROUP BY, an independent computation path.
     """
+    def _max_run(sorted_tk: Column) -> Column:
+        # state = (prev token, current run, best run); exact max token
+        # frequency because equal tokens are adjacent after the sort
+        def merge(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(
+            sorted_tk,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"), F.lit(0).alias("best"),
+            ),
+            merge,
+            lambda acc: acc["best"],
+        )
+
     def body(tk: Column) -> list[Column]:
         n = F.size(tk)
         dist = F.array_distinct(tk)
-        top = F.coalesce(F.array_max(
-            F.transform(dist, lambda t: F.size(F.filter(tk, lambda x: x == t)))
-        ), F.lit(0))
+        top = F.coalesce(_max_run(F.array_sort(tk)), F.lit(0))
         bigrams = F.when(
             n >= 2,
             F.transform(F.sequence(F.lit(0), n - 2),

@@ -44,32 +44,33 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# Explicit stream-read schema. events.parquet stores ts as TIMESTAMP(NANOS),
-# which Spark's reader surfaces as bigint under
-# spark.sql.legacy.parquet.nanosAsLong (see catalog._load_events); the
-# stream declares that physical shape and rebuilds µs timestamps.
-EVENTS_RAW_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file per micro-batch
-    under availableNow; at scale: a directory the producer appends to)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    under availableNow; at scale: a directory the producer appends to).
+
+    Streams never infer schema, so the PHYSICAL schema comes from a batch
+    footer read (``catalog._read_events_raw`` — tolerant of both the µs
+    TIMESTAMP_NTZ and legacy ns-as-bigint fixture eras), then the same
+    ``normalize_events_ts`` as the batch path rebuilds TIMESTAMP (ltz) —
+    the only event-time type ``withWatermark`` accepts."""
+    import os
+
+    from building_permissions_etl_spark.catalog import (
+        _read_events_raw,
+        normalize_events_ts,
+    )
+
+    raw_schema = _read_events_raw(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).schema
     # The file source needs a directory; glob-filter selects just the
     # events table out of the fixture dir.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def windowed_event_counts(
@@ -122,7 +123,10 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) 
     from pyspark.sql.window import Window
 
     by_user = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    # cast("timestamp") first: a no-op on ltz input, and the only legal
+    # route to epoch seconds if a caller hands in a raw NTZ frame.
+    ts_epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_epoch - F.lag(ts_epoch).over(by_user)
     flagged = events.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),

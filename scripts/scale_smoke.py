@@ -104,7 +104,29 @@ def main() -> None:
                                     max_bucket=None).count()
         line += f" | uncapped={n_unc} pairs {time.time() - t0:.2f} s"
     print(line)
+    _planted_long_doc_repetition(spark)
     shutil.rmtree(out, ignore_errors=True)
+
+
+def _planted_long_doc_repetition(spark) -> None:
+    """Adversarial repetition_stats probe: 100k-token docs. The r02 form
+    (distinct×tokens per row) needed ~5×10^8 comparisons per doc here;
+    the sort+run-length form is n·log n, so this must finish in seconds
+    and scale ~linearly 10k → 100k."""
+    import random
+
+    from building_permissions_etl_spark.operators.corpus import repetition_stats
+
+    random.seed(7)
+    vocab = ["the"] + [f"w{j}" for j in range(5000)]
+    for ntok in (10_000, 100_000):
+        rows = [(i, " ".join(random.choice(vocab) for _ in range(ntok)))
+                for i in range(8)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        t0 = time.time()
+        repetition_stats(df, "text", "id").write.format("noop").mode("overwrite").save()
+        print(f"repetition_stats planted {ntok}-token docs x8: "
+              f"{round(time.time() - t0, 2)} s")
 
 
 if __name__ == "__main__":

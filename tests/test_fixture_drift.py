@@ -1,0 +1,79 @@
+"""Fixture-drift guard (VERDICT r02 item 5).
+
+Round 2 lost its whole bench to silent fixture drift: the driver
+regenerated events.parquet with ``ts`` as µs TIMESTAMP_NTZ while the
+loaders still assumed the ns-as-bigint era. This suite makes drift LOUD:
+it pins each table's physical column set (parquet footers, no Spark —
+cheap) and the loader-level contract that ``events.ts`` always surfaces
+as TIMESTAMP (ltz), whatever the fixture era stores.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from building_permissions_etl_spark.catalog import TABLES, load_table
+from tests.conftest import SF_DIR, SF_DIR_MID
+
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"},
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+# Physical ts encodings a loader is REQUIRED to understand. Anything else
+# (e.g. a future ns or string regeneration) fails here with a clear
+# message instead of deep inside a query plan.
+ACCEPTED_TS_TYPES = {"timestamp[us]", "timestamp[ns]", "int64",
+                     "timestamp[us, tz=UTC]"}
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MID])
+@pytest.mark.parametrize("table", TABLES)
+def test_physical_columns_match_loader_expectations(sf_dir, table):
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = pq.read_schema(path)
+    got = set(schema.names)
+    assert got == EXPECTED_COLUMNS[table], (
+        f"FIXTURE DRIFT: {path} columns {sorted(got)} != expected "
+        f"{sorted(EXPECTED_COLUMNS[table])} — update catalog.py loaders "
+        f"and this guard together."
+    )
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MID])
+def test_events_ts_physical_type_is_understood(sf_dir):
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_type = str(pq.read_schema(path).field("ts").type)
+    assert ts_type in ACCEPTED_TS_TYPES, (
+        f"FIXTURE DRIFT: events.ts is now physically {ts_type!r}; "
+        f"catalog.normalize_events_ts only understands {ACCEPTED_TS_TYPES}. "
+        f"Teach the loader the new encoding (emitting TIMESTAMP ltz) "
+        f"before trusting any events query."
+    )
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MID])
+def test_loader_normalizes_events_ts_to_ltz_timestamp(spark, sf_dir):
+    """The loader contract every downstream operator relies on:
+    ``ts`` is TIMESTAMP (ltz) — watermark-compatible, epoch-castable."""
+    dt = dict(load_table(spark, "events", sf_dir).dtypes)["ts"]
+    assert dt == "timestamp", (
+        f"events.ts surfaced as {dt!r}, not 'timestamp' — withWatermark "
+        f"and cast('long') epoch math both break on this type."
+    )
