@@ -55,6 +55,14 @@ HEADLINE = [
     "exact_distinct_per_key",
     "doc_length_quantiles",
     "text_quality_filter",
+    "tfidf_top_terms",
+    "bm25_topk",
+    "unigram_logprob",
+    "chunk_dup_fraction",
+    "decontaminate_containment",
+    "local_supplier_volume",
+    "stream_dedup_keys",
+    "stream_stream_join",
 ]
 # Extension headliners are appended dynamically if registered.
 EXTENSION_HEADLINE = [

@@ -106,6 +106,57 @@ def decontaminate(
     )
 
 
+def decontaminate_containment(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_pred: Column,
+    n: int = 3,
+) -> DataFrame:
+    """Per-training-doc CONTAINMENT fraction: what share of the doc's
+    distinct word ``n``-grams appear anywhere in the eval partition.
+
+    The binary n-gram rule (``decontaminate``) flags any overlap at all;
+    real pipelines threshold on the overlap *fraction* (e.g. drop when
+    >50% of a doc's grams are benchmark text — the containment form of
+    the GPT-3 rule). Returns every training doc with its gram count and
+    fraction, zeros included, so thresholding is a downstream filter.
+
+    Same scale shape as ``decontaminate``: the eval gram set is
+    broadcast; train grams explode into a partial-agg count, never a
+    wide shuffle of text.
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    eval_grams = (
+        df.filter(eval_pred)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    train = (
+        fan_out(df.filter(~eval_pred))
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    )
+    counts = (
+        train.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(counts, "id", "left")
+        .select(
+            "id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)).cast("double")
+                / F.col("n_grams"), 6,
+            ).alias("containment"),
+        )
+        .orderBy("id")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str,

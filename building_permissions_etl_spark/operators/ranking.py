@@ -1,0 +1,222 @@
+"""Lexical ranking and statistical LM scoring over a document corpus:
+TF-IDF top terms, BM25 retrieval, unigram log-probability scoring, and
+chunk-level cross-document duplication (the C4/RefinedWeb-style "how
+much of this doc exists elsewhere" signal).
+
+The reference stops at scalar string ops (SURVEY.md §2.8); these extend
+the text surface with the standard corpus-analysis primitives a
+training-data pipeline needs, built the Spark-first way:
+
+  * token streams come from ONE ``explode`` whose output is immediately
+    partially aggregated (map-side combine) — the (doc, term) matrix is
+    never materialized wider than its aggregated form;
+  * corpus-level statistics (document frequencies, unigram counts, the
+    doc count N, average doc length) are tiny aggregates — always
+    BROADCAST back, never shuffled against the corpus;
+  * ordering ties are broken lexically so results are deterministic and
+    the DuckDB oracles can reproduce them exactly (scores rounded to 6
+    before ranking — both engines rank the same rounded value).
+
+Scale notes (100 TB): every operator here is one explode-shuffle over
+tokens plus broadcast joins of aggregate tables. Document frequency /
+vocabulary tables grow with DISTINCT terms (Heaps' law — millions, not
+billions) and stay broadcastable; if a vocabulary outgrows the broadcast
+threshold the same plans degrade gracefully to a shuffle join on term,
+still linear. No operator holds a whole document's cross-product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from building_permissions_etl_spark.operators.dedup import tokens
+
+
+def _doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, tf) — term frequency per document; one explode, then
+    partial-agg shuffle on (id, term)."""
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF (idf = ln(N/df), the
+    classic unsmoothed form; every fixture term appears in ≥1 doc so the
+    log argument is always ≥ 1).
+
+    Rank on the ROUNDED score (6 dp) with a lexical tie-break, so the
+    ordering is reproducible across engines. Plan: one token shuffle for
+    tf, an aggregate df table broadcast back, one window for the top-k.
+    """
+    terms = _doc_terms(df, text_col, id_col)
+    docfreq = terms.groupBy("term").agg(
+        F.countDistinct("id").alias("df")
+    )
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        terms.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "rank", "term", "tf", "df", "tfidf")
+        .orderBy("id", "rank")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25 (Lucene
+    idf: ln(1 + (N - df + 0.5)/(df + 0.5)), always positive).
+
+    The query side is a literal handful of terms, so the token stream is
+    FILTERED to them before the tf aggregation — the shuffle carries only
+    matching (doc, term) rows. Doc lengths are one narrow aggregate; N,
+    avgdl, and the per-term idf table are broadcast. Final top-k is
+    orderBy+limit → TakeOrderedAndProject, no global sort.
+    """
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    toks = tokens(F.col(text_col))
+    dl = df.select(F.col(id_col).alias("id"),
+                   F.size(toks).alias("dl"))
+    tf = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(toks).alias("term"))
+        .filter(F.array_contains(qlit, F.col("term")))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    scalars = df.agg(
+        F.countDistinct(id_col).alias("n_docs"),
+    ).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(docfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "contrib",
+            idf * (F.col("tf") * (k1 + 1))
+            / (F.col("tf")
+               + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        per_term.groupBy("id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document mean natural-log probability of its tokens under the
+    corpus unigram (maximum-likelihood) distribution — the cheapest
+    useful "how surprising is this text" quality signal; real pipelines
+    threshold on it before paying for model-based perplexity.
+
+    Every token in a doc is by construction in the corpus vocabulary, so
+    no smoothing is needed and the score is exact. Plan: the (doc, term)
+    tf shuffle, a global unigram table broadcast back, one final per-doc
+    aggregation.
+    """
+    terms = _doc_terms(df, text_col, id_col)
+    uni = terms.groupBy("term").agg(F.sum("tf").alias("ctot"))
+    total = terms.agg(F.sum("tf").alias("ntot"))
+    scored = (
+        terms.join(F.broadcast(uni), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.log(F.col("ctot") / F.col("ntot")))
+             / F.sum("tf")).alias("raw"),
+        )
+    )
+    empty = (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored.select("id"), "id", "left_anti")
+        .select("id", F.lit(0).cast("bigint").alias("n_tokens"),
+                F.lit(None).cast("double").alias("avg_logprob"))
+    )
+    return (
+        scored.select("id", "n_tokens",
+                      F.round(F.col("raw"), 6).alias("avg_logprob"))
+        .unionByName(empty)
+        .orderBy("id")
+    )
+
+
+def chunk_dup_fraction(
+    df: DataFrame, text_col: str, id_col: str, chunk_chars: int = 32
+) -> DataFrame:
+    """Per-document fraction of fixed-width character chunks whose exact
+    content also appears in at least one OTHER document — the corpus-level
+    boilerplate signal (C4's "three-sentence span seen before" rule,
+    recast as aligned chunks so it is deterministic and oracle-checkable).
+
+    Chunking is position-aligned: chunk i = substring(text, i·w+1, w),
+    trailing remainder included. A chunk position counts as duplicated
+    when its content occurs in ≥ 2 distinct docs corpus-wide. Plan: one
+    explode over chunks, a (chunk → distinct-doc count) aggregate joined
+    back on the chunk hash, one per-doc mean. The chunk-count table is
+    aggregated BEFORE the join-back, and at 100 TB the join key is
+    xxhash64(chunk), so the wide exchange carries 8-byte keys, not text.
+    """
+    t = F.col(text_col)
+    n_chunks = F.ceil(F.length(t) / F.lit(chunk_chars)).cast("int")
+    # sequence(0, -1) counts DOWN in Spark — empty docs must short-circuit
+    # to an empty array, not a descending sequence
+    chunk_arr = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: t.substr(i * chunk_chars + 1, F.lit(chunk_chars)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # explode must be top-level; hash in a follow-up projection so the
+    # exchange and the occurrence table carry 8-byte keys, not chunk text
+    chunks = df.select(
+        F.col(id_col).alias("id"), F.explode(chunk_arr).alias("ch_text")
+    ).select("id", F.xxhash64("ch_text").alias("ch"))
+    occ = chunks.groupBy("ch").agg(F.countDistinct("id").alias("ndocs"))
+    return (
+        chunks.join(occ, "ch")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.round(
+                F.avg(F.when(F.col("ndocs") >= 2, 1.0).otherwise(0.0)), 6
+            ).alias("dup_fraction"),
+        )
+        .orderBy("id")
+    )

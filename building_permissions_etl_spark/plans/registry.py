@@ -9,21 +9,19 @@ the driver records a rows-only check for those.
 
 Registration ORDER is a driver contract: the grading driver verifies only
 the FIRST 50 registry entries per round (CORRECTNESS_r01 capped there).
-``_DRIVER_WINDOW`` pins which 50 land in the window — all oracle-backed:
-first everything that got NO verdict in round 1 (as-of/range joins, the
-event/stream family, salted/skew, text stats, vocabulary, the fixed
-array query), then the queries newly value-checked in round 2 (the
-portable-hash sketch family, winnowing, stratified sample, LSH top-k),
-then the core SURVEY §2 evidence queries for re-confirmation, the
-round-2 corpus-preparation family (PII redaction, decontamination,
-packing, repetition, composition), and the four queries that have never
-had any driver verdict (the round-2 value-checked multimodal trio and
-the rows-only IVF probe). Everything past position 50 was verified green
-in CORRECTNESS_r01 (or is a declared rows-only check), so the UNION of
-r01+r02 driver verdicts covers every oracle-backed query in the
-registry. Local tri-scale parity
-(scripts/oracle_check.py at sf0.001/0.01/0.1) covers all of them every
-round regardless of the window.
+``_DRIVER_WINDOW`` pins which 50 land in the round-3 window — all
+oracle-backed: first the three queries that were RED in round 2 (the
+events-timestamp family, fixed this round), then the eight queries NEW
+in round 3 (ranking/LM scoring, chunk dedup, containment, the Q5-shape
+join, streaming dedup), then everything whose only green verdict is from
+a single round, for re-confirmation. Rotated OUT to make room: queries
+green in BOTH r01 and r02 (pivot_counts_90d, marginal_counts,
+range_filter_halfopen, audit_metrics, days_lookback_window,
+value_counts_priority, monthly_series, count_distinct_dates,
+flagship_merge_shape) — the union of r01+r02+r03 verdicts still covers
+every oracle-backed query.
+Local tri-scale parity (scripts/oracle_check.py at sf0.001/0.01/0.1)
+covers all of them every round regardless of the window.
 """
 
 from __future__ import annotations
@@ -37,14 +35,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 # The 50 entries the driver will verify this round (see module docstring).
 _DRIVER_WINDOW = [
-    # -- no driver verdict in round 1 (registered past position 50 then) --
-    "asof_join_last_error",
+    # -- RED in round 2 (events-timestamp root cause), fixed this round --
     "range_join_clicks_errors",
+    "event_sessionization",
+    "stream_window_counts",
+    # -- NEW in round 3: ranking/LM scoring + chunk dedup + containment --
+    "tfidf_top_terms",
+    "bm25_topk",
+    "unigram_logprob",
+    "chunk_dup_fraction",
+    "decontaminate_containment",
+    "local_supplier_volume",
+    "stream_dedup_keys",
+    "stream_stream_join",
+    # -- single green verdict so far (r02 only), re-confirmed --
+    "asof_join_last_error",
     "event_window_counts",
     "event_sliding_window",
-    "event_sessionization",
     "event_json_props",
-    "stream_window_counts",
     "salted_group_count",
     "salted_join_segments",
     "exact_distinct_per_key",
@@ -53,46 +61,34 @@ _DRIVER_WINDOW = [
     "language_id",
     "token_counts",
     "corpus_vocabulary_top100",
-    # -- hard error in round 1, fixed (array stringified) --
     "orders_per_customer_array",
-    # -- rows-only in round 1, value-checked since round 2 --
     "dedup_minhash_lsh",
     "dedup_minhash_oph",
     "dedup_simhash",
     "doc_fingerprint",
     "stratified_sample_by_lang",
     "similarity_topk_lsh",
-    # -- core SURVEY §2 evidence, green in round 1, re-confirmed --
-    "flagship_monthly_pivot",
-    "flagship_merge_shape",
-    "pivot_counts_90d",
-    "marginal_counts",
-    "range_filter_halfopen",
-    "audit_metrics",
-    "days_lookback_window",
-    "outer_merge_windows",
-    "dim_completion_zero_rows",
-    # -- new in round 2: corpus-preparation family (plans/corpus_queries) --
+    "similarity_topk_ivf",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
     "pii_redact",
     "decontaminate_8gram",
     "pack_sequences_by_lang",
     "repetition_stats",
     "corpus_composition",
+    "rollup_order_totals",
+    # -- core SURVEY §2 evidence, re-confirmed (flagship + joins/aggs) --
+    "flagship_monthly_pivot",
+    "outer_merge_windows",
+    "dim_completion_zero_rows",
     "fuzzy_first_match",
     "terc_decision_tree",
     "dim_summary_left_join",
-    "value_counts_priority",
-    "monthly_series",
-    "count_distinct_dates",
     "scalar_max_watermark",
     "timestamp_parse_metrics",
     "top_k_parts",
     "validation_suite",
-    # -- never driver-verified: new-in-round-2 value checks + IVF probe --
-    "similarity_topk_ivf",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
 ]
 
 
@@ -111,6 +107,7 @@ def _populate() -> None:
         corpus_queries,
         extensions,
         flagship_queries,
+        ranking_queries,
         scale_queries,
         streaming_queries,
     )
@@ -127,6 +124,7 @@ def _populate() -> None:
     extensions.contribute(stage)
     corpus_queries.contribute(stage)
     streaming_queries.contribute(stage)
+    ranking_queries.contribute(stage)
     scale_queries.contribute(stage)
 
     # driver window first (KeyError here = window names drifted from the

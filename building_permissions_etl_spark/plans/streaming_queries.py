@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.catalog import load_table
 from building_permissions_etl_spark.streaming.events import (
+    dedup_events_stream,
     read_events_stream,
     run_stream_to_table,
     sessionize_batch,
@@ -209,3 +210,83 @@ def contribute(register) -> None:
         return spark.table(name)
 
     register("stream_window_counts", stream_tumbling, _TUMBLING_ORACLE)
+
+    # Streaming dedup: dropDuplicatesWithinWatermark on (user_id,
+    # event_type), append-mode sink, then a batch count over the deduped
+    # sink table. One stateful operator in the stream; state bounded by
+    # the watermark horizon. The whole fixture arrives in one availableNow
+    # micro-batch, so exactly one row per key is emitted and the batch
+    # DISTINCT oracle applies verbatim.
+    def stream_dedup(spark, sf):
+        name = f"stream_dedup_keys_{next(_mem_ids)}"
+        run_stream_to_table(
+            dedup_events_stream(
+                read_events_stream(spark, sf), ["user_id", "event_type"]
+            ),
+            name,
+            output_mode="append",
+        )
+        return (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_keys"))
+            .orderBy("event_type")
+        )
+
+    register(
+        "stream_dedup_keys",
+        stream_dedup,
+        """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    # Stream-stream interval join: clicks ⋈ errors for the same user
+    # within ±120 s, BOTH sides watermarked (the time-range predicate +
+    # watermarks bound each side's join state — without them the state
+    # store grows forever). Append mode; the fixture arrives in one
+    # availableNow batch so every qualifying pair is emitted exactly
+    # once and the batch inequality-join oracle applies verbatim.
+    def stream_join(spark, sf):
+        name = f"stream_join_{next(_mem_ids)}"
+        clicks = (
+            read_events_stream(spark, sf)
+            .filter(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("click_ts"))
+            .withWatermark("click_ts", "10 minutes")
+        )
+        errors = (
+            read_events_stream(spark, sf)
+            .filter(F.col("event_type") == "error")
+            .select(
+                F.col("user_id").alias("err_user"),
+                F.col("ts").alias("err_ts"),
+            )
+            .withWatermark("err_ts", "10 minutes")
+        )
+        joined = clicks.join(
+            errors,
+            F.expr(
+                "user_id = err_user AND err_ts BETWEEN "
+                "click_ts - INTERVAL 120 SECONDS AND "
+                "click_ts + INTERVAL 120 SECONDS"
+            ),
+        ).select("user_id", "click_ts", "err_ts")
+        run_stream_to_table(joined, name, output_mode="append")
+        return spark.table(name).orderBy("user_id", "click_ts", "err_ts")
+
+    register(
+        "stream_stream_join",
+        stream_join,
+        """
+        SELECT c.user_id, c.ts AS click_ts, e.ts AS err_ts
+        FROM events c JOIN events e
+          ON c.user_id = e.user_id
+         AND c.event_type = 'click' AND e.event_type = 'error'
+         AND e.ts BETWEEN c.ts - INTERVAL 120 SECOND
+                      AND c.ts + INTERVAL 120 SECOND
+        ORDER BY 1, 2, 3
+        """,
+    )

@@ -236,6 +236,22 @@ def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataF
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming deduplication on ``keys`` with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in the state store only
+    until the watermark passes its event time, so state is O(live keys
+    within the watermark horizon), not O(all keys ever seen) — the only
+    dedup form that survives an unbounded stream. Emits the FIRST row
+    seen per key (append mode); downstream aggregation happens on the
+    sink table, keeping this the single stateful operator in the stream.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_to_parquet(
     sdf: DataFrame,
     out_path: str,
