@@ -63,6 +63,8 @@ HEADLINE = [
     "local_supplier_volume",
     "stream_dedup_keys",
     "stream_stream_join",
+    "customer_value_distribution",
+    "asof_join_next_error",
 ]
 # Extension headliners are appended dynamically if registered.
 EXTENSION_HEADLINE = [

@@ -34,10 +34,16 @@ def asof_join_backward(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row: the values of the most recent right row with
     ``right_ts <= left_ts`` and the same key (nulls if none). Output =
-    every left column + ``value_cols`` (+ ``__matched_ts`` timestamp)."""
+    every left column + ``value_cols`` (+ ``__matched_ts`` timestamp).
+
+    ``direction="forward"`` flips the contract to the EARLIEST right row
+    with ``right_ts >= left_ts`` — same union-sort-carry plan, with the
+    per-key window ordered descending so ``last(..., ignorenulls)``
+    carries the nearest FUTURE right row backward onto each left row."""
     lcols = left.columns
     tagged_left = left.select(
         F.col(key).alias("__k"),
@@ -57,10 +63,16 @@ def asof_join_backward(
     )
     both = tagged_left.unionByName(tagged_right)
     # right rows sort before left rows at the same timestamp (__side 0<1):
-    # an exact-tie right row is visible to the left row ("at or before")
+    # an exact-tie right row is visible to the left row ("at or before" /
+    # "at or after"). Forward = the same carry over a DESCENDING ts order.
+    order = (
+        [F.col("__ts").asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col("__ts").desc(), F.col("__side").asc()]
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = both.select(
@@ -75,6 +87,24 @@ def asof_join_backward(
         *lcols,
         *[F.col(f"__last_{c}").alias(c) for c in value_cols],
         "__matched_ts",
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row: the EARLIEST right row with ``right_ts >=
+    left_ts`` and the same key (nulls if none) — e.g. "the next error
+    after this click". Same one-shuffle union-sort-carry plan as the
+    backward join."""
+    return asof_join_backward(
+        left, right, key, left_ts, right_ts, value_cols,
+        direction="forward",
     )
 
 

@@ -401,6 +401,48 @@ def contribute(register) -> None:
         """,
     )
 
+    # --- distribution window functions (§2.5 breadth): ntile, percent_rank,
+    # cume_dist over per-customer order value within market segment. ntile
+    # assigns ties by ROW order, so the window orders by (total, custkey) —
+    # every peer group is a single row and both engines agree exactly.
+    def customer_value_dist(spark, sf):
+        from pyspark.sql.window import Window
+
+        cust = load_table(spark, "customer", sf)
+        orders = load_table(spark, "orders", sf)
+        totals = (
+            orders.groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_mktsegment", "total")
+        )
+        w = Window.partitionBy("c_mktsegment").orderBy("total", "c_custkey")
+        return totals.select(
+            "c_custkey", "c_mktsegment", "total",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ).orderBy("c_mktsegment", "c_custkey")
+
+    register(
+        "customer_value_distribution",
+        customer_value_dist,
+        """
+        WITH t AS (
+          SELECT c_custkey, c_mktsegment,
+                 round(sum(o_totalprice), 2) AS total
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2)
+        SELECT c_custkey, c_mktsegment, total,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM t WINDOW w AS (PARTITION BY c_mktsegment
+                            ORDER BY total, c_custkey)
+        ORDER BY c_mktsegment, c_custkey
+        """,
+    )
+
     # --- CUBE: all grouping combinations in one pass (complement of the
     # ROLLUP query; same single-exchange expansion).
     def cube_orders(spark, sf):

@@ -168,6 +168,50 @@ def contribute(register) -> None:
         """,
     )
 
+    # As-of join (forward): each click picks up the NEXT error at or
+    # after it for the same user. Same union-sort-carry machinery, window
+    # ordered descending; oracle is DuckDB's ASOF with the flipped
+    # inequality.
+    def asof_next_error(spark, sf):
+        from building_permissions_etl_spark.operators.asof import (
+            asof_join_forward,
+        )
+
+        ev = load_table(spark, "events", sf)
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "user_id", "ts", F.col("value").alias("err_value")
+        )
+        return (
+            asof_join_forward(
+                clicks, errors, key="user_id", left_ts="ts", right_ts="ts",
+                value_cols=["err_value"],
+            )
+            .withColumnRenamed("__matched_ts", "err_ts")
+            .orderBy("event_id")
+        )
+
+    register(
+        "asof_join_next_error",
+        asof_next_error,
+        """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        errors AS (
+          SELECT user_id, ts, value AS err_value FROM events
+          WHERE event_type = 'error'
+        )
+        SELECT c.event_id, c.user_id, c.ts,
+               e.err_value, e.ts AS err_ts
+        FROM clicks c ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND c.ts <= e.ts
+        ORDER BY c.event_id
+        """,
+    )
+
     # Range join: (click, error) pairs for the same user within ±120 s,
     # bucketed equi-join instead of the quadratic theta join. The oracle
     # is the naive inequality join — same distinct triples.

@@ -13,7 +13,9 @@ MODULES = [
     ("flagship_queries", "Reference parity: flagship pipeline + §2 operators"),
     ("analytics", "Notebook analytics, scalar/validation/grouping surface"),
     ("extensions", "LLM-data-pipeline: dedup, similarity, text, multimodal"),
+    ("corpus_queries", "Corpus prep: PII, decontamination, packing, repetition"),
     ("streaming_queries", "Events: windows, sessions, as-of/range joins, streaming"),
+    ("ranking_queries", "Ranking/LM scoring: TF-IDF, BM25, unigram LM, chunk dedup"),
     ("scale_queries", "Skew-mitigation shapes (salted agg/join, safe distinct)"),
 ]
 

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.operators.asof import (
     asof_join_backward,
+    asof_join_forward,
     range_join_binned,
 )
 
@@ -39,6 +40,32 @@ def test_asof_backward_semantics(spark):
     assert got[2] == (2.0, _ts("2024-01-01 10:02:00"))   # newer row wins
     assert got[3] == (None, None)                        # nothing at-or-before
     assert got[4] == (9.0, _ts("2024-01-01 10:00:00"))   # exact tie matches
+
+
+def test_asof_forward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 10:00:00")),   # next right at 10:02
+         (2, "a", _ts("2024-01-01 10:05:00")),   # nothing at-or-after
+         (3, "a", _ts("2024-01-01 09:00:00")),   # earliest right wins
+         (4, "b", _ts("2024-01-01 10:00:00"))],  # exact tie matches
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01 09:30:00"), 1.0),
+         ("a", _ts("2024-01-01 10:02:00"), 2.0),
+         ("b", _ts("2024-01-01 10:00:00"), 9.0)],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        r["id"]: (r["v"], r["__matched_ts"])
+        for r in asof_join_forward(
+            left, right, key="k", left_ts="ts", right_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    assert got[1] == (2.0, _ts("2024-01-01 10:02:00"))
+    assert got[2] == (None, None)
+    assert got[3] == (1.0, _ts("2024-01-01 09:30:00"))
+    assert got[4] == (9.0, _ts("2024-01-01 10:00:00"))
 
 
 def test_range_join_binned_covers_boundaries(spark):
