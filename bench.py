@@ -65,6 +65,7 @@ HEADLINE = [
     "stream_stream_join",
     "customer_value_distribution",
     "asof_join_next_error",
+    "event_gap_stats",
 ]
 # Extension headliners are appended dynamically if registered.
 EXTENSION_HEADLINE = [

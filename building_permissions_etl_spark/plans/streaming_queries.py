@@ -168,6 +168,51 @@ def contribute(register) -> None:
         """,
     )
 
+    # Event-gap stats (§2.5 lead): per event_type, the mean/max seconds
+    # until the same user's next event. ONE shuffle on user_id for the
+    # lead window; the per-type aggregate reuses nothing wider than the
+    # gap column.
+    def event_gaps(spark, sf):
+        from pyspark.sql.window import Window
+
+        ev = load_table(spark, "events", sf)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # exact integer µs (unix_micros ↔ DuckDB epoch_us): fractional-
+        # second epochs as doubles round differently across engines
+        us = F.unix_micros(F.col("ts"))
+        gap = F.lead(us).over(w) - us
+        return (
+            ev.select("event_type", gap.alias("gap_us"))
+            .groupBy("event_type")
+            .agg(
+                F.count("gap_us").alias("n_gaps"),
+                F.round(
+                    F.sum("gap_us")
+                    / (F.count("gap_us") * F.lit(1000000.0)), 6
+                ).alias("avg_gap_s"),
+                F.max("gap_us").alias("max_gap_us"),
+            )
+            .orderBy("event_type")
+        )
+
+    register(
+        "event_gap_stats",
+        event_gaps,
+        """
+        WITH g AS (
+          SELECT event_type,
+                 epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id))
+                   - epoch_us(ts) AS gap_us
+          FROM events)
+        SELECT event_type, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+               round(sum(gap_us) / (count(gap_us) * 1000000.0), 6)
+                 AS avg_gap_s,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        FROM g GROUP BY 1 ORDER BY 1
+        """,
+    )
+
     # As-of join (forward): each click picks up the NEXT error at or
     # after it for the same user. Same union-sort-carry machinery, window
     # ordered descending; oracle is DuckDB's ASOF with the flipped
