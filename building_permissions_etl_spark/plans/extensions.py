@@ -160,6 +160,48 @@ def contribute(register) -> None:
         """,
     )
 
+    # Vector-column profiling: per-label L2-norm stats. Per-row norm is a
+    # sequential index-order fold with per-element DOUBLE casts on BOTH
+    # engines (same discipline as _DOT), so min/max — which surface one
+    # row's exact value — are bit-identical; row-level parallel summation
+    # only enters at avg, where round(6) absorbs reassociation error.
+    def emb_norm_stats(spark, sf):
+        emb = load_table(spark, "embeddings", sf)
+        sq = F.aggregate(
+            F.transform("embedding",
+                        lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return (
+            emb.select("label", F.sqrt(sq).alias("l2"))
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.round(F.avg("l2"), 6).alias("avg_norm"),
+                F.round(F.min("l2"), 6).alias("min_norm"),
+                F.round(F.max("l2"), 6).alias("max_norm"),
+            )
+            .orderBy("label")
+        )
+
+    register(
+        "embedding_norm_stats",
+        emb_norm_stats,
+        """
+        WITH t AS (
+          SELECT label,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+          FROM embeddings)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+               round(avg(l2), 6) AS avg_norm,
+               round(min(l2), 6) AS min_norm,
+               round(max(l2), 6) AS max_norm
+        FROM t GROUP BY 1 ORDER BY 1
+        """,
+    )
+
     register(
         "dedup_embedding_cosine",
         lambda spark, sf: D.embedding_neardup_pairs(
