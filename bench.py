@@ -28,6 +28,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "flagship_monthly_pivot",
     "flagship_merge_shape",
+    "pricing_summary",
     "pivot_counts_90d",
     "marginal_counts",
     "outer_merge_windows",
@@ -58,6 +59,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "bm25_topk",
     "unigram_logprob",
+    "bigram_logprob",
     "chunk_dup_fraction",
     "decontaminate_containment",
     "local_supplier_volume",

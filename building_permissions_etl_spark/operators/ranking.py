@@ -176,6 +176,65 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document mean conditional log-probability ln p(w_i | w_{i-1})
+    under the corpus bigram maximum-likelihood model, where the prefix
+    count c(w1) is w1's occurrence count as a bigram prefix — so
+    p(·|w1) sums to exactly 1 and no smoothing is needed (every doc
+    bigram is by construction in the corpus model).
+
+    The fluency upgrade over ``unigram_logprob``: repeated boilerplate
+    scores high, shuffled word salad scores low, at one extra broadcast.
+    Docs with fewer than two tokens carry a null score. Same scale shape:
+    one bigram explode → (doc, bigram) partial agg; the bigram and
+    prefix tables are aggregates broadcast back.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    btab = bi.groupBy("bg").agg(F.sum("tf").alias("cb"))
+    ptab = (
+        btab.groupBy(F.substring_index("bg", " ", 1).alias("prefix"))
+        .agg(F.sum("cb").alias("cp"))
+    )
+    scored = (
+        bi.join(F.broadcast(btab), "bg")
+        .withColumn("prefix", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(ptab), "prefix")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            (F.sum(F.col("tf") * F.log(F.col("cb") / F.col("cp")))
+             / F.sum("tf")).alias("raw"),
+        )
+    )
+    empty = (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored.select("id"), "id", "left_anti")
+        .select("id", F.lit(0).cast("bigint").alias("n_bigrams"),
+                F.lit(None).cast("double").alias("avg_logprob"))
+    )
+    return (
+        scored.select("id", "n_bigrams",
+                      F.round(F.col("raw"), 6).alias("avg_logprob"))
+        .unionByName(empty)
+        .orderBy("id")
+    )
+
+
 def chunk_dup_fraction(
     df: DataFrame, text_col: str, id_col: str, chunk_chars: int = 32
 ) -> DataFrame:

@@ -401,6 +401,51 @@ def contribute(register) -> None:
         """,
     )
 
+    # --- TPC-H Q1 (pricing summary): the canonical scan-heavy aggregate —
+    # one pushed-down date filter, one partial-agg shuffle onto a 6-row
+    # group space, eight aggregates in a single pass. The shape every
+    # columnar engine is judged on first.
+    def pricing_summary(spark, sf):
+        li = load_table(spark, "lineitem", sf).filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        )
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    register(
+        "pricing_summary",
+        pricing_summary,
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                 AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
+
     # --- distribution window functions (§2.5 breadth): ntile, percent_rank,
     # cume_dist over per-customer order value within market segment. ntile
     # assigns ties by ROW order, so the window orders by (total, custkey) —

@@ -102,6 +102,38 @@ def contribute(register) -> None:
     )
 
     register(
+        "bigram_logprob",
+        lambda spark, sf: R.bigram_logprob(
+            load_table(spark, "documents", sf), "text", "doc_id"
+        ),
+        f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(CASE WHEN len(w) >= 2 THEN
+                        list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i + 1])
+                      ELSE [] END) AS bg
+               FROM toks),
+        tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+        bt AS (SELECT bg, sum(tf) AS cb FROM tf GROUP BY 1),
+        pt AS (SELECT split_part(bg, ' ', 1) AS prefix, sum(cb) AS cp
+               FROM bt GROUP BY 1),
+        sc AS (
+          SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+                 round(sum(t.tf * ln(b.cb / p.cp)) / sum(t.tf), 6)
+                   AS avg_logprob
+          FROM tf t JOIN bt b USING (bg)
+                    JOIN pt p ON split_part(t.bg, ' ', 1) = p.prefix
+          GROUP BY 1)
+        SELECT d.doc_id AS id,
+               coalesce(sc.n_bigrams, 0) AS n_bigrams,
+               sc.avg_logprob
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        ORDER BY id
+        """,
+    )
+
+    register(
         "chunk_dup_fraction",
         lambda spark, sf: R.chunk_dup_fraction(
             load_table(spark, "documents", sf), "text", "doc_id",

@@ -19,8 +19,8 @@ green in BOTH r01 and r02 (pivot_counts_90d, marginal_counts,
 range_filter_halfopen, audit_metrics, days_lookback_window,
 value_counts_priority, monthly_series, count_distinct_dates,
 flagship_merge_shape, outer_merge_windows, dim_completion_zero_rows,
-scalar_max_watermark) — the union of r01+r02+r03 verdicts still covers
-every oracle-backed query.
+scalar_max_watermark, timestamp_parse_metrics, top_k_parts) — the union
+of r01+r02+r03 verdicts still covers every oracle-backed query.
 Local tri-scale parity (scripts/oracle_check.py at sf0.001/0.01/0.1)
 covers all of them every round regardless of the window.
 """
@@ -52,6 +52,8 @@ _DRIVER_WINDOW = [
     "customer_value_distribution",
     "asof_join_next_error",
     "event_gap_stats",
+    "pricing_summary",
+    "bigram_logprob",
     # -- single green verdict so far (r02 only), re-confirmed --
     "asof_join_last_error",
     "event_window_counts",
@@ -87,8 +89,6 @@ _DRIVER_WINDOW = [
     "fuzzy_first_match",
     "terc_decision_tree",
     "dim_summary_left_join",
-    "timestamp_parse_metrics",
-    "top_k_parts",
     "validation_suite",
 ]
 
