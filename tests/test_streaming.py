@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.catalog import load_table
 from building_permissions_etl_spark.streaming.events import (
+    dedup_events_stream,
     read_events_stream,
     run_stream_to_table,
     sessionize_batch,
@@ -105,6 +106,55 @@ def test_stateful_sessionization_emits_closed_sessions(spark, micro_batches):
     # ids must reproduce the batch 1-based numbering, not restart per batch
     cols = ["user_id", "session_id", "session_start", "session_end", "n_events"]
     assert set(_rows(got, cols)) <= set(_rows(batch, cols))
+
+
+def test_stream_dedup_watermark_eviction_and_reemission(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's bounded-state contract, driven
+    through real micro-batches: a duplicate key arriving while the first
+    sighting is inside the watermark horizon is dropped; once the
+    watermark passes (event time + delay) the key's state is EVICTED and
+    a later reappearance is re-emitted — state is O(keys within the
+    horizon), which is exactly the property that survives an unbounded
+    stream."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # Watermark lags one batch (computed from data seen through batch
+    # N-1) and state eviction runs at the END of a batch, after its input
+    # is processed — so the watermark-advancing batch (b2) needs a filler
+    # batch (b3) behind it before the evicted key can re-emit in b4.
+    batches = [
+        [(0, 1), (0, 2)],    # b0: first sightings of u1, u2
+        [(5, 1), (5, 3)],    # b1: u1 dup inside 10-min horizon → dropped
+        [(100, 9)],          # b2: pushes max event time to +100min
+        [(101, 8)],          # b3: watermark now +90min; eviction runs
+        [(95, 2)],           # b4: u2 state gone → re-emitted
+    ]
+    d = tmp_path / "dedup_src"
+    d.mkdir()
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    for i, batch in enumerate(batches):
+        rows = [
+            (100 * i + j, base + dt.timedelta(minutes=m), u, "click", 1.0, "{}")
+            for j, (m, u) in enumerate(batch)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / f"b{i}")
+        )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/b*")
+    )
+    run_stream_to_table(
+        dedup_events_stream(src, ["user_id"], watermark="10 minutes"),
+        "t_stream_dedup",
+        output_mode="append",
+    )
+    users = sorted(
+        r["user_id"] for r in spark.table("t_stream_dedup").collect()
+    )
+    assert users == [1, 2, 2, 3, 8, 9]
+    shutil.rmtree(str(d), ignore_errors=True)
 
 
 def test_sessionize_counter_is_monotonic_across_batches():
