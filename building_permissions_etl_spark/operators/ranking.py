@@ -162,16 +162,16 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
              / F.sum("tf")).alias("raw"),
         )
     )
-    empty = (
-        df.select(F.col(id_col).alias("id"))
-        .join(scored.select("id"), "id", "left_anti")
-        .select("id", F.lit(0).cast("bigint").alias("n_tokens"),
-                F.lit(None).cast("double").alias("avg_logprob"))
-    )
+    # one left join (not union + anti, which would execute the scored
+    # subtree twice) carries empty docs through with zero/null
     return (
-        scored.select("id", "n_tokens",
-                      F.round(F.col("raw"), 6).alias("avg_logprob"))
-        .unionByName(empty)
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.round(F.col("raw"), 6).alias("avg_logprob"),
+        )
         .orderBy("id")
     )
 
@@ -188,18 +188,25 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Docs with fewer than two tokens carry a null score. Same scale shape:
     one bigram explode → (doc, bigram) partial agg; the bigram and
     prefix tables are aggregates broadcast back.
+
+    Pair construction is ``let``-bound + ``zip_with`` over two shifted
+    slices — linear per row. (An element_at(tokens(text), i) lambda
+    re-tokenizes the whole text per element: O(n²) per row, measured
+    8.1 s vs 1.2 s on this query at sf0.1.)
     """
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    pairs = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    from building_permissions_etl_spark.functions.expr import let
+
+    pairs = let(
+        tokens(F.col(text_col)),
+        lambda tk: F.when(
+            F.size(tk) >= 2,
+            F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )
     bi = (
         df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg"))
         .groupBy("id", "bg")
@@ -221,16 +228,16 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
              / F.sum("tf")).alias("raw"),
         )
     )
-    empty = (
-        df.select(F.col(id_col).alias("id"))
-        .join(scored.select("id"), "id", "left_anti")
-        .select("id", F.lit(0).cast("bigint").alias("n_bigrams"),
-                F.lit(None).cast("double").alias("avg_logprob"))
-    )
+    # one left join (not union + anti, which would execute the scored
+    # subtree twice) carries short docs through with zero/null
     return (
-        scored.select("id", "n_bigrams",
-                      F.round(F.col("raw"), 6).alias("avg_logprob"))
-        .unionByName(empty)
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.round(F.col("raw"), 6).alias("avg_logprob"),
+        )
         .orderBy("id")
     )
 
