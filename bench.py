@@ -60,6 +60,7 @@ HEADLINE = [
     "bm25_topk",
     "unigram_logprob",
     "bigram_logprob",
+    "quality_classifier_score",
     "chunk_dup_fraction",
     "decontaminate_containment",
     "local_supplier_volume",

@@ -176,6 +176,70 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def classifier_weights(dim: int = 64, seed: int = 7) -> list[float]:
+    """Deterministic pseudo-random weight vector for the hashed linear
+    classifier — 6-dp rounded so the identical literals embed in both the
+    Spark plan and the DuckDB oracle."""
+    import random
+
+    rng = random.Random(seed)
+    return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    seed: int = 7,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Model-based quality scoring, fasttext-architecture: each token
+    hashes into a ``dim``-bucket weight vector (hashing trick), the doc
+    logit is the mean bucket weight plus a bias, and the score is its
+    sigmoid. The weights here are a fixed seeded stand-in — swapping in
+    trained weights changes ONE literal array, not the plan.
+
+    Pure per-row fold — no explode, no shuffle, runs at scan speed; this
+    is the cheap gate real pipelines run on every document before paying
+    for model-based perplexity. The hash is ``portable_hash64`` so the
+    DuckDB oracle replays the exact featureization (fold order and
+    per-element hashing included); empty docs carry a null score.
+    """
+    from building_permissions_etl_spark.functions.expr import let
+    from building_permissions_etl_spark.functions.portable import (
+        portable_hash64,
+    )
+
+    warr = F.array(*[F.lit(x) for x in classifier_weights(dim, seed)])
+
+    def feat(t):
+        return F.element_at(
+            warr, (F.pmod(portable_hash64(t), F.lit(dim)) + 1).cast("int")
+        )
+
+    def body(tk):
+        n = F.size(tk)
+        logit = (
+            F.lit(bias)
+            + F.aggregate(tk, F.lit(0.0), lambda a, t: a + feat(t)) / n
+        )
+        return F.struct(
+            n.cast("bigint").alias("n_tokens"),
+            F.when(
+                n > 0,
+                F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6),
+            ).alias("quality_score"),
+        )
+
+    packed = let(tokens(F.col(text_col)), body)
+    return (
+        df.select(F.col(id_col).alias("id"), packed.alias("_s"))
+        .select("id", "_s.*")
+        .orderBy("id")
+    )
+
+
 def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document mean conditional log-probability ln p(w_i | w_{i-1})
     under the corpus bigram maximum-likelihood model, where the prefix

@@ -13,6 +13,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.functions.portable import (
+    PORTABLE_HASH_SQL,
+)
 from building_permissions_etl_spark.operators import ranking as R
 from building_permissions_etl_spark.operators.corpus import (
     decontaminate_containment,
@@ -186,6 +189,27 @@ def contribute(register) -> None:
                round(coalesce(n_shared, 0) / n_grams, 6) AS containment
         FROM totals LEFT JOIN shared USING (doc_id)
         ORDER BY id
+        """,
+    )
+
+    w_sql = "[" + ", ".join(f"{x:.6f}" for x in R.classifier_weights()) + "]"
+    ph = PORTABLE_HASH_SQL.format(x="tok")
+    register(
+        "quality_classifier_score",
+        lambda spark, sf: R.quality_classifier_score(
+            load_table(spark, "documents", sf), "text", "doc_id"
+        ),
+        f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents)
+        SELECT doc_id AS id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CASE WHEN len(w) > 0 THEN
+                 round(1.0 / (1.0 + exp(-(
+                   list_sum(list_transform(w,
+                     tok -> ({w_sql})[CAST({ph} % 64 AS INT) + 1]))
+                   / len(w)))), 6)
+               END AS quality_score
+        FROM t ORDER BY id
         """,
     )
 

@@ -124,6 +124,35 @@ def test_containment_fraction_bounds(spark):
     assert out[3]["n_shared"] == 0 and out[3]["n_grams"] == 2
 
 
+def test_quality_classifier_bounds_and_empty(spark, corpus):
+    from building_permissions_etl_spark.operators.ranking import (
+        quality_classifier_score,
+    )
+
+    out = {r["id"]: r for r in
+           quality_classifier_score(corpus, "text", "doc_id").collect()}
+    assert out[4]["quality_score"] is None and out[4]["n_tokens"] == 0
+    for i in (1, 2, 3):
+        assert 0.0 < out[i]["quality_score"] < 1.0
+    # deterministic: same tokens → same score regardless of doc identity
+    again = {r["id"]: r["quality_score"] for r in
+             quality_classifier_score(corpus, "text", "doc_id").collect()}
+    assert all(again[i] == out[i]["quality_score"] for i in (1, 2, 3))
+
+
+def test_quality_classifier_plan_is_shuffle_free(spark, corpus):
+    from building_permissions_etl_spark.operators.ranking import (
+        quality_classifier_score,
+    )
+
+    plan = (
+        quality_classifier_score(corpus, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # scan-speed gate: sorting for the final orderBy is the ONLY exchange
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
 def test_tfidf_broadcasts_aggregate_tables(spark, corpus):
     plan = tfidf_top_terms(corpus, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
