@@ -104,6 +104,17 @@ def main() -> None:
                                     max_bucket=None).count()
         line += f" | uncapped={n_unc} pairs {time.time() - t0:.2f} s"
     print(line)
+
+    # ranking/LM family on the duplicated corpus: all should scale ~linearly
+    # (one token explode + broadcast aggregate tables each)
+    from building_permissions_etl_spark.operators import ranking as R
+
+    timed("tfidf_top_terms", R.tfidf_top_terms(docs, "text", "doc_id"))
+    timed("bigram_logprob", R.bigram_logprob(docs, "text", "doc_id"))
+    timed("quality_classifier",
+          R.quality_classifier_score(docs, "text", "doc_id"))
+    timed("chunk_dup_fraction", R.chunk_dup_fraction(docs, "text", "doc_id"))
+
     _planted_long_doc_repetition(spark)
     shutil.rmtree(out, ignore_errors=True)
 
