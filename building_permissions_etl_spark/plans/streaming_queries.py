@@ -128,6 +128,29 @@ def contribute(register) -> None:
         """,
     )
 
+    # Map-typed nested data: props parsed as map<string,string> (not
+    # per-path extraction like event_json_props) — map_keys exploded into
+    # a key histogram. Covers the from_json → MapType → explode path.
+    def props_keys(spark, sf):
+        ev = load_table(spark, "events", sf)
+        m = F.from_json("props", "map<string,string>")
+        return (
+            ev.select(F.explode(F.map_keys(m)).alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy("key")
+        )
+
+    register(
+        "props_key_histogram",
+        props_keys,
+        """
+        WITH k AS (SELECT unnest(json_keys(props)) AS key FROM events)
+        SELECT key, CAST(count(*) AS BIGINT) AS n_events
+        FROM k GROUP BY 1 ORDER BY 1
+        """,
+    )
+
     # As-of join (backward): each click picks up the most recent error at
     # or before it for the same user. Oracle is DuckDB's native ASOF JOIN.
     def asof_last_error(spark, sf):
