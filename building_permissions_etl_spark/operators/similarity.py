@@ -291,12 +291,16 @@ def query_ivf_portable(
 ) -> DataFrame:
     """Probe-only query over a portable-IVF index: the query row's
     top-``n_probe`` cells (by centroid score desc, cell id asc — via a
-    (-score, id) struct sort) become a broadcast array; a corpus row is
-    kept iff its persisted ``__cell`` is in that set, then exact-reranked.
-    At 100 TB the same probe set would instead prune partitions of a
-    table clustered by ``__cell`` (as ``query_ivf`` does with ``isin``)."""
+    (-score, id) struct sort) are evaluated ON the query row with the
+    exact same Column expression the index build used (bit-identical
+    ordering, no Python float re-derivation) and collected once — a
+    bounded driver action, same pattern as ``query_ivf``. Candidates are
+    then selected with ``isin`` on the persisted ``__cell``: a
+    partition-prunable IN-list, so at 100 TB a layout clustered by
+    ``__cell`` scans only n_probe/n_cells of the corpus instead of
+    evaluating ``array_contains`` against every row."""
     qs = _centroid_scores(F.col(vec_col), centroids)
-    probe = F.transform(
+    probe_expr = F.transform(
         F.slice(
             F.array_sort(F.transform(
                 qs, lambda s, i: F.struct((-s).alias("ns"), i.alias("i"))
@@ -305,16 +309,18 @@ def query_ivf_portable(
         ),
         lambda x: x["i"],
     )
-    q = indexed.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__qv"), probe.alias("__probe")
+    qrow = (
+        indexed.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col), probe_expr.alias("__probe")).first()
     )
+    probe = [int(c) for c in qrow[1]]
+    qv = F.array(*[F.lit(float(v)) for v in qrow[0]])
     return (
-        indexed.crossJoin(F.broadcast(q))
+        indexed.filter(F.col("__cell").isin(probe))
         .filter(F.col(id_col) != query_id)
-        .filter(F.array_contains(F.col("__probe"), F.col("__cell")))
         .select(
             F.col(id_col).alias("id"),
-            F.round(cosine(F.col(vec_col), F.col("__qv")), round_to).alias("score"),
+            F.round(cosine(F.col(vec_col), qv), round_to).alias("score"),
         )
         .orderBy(F.desc("score"), F.col("id"))
         .limit(k)
@@ -339,6 +345,25 @@ def build_lsh_index(
     return indexed
 
 
+def probe_buckets(bucket: int, n_planes: int, radius: int) -> list[int]:
+    """All bucket ids within ``radius`` bit flips of ``bucket`` — the
+    multi-probe set, enumerated driver-side (C(n_planes, ≤radius) ids,
+    pure integer math). As an explicit id list the probe is a
+    partition-prunable ``isin`` key set over a layout clustered by
+    ``__bucket`` — unlike a ``bit_count(xor)`` predicate, which must be
+    evaluated against every row of the corpus."""
+    from itertools import combinations
+
+    out = []
+    for r in range(radius + 1):
+        for bits in combinations(range(n_planes), r):
+            b = bucket
+            for i in bits:
+                b ^= 1 << i
+            out.append(b)
+    return sorted(out)
+
+
 def query_lsh(
     indexed: DataFrame,
     vec_col: str,
@@ -347,26 +372,28 @@ def query_lsh(
     k: int = 10,
     hamming_probe: int = 1,
     round_to: int = 6,
+    n_planes: int = 8,
 ) -> DataFrame:
-    """Probe-only LSH query over a built index: candidates from the
-    query's bucket plus buckets within ``hamming_probe`` bit flips
-    (multi-probe), exact cosine rerank of candidates only. No bucketing
-    recomputation — reads the persisted ``__bucket``."""
-    q = indexed.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__qv"), F.col("__bucket").alias("__qb")
+    """Probe-only LSH query over a built index: the query row's bucket is
+    looked up once (bounded driver action, same pattern as ``query_ivf``),
+    the ≤ C(n_planes, hamming_probe) probe bucket ids are enumerated
+    driver-side, and candidates are selected with ``isin`` on the
+    persisted ``__bucket`` — a partition-prunable IN-list, so at 100 TB a
+    layout clustered by ``__bucket`` scans only the probed buckets
+    instead of evaluating a hamming predicate over every row. Exact
+    cosine rerank of candidates only."""
+    qrow = (
+        indexed.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col), F.col("__bucket")).first()
     )
-    cand = indexed.crossJoin(F.broadcast(q)).filter(F.col(id_col) != query_id)
-    if hamming_probe > 0:
-        cand = cand.filter(
-            F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qb")).cast("long"))
-            <= hamming_probe
-        )
-    else:
-        cand = cand.filter(F.col("__bucket") == F.col("__qb"))
+    probe = probe_buckets(int(qrow[1]), n_planes, hamming_probe)
+    qv = F.array(*[F.lit(float(v)) for v in qrow[0]])
     return (
-        cand.select(
+        indexed.filter(F.col("__bucket").isin(probe))
+        .filter(F.col(id_col) != query_id)
+        .select(
             F.col(id_col).alias("id"),
-            F.round(cosine(F.col(vec_col), F.col("__qv")), round_to).alias("score"),
+            F.round(cosine(F.col(vec_col), qv), round_to).alias("score"),
         )
         .orderBy(F.desc("score"), F.col("id"))
         .limit(k)
@@ -389,4 +416,5 @@ def topk_lsh(
     ``query_lsh``."""
     planes = _hyperplanes(n_planes, dim)
     with_bucket = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
-    return query_lsh(with_bucket, vec_col, id_col, query_id, k, hamming_probe, round_to)
+    return query_lsh(with_bucket, vec_col, id_col, query_id, k, hamming_probe,
+                     round_to, n_planes=n_planes)

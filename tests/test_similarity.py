@@ -157,6 +157,53 @@ def test_lsh_query_path_reads_persisted_buckets(spark):
         idx.unpersist()
 
 
+def test_probe_filters_are_in_lists(spark):
+    """The candidate filter of both probe paths must be an IN-list on the
+    persisted bucket/cell column — a partition-prunable key set over a
+    layout clustered by that column at 100 TB — not a computed predicate
+    (bit_count(xor) / array_contains) that has to be evaluated against
+    every row of the corpus."""
+    from building_permissions_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", SF)
+    idx = S.build_lsh_index(emb, "embedding", "vec_id", n_planes=8, dim=64)
+    try:
+        q = S.query_lsh(idx, "embedding", "vec_id", query_id=0, k=5,
+                        hamming_probe=2)
+        live = (q._jdf.queryExecution().executedPlan().toString()
+                .split("InMemoryRelation")[0])
+        assert "bit_count" not in live
+        assert "__bucket" in live and ("INSET" in live or " IN (" in live)
+        assert len(q.collect()) == 5
+    finally:
+        idx.unpersist()
+
+    pidx, cents = S.build_ivf_index_portable(emb, "embedding", n_cells=16, dim=64)
+    try:
+        q = S.query_ivf_portable(pidx, cents, "embedding", "vec_id", 0,
+                                 k=5, n_probe=4)
+        live = (q._jdf.queryExecution().executedPlan().toString()
+                .split("InMemoryRelation")[0])
+        assert "array_contains" not in live
+        assert "__cell" in live and ("INSET" in live or " IN (" in live)
+        assert len(q.collect()) == 5
+    finally:
+        pidx.unpersist()
+
+
+def test_probe_buckets_enumeration():
+    """probe_buckets must enumerate exactly the ids within the hamming
+    radius: C(8,0)+C(8,1)+C(8,2) = 37 for radius 2, all within distance."""
+    from building_permissions_etl_spark.operators.similarity import probe_buckets
+
+    qb = 0b10110010
+    got = probe_buckets(qb, 8, 2)
+    assert len(got) == len(set(got)) == 1 + 8 + 28
+    assert all(bin(b ^ qb).count("1") <= 2 for b in got)
+    assert qb in got
+    assert probe_buckets(qb, 8, 0) == [qb]
+
+
 def test_stratified_sample_deterministic_and_proportional(spark):
     from building_permissions_etl_spark.plans.registry import queries
 
