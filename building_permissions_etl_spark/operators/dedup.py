@@ -444,13 +444,14 @@ def ngram_jaccard_pairs(
     sets — integer set sizes, so the double division is engine-exact and
     DuckDB-oracle-checkable.
 
-    Shape note (measured): the alternative inverted-index form (explode
-    shingles → self-join on (block, shingle) → count per pair) produces
-    identical pairs but ran ~1.4× SLOWER at sf0.1 — with tight blocks
-    (~50 docs) the per-block quadratic is tiny and array_intersect beats
-    the explode+shuffle of every posting. The inverted index becomes the
-    right shape only when blocks are large or unbounded; switch there,
-    with a document-frequency cutoff on hot shingles.
+    Shape note (measured): the inverted-index form
+    (``ngram_jaccard_pairs_inverted``) produces identical pairs but ran
+    ~1.4× SLOWER at sf0.1 — with tight blocks (~50 docs) the per-block
+    quadratic is tiny and array_intersect beats the explode+shuffle of
+    every posting. On large/unbounded blocks (a raw corpus blocked by
+    lang) the quadratic explodes (83 s at 10×, SCALE.md §10) and the
+    inverted index with a document-frequency cutoff is the right shape —
+    ``ngram_jaccard_pairs_auto`` picks per measured block occupancy.
     """
     sets = fan_out(df).select(
         F.col(id_col).alias("id"),
@@ -476,6 +477,108 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .orderBy("id_a", "id_b")
     )
+
+
+def ngram_jaccard_pairs_inverted(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.05,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard via an inverted index — the raw-corpus
+    scale shape (cf. the docstring of ``ngram_jaccard_pairs``).
+
+    Shingles EXPLODE to postings (block, shingle, id); candidate pairs
+    come from equi-joining postings on (block, shingle), so total pair
+    work is Σ_shingle C(df, 2) instead of Σ_block C(block_size, 2) —
+    bounded by the document-frequency cutoff instead of quadratic in
+    block occupancy. |A∩B| is the per-pair count of co-occurring
+    shingles; |A∪B| = |A| + |B| − |A∩B| with sizes joined onto the
+    (much smaller) pair table, never onto the postings.
+
+    ``max_df`` drops shingles occurring in more than ``max_df`` documents
+    of a block BEFORE pairing. The hot set is found with a partial-agg
+    groupBy (shuffle carries (block, shingle, count) — bytes per shingle)
+    and removed with a broadcast anti-join, so hot postings are never
+    shuffled at all — a window-count formulation would funnel every hot
+    shingle's postings through one partition first, which is exactly the
+    skew this operator exists to avoid. With a cutoff the semantics are
+    exact Jaccard over the df-filtered shingle universe (a shingle in
+    thousands of documents is boilerplate, not signal); with
+    ``max_df=None`` results are identical to ``ngram_jaccard_pairs``
+    whenever ``min_jaccard > 0`` (pairs sharing zero shingles are the
+    only delta, and both variants filter them out).
+    """
+    sets = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        word_shingles(F.col(text_col), n).alias("ng"),
+    )
+    postings = sets.select("id", "block", F.explode("ng").alias("sh"))
+    if max_df:
+        hot = (
+            postings.groupBy("block", "sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .drop("__df")
+        )
+        postings = postings.join(F.broadcast(hot), ["block", "sh"], "left_anti")
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"))
+    return (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("__i").cast("double")
+             / (F.col("__sza") + F.col("__szb") - F.col("__i")).cast("double")
+             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs_auto(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.05,
+    max_df: int | None = None,
+    switch_block_size: int = 500,
+) -> DataFrame:
+    """Pick the n-gram Jaccard shape by measured block occupancy.
+
+    One bounded pre-pass (partial-agg groupBy: the shuffle carries
+    (block, count) — bytes per block — and the driver fetches a single
+    max) decides: blocks all under ``switch_block_size`` → the
+    array-intersect quadratic (measured ~1.4× faster on tight blocks);
+    any block over it → the inverted index, whose pair work is bounded
+    by document frequency instead of block occupancy (83 s → near-linear
+    on the 10× raw-corpus sweep, SCALE.md §10). Both shapes return
+    identical rows for ``min_jaccard > 0`` when ``max_df`` is None, so
+    the choice is a physical-plan decision, not a semantic one.
+    """
+    top = df.groupBy(F.col(block_col)).agg(F.count(F.lit(1)).alias("__bsz")) \
+            .agg(F.max("__bsz")).first()[0]
+    if top is not None and top > switch_block_size:
+        return ngram_jaccard_pairs_inverted(
+            df, text_col, id_col, block_col, n, min_jaccard, max_df
+        )
+    return ngram_jaccard_pairs(df, text_col, id_col, block_col, n, min_jaccard)
 
 
 def connected_components(

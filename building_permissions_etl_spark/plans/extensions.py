@@ -160,6 +160,43 @@ def contribute(register) -> None:
         """,
     )
 
+    # Raw-corpus shape: block on lang ALONE (unbounded occupancy — the
+    # case where the quadratic explodes, SCALE.md §10) via the inverted
+    # index with a document-frequency cutoff. Semantics: exact Jaccard
+    # over the df-filtered shingle universe; the oracle applies the same
+    # cutoff, so values (not just counts) are engine-checked.
+    register(
+        "dedup_ngram_inverted",
+        lambda spark, sf: D.ngram_jaccard_pairs_inverted(
+            load_table(spark, "documents", sf), "text", "doc_id",
+            block_col="lang", n=3, min_jaccard=0.05, max_df=100,
+        ),
+        f"""
+        WITH t AS (
+          SELECT doc_id, lang AS block, {_SHINGLES3} AS ng FROM documents
+        ),
+        p AS (SELECT doc_id, block, unnest(ng) AS sh FROM t),
+        dfc AS (
+          SELECT block, sh FROM p GROUP BY block, sh HAVING count(*) <= 100
+        ),
+        kept AS (SELECT p.* FROM p JOIN dfc USING (block, sh)),
+        sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+        i AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS i
+          FROM kept a JOIN kept b
+            ON a.block = b.block AND a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        FROM i JOIN sz sa ON sa.doc_id = i.id_a
+               JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
+        ORDER BY id_a, id_b
+        """,
+    )
+
     # Vector-column profiling: per-label L2-norm stats. Per-row norm is a
     # sequential index-order fold with per-element DOUBLE casts on BOTH
     # engines (same discipline as _DOT), so min/max — which surface one

@@ -84,6 +84,12 @@ def main() -> None:
     )
     timed("ngram_jaccard_after_exact_dedup",
           D.ngram_jaccard_pairs(surv, "text", "doc_id", "block"))
+    # the RAW-corpus path the quadratic can't survive (83 s at 10×):
+    # inverted index, pair work bounded by the df cutoff instead of
+    # block occupancy — should scale ~linearly with the corpus
+    timed("ngram_inverted_raw_corpus",
+          D.ngram_jaccard_pairs_inverted(docs, "text", "doc_id", "lang",
+                                         max_df=100))
 
     # hot-bucket probe: the N× corpus is a planted boilerplate flood
     # (every doc has N-1 identical twins → every band bucket is ≥ N

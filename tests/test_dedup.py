@@ -84,6 +84,63 @@ def test_ngram_jaccard_exact_values(docs):
     assert vals[(0, 2)] == 0.0
 
 
+def test_ngram_inverted_matches_quadratic(spark):
+    """With no df cutoff and min_jaccard > 0, the inverted index must
+    return row-identical results to the quadratic array_intersect form —
+    the auto-selector relies on this equivalence."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs_auto,
+        ngram_jaccard_pairs_inverted,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    quad = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col="lang", min_jaccard=0.05
+    )
+    inv = ngram_jaccard_pairs_inverted(
+        docs, "text", "doc_id", block_col="lang", min_jaccard=0.05
+    )
+    q = [(r.id_a, r.id_b, round(r.jaccard, 9)) for r in quad.collect()]
+    i = [(r.id_a, r.id_b, round(r.jaccard, 9)) for r in inv.collect()]
+    assert q == i and len(q) > 0
+    # auto must pick SOME shape and return the same rows either way
+    auto = ngram_jaccard_pairs_auto(
+        docs, "text", "doc_id", block_col="lang", min_jaccard=0.05,
+        switch_block_size=10,       # force the inverted branch
+    )
+    assert [(r.id_a, r.id_b, round(r.jaccard, 9)) for r in auto.collect()] == q
+
+
+def test_ngram_inverted_df_cutoff_drops_boilerplate(spark):
+    """A shingle present in > max_df docs of a block must not generate
+    pairs, and Jaccard is computed over the filtered universe."""
+    from building_permissions_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs_inverted,
+    )
+
+    # 4 docs share boilerplate "a b c"; docs 0/1 also share "x y z"
+    rows = [
+        (0, "a b c x y z"), (1, "a b c x y z"),
+        (2, "a b c p q r"), (3, "a b c s t u"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "block", F.lit("all")
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_inverted(
+            df, "text", "doc_id", "block", n=3, min_jaccard=0.01, max_df=3
+        ).collect()
+    }
+    # shingles "a b c" / "b c x|p|s" have df<=3 except "a b c" (df=4, cut)
+    assert all(v > 0 for v in got.values())
+    # (0,1) still pair via their non-boilerplate shingles
+    assert (0, 1) in got
+    # (2,3) shared ONLY the cut boilerplate shingle → no pair
+    assert (2, 3) not in got
+
+
 def test_embedding_neardup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0], "a"),
