@@ -174,8 +174,9 @@ def pack_sequences(
     here), never a global single-partition window — each language stream
     packs independently and in parallel, which is both the realistic
     curriculum layout and the scalable plan. A global pack at 100 TB
-    would serialize on one task; if global order is truly required, use
-    a two-pass range-partitioned prefix-sum instead.
+    would serialize on one task; when global order is truly required,
+    ``pack_sequences_global`` runs the two-pass range-partitioned
+    prefix-sum instead.
     """
     n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
     part = [part_col] if part_col else []
@@ -193,6 +194,66 @@ def pack_sequences(
         F.floor(start / budget).cast("bigint").alias("seq_id"),
         (start % budget).cast("bigint").alias("seq_offset"),
     ).orderBy("id")
+
+
+def pack_sequences_global(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int = 512,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Globally-ordered sequence packing — the two-pass range-partitioned
+    prefix-sum ``pack_sequences`` names as the scalable alternative to a
+    single-partition window.
+
+    Pass 1: ``repartitionByRange(id)`` puts contiguous id ranges in
+    separate partitions (RangePartitioner guarantees partition i's keys
+    all precede partition i+1's), and a per-partition window computes
+    LOCAL running token sums in parallel. Pass 2: per-partition totals —
+    ONE ROW per partition, bounded by the partition count, not the data —
+    get an exclusive prefix sum on a single partition (the only
+    SinglePartition exchange in the plan, plan-asserted), and the offsets
+    broadcast-join back so every doc's global start is local_cum + its
+    partition's offset. Result is row-identical to the one-partition
+    window form, but the per-row work runs in ``num_ranges``-way
+    parallel — at 100 TB the serialized stage touches only ~#partitions
+    rows instead of the corpus.
+    """
+    n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    base = fan_out(df).select(F.col(id_col).alias("id"), n_tok.alias("n_tokens"))
+    spark = df.sparkSession
+    ranges = num_ranges or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = base.repartitionByRange(ranges, "id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__cum", F.sum("n_tokens").over(w_local))
+    totals = local.groupBy("__pid").agg(F.sum("n_tokens").alias("__tot"))
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    start = F.col("__cum") - F.col("n_tokens") + F.col("__off")
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .select(
+            "id",
+            F.col("n_tokens"),
+            F.floor(start / budget).cast("bigint").alias("seq_id"),
+            (start % budget).cast("bigint").alias("seq_offset"),
+        )
+        .orderBy("id")
+    )
 
 
 def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -93,6 +93,27 @@ def contribute(register) -> None:
     )
 
     register(
+        "pack_sequences_global",
+        lambda spark, sf: C.pack_sequences_global(
+            load_table(spark, "documents", sf), "text", "doc_id",
+            budget=_PACK_BUDGET,
+        ),
+        f"""
+        WITH t AS (SELECT doc_id,
+                          CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t)
+        SELECT doc_id AS id, n_tokens,
+               CAST(floor((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+               CAST((cum - n_tokens) % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+        FROM c ORDER BY id
+        """,
+    )
+
+    register(
         "repetition_stats",
         lambda spark, sf: C.repetition_stats(
             load_table(spark, "documents", sf), "text", "doc_id"

@@ -65,6 +65,45 @@ def test_pack_sequences_contiguous_budget(spark):
     assert by_id[0]["seq_id"] == by_id[10]["seq_id"] == 0
 
 
+def test_pack_sequences_global_matches_single_window(spark):
+    """The two-pass range-partitioned prefix-sum must be row-identical to
+    the ground-truth single-stream pack (pack_sequences with no part_col,
+    which runs one global window), across many range partitions."""
+    from building_permissions_etl_spark.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    want = [
+        (r["id"], r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in C.pack_sequences(docs, "text", "doc_id", budget=512).collect()
+    ]
+    got = [
+        (r["id"], r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in C.pack_sequences_global(
+            docs, "text", "doc_id", budget=512, num_ranges=7
+        ).collect()
+    ]
+    assert got == want and len(got) == 500
+
+
+def test_pack_sequences_global_no_data_wide_single_partition(spark):
+    """The only SinglePartition exchange in the plan must sit above the
+    per-partition totals aggregate (one row per range partition) — the
+    corpus itself is never funneled through one partition."""
+    from building_permissions_etl_spark.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    q = C.pack_sequences_global(docs, "text", "doc_id", budget=512)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()          # pass-1 range split
+    hits = [i for i in range(len(plan))
+            if plan.startswith("Exchange SinglePartition", i)]
+    assert len(hits) == 1
+    # the subtree under that exchange must be the tiny totals aggregate
+    below = plan[hits[0]:].splitlines()
+    agg_soon = any("HashAggregate" in ln for ln in below[1:4])
+    assert agg_soon, below[:4]
+
+
 def test_repetition_stats_known_values(spark):
     df = _docs(spark, [
         (1, "a a a a", "en", "s"),          # 1 distinct / 4, top share 1.0, bigrams all "a a"
