@@ -3,11 +3,14 @@
 pandas UDFs over ``mapInPandas``.
 
 The Spark-side contract is real and tested — schema, partitioning, UDF
-signature, batch shape. The actual media decode is STUBBED (the
-image/audio libraries are not in this container): ``decode_asset``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic byte-statistics "feature vector" stands in for the real
-decoder so the distributed plumbing can be exercised end-to-end.
+signature, batch shape. The media codec is a SEAM with auto-detection:
+when the library for an asset kind is importable (PIL for images) the
+real decoder runs; otherwise a deterministic byte-statistics "feature
+vector" stands in so the distributed plumbing still runs end-to-end.
+``fake=True`` pins the stub (registry queries do, for cross-engine
+value checks); ``fake=False`` requires the real codec and raises
+``NotImplementedError`` when absent; a ``decoder`` callable injects a
+custom codec stack.
 
 At 100 TB: payloads live in parquet binary columns (or object-store
 pointers); ``mapInPandas`` streams Arrow batches so one task never holds
@@ -95,24 +98,82 @@ def _fake_features(payload: bytes) -> list[float]:
     return [int((c / total) * 1e6) / 1e6 for c in buckets]
 
 
-def decode_asset(payload: bytes, kind: str, fake: bool = False) -> list[float]:
-    """STUB: real media decode requires PIL / librosa / decord, not
-    available in this container. ``fake=True`` selects the deterministic
-    byte-statistics decoder used by tests and the fixture queries."""
-    if not fake:
+def available_codecs() -> dict[str, str]:
+    """Which real media decoders this interpreter can load: import-probe
+    for PIL (images) and librosa (audio). Bounded driver/executor-side
+    check, no side effects beyond the imports."""
+    codecs: dict[str, str] = {}
+    try:
+        import PIL.Image  # noqa: F401
+        codecs["image"] = "PIL"
+    except ImportError:
+        pass
+    try:
+        import librosa  # noqa: F401
+        codecs["audio"] = "librosa"
+    except ImportError:
+        pass
+    return codecs
+
+
+def _pil_image_features(payload: bytes) -> list[float]:
+    """Real image decode (only reachable when PIL imports): grayscale
+    256-bucket histogram folded to N_FEATURES, normalized, truncated at 6
+    decimals like the stub so the output contract is identical."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    hist = Image.open(BytesIO(payload)).convert("L").histogram()
+    span = 256 // N_FEATURES
+    buckets = [sum(hist[k * span:(k + 1) * span]) for k in range(N_FEATURES)]
+    total = float(sum(buckets)) or 1.0
+    return [int((c / total) * 1e6) / 1e6 for c in buckets]
+
+
+def decode_asset(
+    payload: bytes, kind: str, fake: bool | None = None
+) -> list[float]:
+    """Decode one asset to its feature vector.
+
+    ``fake=None`` (default) AUTO-DETECTS: a real codec when the library
+    for ``kind`` is importable (PIL for images), else the deterministic
+    byte-statistics stub — so the operator is deployable as-is and
+    upgrades itself when the codec ships. ``fake=True`` forces the stub
+    (what tests and the oracle-checked registry queries pin, since real
+    decoder output is library-versioned). ``fake=False`` REQUIRES a real
+    codec and raises ``NotImplementedError`` when it isn't installed —
+    the honest error for callers that must not fall back silently."""
+    codecs = available_codecs()
+    if fake is True or (fake is None and kind not in codecs):
+        return _fake_features(payload)
+    if kind not in codecs:
         raise NotImplementedError(
-            "media decode needs PIL/librosa/decord — not installed here; "
-            "pass fake=True for the deterministic test decoder"
+            f"real {kind} decode needs PIL/librosa/decord — not installed "
+            "here; pass fake=True (deterministic stub) or fake=None (auto)"
         )
-    return _fake_features(payload)
+    if kind == "image":
+        return _pil_image_features(payload)
+    raise NotImplementedError(f"no real decoder wired for kind={kind!r}")
 
 
-def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(
+    assets: DataFrame, fake: bool | None = None, decoder=None
+) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
     ``mapInPandas`` keeps the decode streaming: each task sees an iterator
     of Arrow batches, never the whole partition. Output schema is fixed
     (FEATURE_SCHEMA) so downstream plans are stable.
+
+    Codec seam: ``fake`` has ``decode_asset`` semantics (None = auto,
+    probed ON THE EXECUTOR so heterogeneous clusters pick per-worker;
+    True = pinned stub — what the registry queries use for determinism;
+    False = require real codec, error when absent). ``decoder`` injects a
+    custom ``payload -> list[float]`` callable — the unit-test seam for
+    the real-codec branch, and the hook for deployments with their own
+    codec stack. It must be SELF-CONTAINED (cloudpickle ships it by
+    value to workers that may not have this package importable).
     """
 
     n_features = N_FEATURES
@@ -131,19 +192,47 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
             total = float(sum(buckets))
             return [int((c / total) * 1e6) / 1e6 for c in buckets]
 
-        def decode(payload):
-            if not fake:
-                raise NotImplementedError(
-                    "media decode needs PIL/librosa/decord — not installed"
-                )
-            return fake_features(payload)
+        def pil_features(payload):
+            from io import BytesIO
+
+            from PIL import Image
+
+            hist = Image.open(BytesIO(payload)).convert("L").histogram()
+            span = 256 // n_features
+            buckets = [sum(hist[k * span:(k + 1) * span])
+                       for k in range(n_features)]
+            total = float(sum(buckets)) or 1.0
+            return [int((c / total) * 1e6) / 1e6 for c in buckets]
+
+        if decoder is not None:
+            real = {"image": decoder, "audio": decoder, "video": decoder}
+        else:
+            real = {}
+            try:
+                import PIL.Image  # noqa: F401
+                real["image"] = pil_features
+            except ImportError:
+                pass
+
+        def decode(payload, kind):
+            fn = None if fake is True else real.get(kind)
+            if fn is None:
+                if fake is False:
+                    raise NotImplementedError(
+                        f"real {kind} decode needs PIL/librosa/decord — "
+                        "not installed on this worker"
+                    )
+                return fake_features(payload)
+            return fn(payload)
 
         for pdf in it:
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)),
-                "features": pdf["payload"].map(decode),
+                "features": [
+                    decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+                ],
             })
 
     # decode parallelism == partition count: fan out before the UDF

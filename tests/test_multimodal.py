@@ -17,10 +17,66 @@ from building_permissions_etl_spark.operators.multimodal import (
 SF = "/root/testdata/sf0.001"
 
 
-def test_decode_stub_gated():
+def test_decode_codec_seam():
+    from building_permissions_etl_spark.operators import multimodal as M
+
+    # this container has neither PIL nor librosa
+    assert M.available_codecs() == {}
+    # fake=False REQUIRES a real codec → honest error here
     with pytest.raises(NotImplementedError):
         decode_asset(b"abc", "image", fake=False)
-    assert len(decode_asset(b"abc", "image", fake=True)) == N_FEATURES
+    # pinned stub and auto (no codec present → stub) agree
+    stub = decode_asset(b"abc", "image", fake=True)
+    assert len(stub) == N_FEATURES
+    assert decode_asset(b"abc", "image") == stub          # fake=None auto
+
+
+def test_decode_auto_uses_real_codec_when_importable(monkeypatch):
+    """Driver-side auto-detect: with a PIL stand-in importable, auto mode
+    must route images through it instead of the byte stub."""
+    import io
+    import sys
+    import types
+
+    from building_permissions_etl_spark.operators import multimodal as M
+
+    class _Img:
+        def convert(self, mode):
+            return self
+
+        def histogram(self):
+            return [1] * 256          # uniform → every folded bucket equal
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = lambda b: _Img()
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    assert M.available_codecs().get("image") == "PIL"
+    got = M.decode_asset(b"pretend-png-bytes", "image")   # auto
+    assert got == [0.125] * M.N_FEATURES                  # real-codec branch
+    # pinned stub still bypasses the codec
+    assert M.decode_asset(b"pretend-png-bytes", "image", fake=True) != got
+    # audio has no codec → auto falls back to the stub
+    assert M.decode_asset(b"xy", "audio") == M.decode_asset(b"xy", "audio",
+                                                            fake=True)
+
+
+def test_extract_features_decoder_injection(spark):
+    """The mapInPandas path's real-codec branch, exercised via the
+    self-contained decoder seam (no media lib needed)."""
+    assets = assets_from_documents(load_table(spark, "documents", SF))
+
+    def decoder(payload):
+        return [float(len(payload) % 7)] * 8
+
+    rows = extract_features(assets, decoder=decoder).collect()
+    assert all(r.features == [float(r.n_bytes % 7)] * 8 for r in rows)
+    # fake=True wins over an injected decoder's absence: stub everywhere
+    stub_rows = extract_features(assets, fake=True).collect()
+    assert all(abs(sum(r.features) - 1.0) < 1e-3 for r in stub_rows)
 
 
 def test_assets_schema(spark):
