@@ -104,10 +104,18 @@ def main() -> None:
 
     # One untimed warmup absorbs JVM/codegen/session startup so timings
     # measure steady-state plan execution, as on a long-lived cluster.
-    try:
-        queries[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    except Exception:
-        pass
+    # If a candidate throws, fall through to the next runnable query so a
+    # single broken headliner can't silently skip the warmup and leave
+    # JVM startup inside the first timed query's best-of-2.
+    for warm in names:
+        try:
+            queries[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            break
+        except Exception:
+            continue
+    else:
+        spark.range(1_000_000).selectExpr("sum(id)").write.format(
+            "noop").mode("overwrite").save()
 
     # best of 2 per query: machine-load variance at sf0.1 was measured at
     # ±30% run-to-run; the min is the reproducible steady-state figure.

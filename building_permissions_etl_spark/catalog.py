@@ -52,9 +52,12 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize ``ts`` to TIMESTAMP (ltz) whatever the physical type:
 
       * bigint          — ns-as-long era: rebuild µs timestamps;
-      * timestamp_ntz   — current µs fixtures: cast (session tz is UTC,
-                          so the cast is wall-clock preserving and epoch
-                          math matches DuckDB's naive view);
+      * timestamp_ntz   — current µs fixtures: interpret the naive wall
+                          clock AS UTC regardless of the session zone
+                          (DuckDB's naive-as-UTC view of the same file),
+                          via cast + ``from_utc_timestamp`` against the
+                          live session zone — a bare cast would shift
+                          epoch math on any non-UTC session;
       * timestamp       — already normalized.
 
     ltz is required downstream: ``withWatermark`` rejects NTZ
@@ -66,7 +69,16 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     if dt == "bigint":
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if dt == "timestamp_ntz":
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # cast renders the naive wall clock as an instant in the SESSION
+        # zone; from_utc_timestamp(·, session_zone) re-reads that same
+        # wall clock as UTC. Identity when the session is UTC, and the
+        # tz-independent fix everywhere else.
+        return df.withColumn(
+            "ts",
+            F.from_utc_timestamp(
+                F.col("ts").cast("timestamp"), F.current_timezone()
+            ),
+        )
     return df
 
 

@@ -44,6 +44,10 @@ def asof_join_backward(
     with ``right_ts >= left_ts`` — same union-sort-carry plan, with the
     per-key window ordered descending so ``last(..., ignorenulls)``
     carries the nearest FUTURE right row backward onto each left row."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     lcols = left.columns
     tagged_left = left.select(
         F.col(key).alias("__k"),

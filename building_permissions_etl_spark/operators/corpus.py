@@ -124,33 +124,35 @@ def decontaminate_containment(
 
     Same scale shape as ``decontaminate``: the eval gram set is
     broadcast; train grams explode into a partial-agg count, never a
-    wide shuffle of text.
+    wide shuffle of text. Both tallies come out of ONE pass over the
+    exploded train grams — a broadcast LEFT join marks eval hits and a
+    single groupBy counts rows and non-null marks together, so the
+    tokenize+explode subtree executes once, not twice.
     """
     grams = word_ngrams(F.col(text_col), n)
     eval_grams = (
         df.filter(eval_pred)
         .select(F.explode(grams).alias("gram"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     train = (
         fan_out(df.filter(~eval_pred))
         .select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
     )
-    counts = (
-        train.join(F.broadcast(eval_grams), "gram", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    totals = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     return (
-        totals.join(counts, "id", "left")
+        train.join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_shared"),
+        )
         .select(
             "id",
             F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
             F.round(
-                F.coalesce("n_shared", F.lit(0)).cast("double")
-                / F.col("n_grams"), 6,
+                F.col("n_shared").cast("double") / F.col("n_grams"), 6
             ).alias("containment"),
         )
         .orderBy("id")

@@ -3,6 +3,8 @@ no-match nulls, per-key isolation, and bin-boundary coverage."""
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.operators.asof import (
@@ -111,3 +113,13 @@ def test_range_join_matches_naive(spark):
         .distinct()
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_asof_rejects_unknown_direction(spark):
+    """ADVICE r03: a typo like 'backwards' must raise, not silently
+    select the forward ordering and return plausible-but-wrong rows."""
+    df = spark.range(1).selectExpr("1 AS k", "timestamp'2023-01-01' AS ts",
+                                   "1.0 AS v")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join_backward(df, df, "k", "ts", "ts", ["v"],
+                           direction="backwards")

@@ -77,3 +77,30 @@ def test_loader_normalizes_events_ts_to_ltz_timestamp(spark, sf_dir):
         f"events.ts surfaced as {dt!r}, not 'timestamp' — withWatermark "
         f"and cast('long') epoch math both break on this type."
     )
+
+
+def test_ntz_normalization_is_session_timezone_independent(spark):
+    """ADVICE r03: a bare ntz→ltz cast reads the wall clock in the SESSION
+    zone, silently shifting epoch math on non-UTC machines relative to
+    DuckDB's naive-as-UTC view. The loader must yield the SAME instant
+    under any session timezone."""
+    from building_permissions_etl_spark.catalog import normalize_events_ts
+
+    src = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2023-06-15 12:00:00' AS ts, 1 AS event_id"
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        epochs = {}
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            row = (
+                normalize_events_ts(src)
+                .selectExpr("unix_seconds(ts) AS e")
+                .collect()[0]
+            )
+            epochs[tz] = row["e"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # 2023-06-15T12:00:00Z regardless of session zone
+    assert set(epochs.values()) == {1686830400}, epochs
