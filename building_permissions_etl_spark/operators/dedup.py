@@ -657,13 +657,123 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014 —
+    public algorithm). Same contract as ``connected_components``: (id,
+    label) with label = min id reachable, only ids appearing in ``pairs``.
+
+    Min-label propagation converges in O(diameter) rounds — fine for
+    near-dup clusters (shallow by construction), pathological for long
+    chains. The star rewrites reattach whole neighborhoods to their
+    neighborhood minimum each round, halving depth: O(log² n) rounds on
+    ANY topology, each round two groupBy+join passes over the current
+    edge set, whose size never grows beyond the input edge count.
+
+      * large-star: every node u sends its strictly-larger neighbors to
+        m = min(Γ(u) ∪ {u})  → edges (v, m) for v ∈ Γ(u), v > u;
+      * small-star: on big→small oriented edges, every node u reattaches
+        its smaller neighbors (and itself) to m = min(Γ≤(u) ∪ {u}).
+
+    Convergence is detected by edge-set stability (count + hash-sum in
+    ONE aggregate over the materialized generation). Each round's edge
+    set is eagerly localCheckpoint'ed and the PREVIOUS generation's
+    blocks are then released: unlike the propagation loop (3 refs/round,
+    checkpoint every 5), the star rewrite references the prior plan ~5
+    times per round, and Catalyst's tree traversals revisit shared
+    subtrees — without a per-round lineage cut the analysis cost is
+    exponential in rounds (measured: heap OOM at ~7 rounds on a 300-node
+    chain). At most two generations are ever materialized at once.
+    """
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ids = raw.select(F.explode(F.array("u", "v")).alias("id")).distinct().cache()
+    # big→small canonical orientation; self-loops carry no connectivity
+    # (their ids still get labels via the `ids` union below)
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _signature(edges)
+    try:
+        for _ in range(max_iters):
+            if sig[0] == 0:
+                break
+            sym = edges.union(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = sym.groupBy("u").agg(
+                F.least(F.min("v"), F.col("u")).alias("m")
+            )
+            large = (
+                sym.filter(F.col("v") > F.col("u"))
+                .join(mins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct()
+            )
+            # large output is already big→small oriented (m <= u < v)
+            smins = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                large.join(smins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(smins.select("u", F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint(eager=True)  # cuts lineage, materializes
+            )
+            # the new generation is self-contained (truncated lineage),
+            # so the superseded generation's blocks can be dropped safely
+            edges.unpersist()
+            edges = small
+            new_sig = _signature(small)
+            if new_sig == sig:
+                break
+            sig = new_sig
+        children = edges.select(F.col("u").alias("id"), F.col("v").alias("label"))
+        roots = ids.join(children, "id", "left_anti").withColumn(
+            "label", F.col("id")
+        )
+        labels = children.union(roots).cache()
+        labels.count()
+    finally:
+        # the final edges generation stays persisted: labels' own cache
+        # may be evicted, and its recompute path runs through this
+        # lineage-truncated frame. The propagation form keeps its final
+        # checkpoint alive for the same reason.
+        ids.unpersist()
+    return labels
+
+
 def dedup_survivors(
     df: DataFrame, pairs: DataFrame, id_col: str,
     id_a: str = "id_a", id_b: str = "id_b",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Keep one row per near-dup cluster (the min id) plus every row not
-    in any pair. The standard pairs → components → survivors tail."""
-    comp = connected_components(pairs, id_a, id_b)
+    in any pair. The standard pairs → components → survivors tail.
+    ``algorithm``: "propagation" (min-label, O(diameter) rounds — the
+    default for shallow near-dup graphs) or "star" (large-star/small-star,
+    O(log² n) rounds on any topology)."""
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(
+            f"algorithm must be 'propagation' or 'star', got {algorithm!r}"
+        )
+    cc = connected_components if algorithm == "propagation" else connected_components_star
+    comp = cc(pairs, id_a, id_b)
     losers = comp.filter(F.col("id") != F.col("label")).select("id")
     return df.join(
         losers, df[id_col] == losers.id, "left_anti"

@@ -258,22 +258,24 @@ def contribute(register) -> None:
     # Pairs → connected components → survivors: the full dedup tail.
     # Pair source is the SQL-expressible n-gram Jaccard blocking, so the
     # oracle can rebuild the clusters with a recursive transitive closure.
-    def cluster_survivors(spark, sf):
-        docs = load_table(spark, "documents", sf).withColumn(
-            "block", F.concat_ws("_", "lang", F.expr("n_chars div 50"))
-        )
-        pairs = D.ngram_jaccard_pairs(
-            docs, "text", "doc_id", block_col="block", n=3, min_jaccard=0.05
-        )
-        return (
-            D.dedup_survivors(docs, pairs, "doc_id")
-            .select("doc_id").orderBy("doc_id")
-        )
+    # Registered twice — once per clustering algorithm (min-label
+    # propagation and large-star/small-star), SAME oracle: the driver's
+    # hash-compare proves both produce identical components.
+    def cluster_survivors(algorithm):
+        def q(spark, sf):
+            docs = load_table(spark, "documents", sf).withColumn(
+                "block", F.concat_ws("_", "lang", F.expr("n_chars div 50"))
+            )
+            pairs = D.ngram_jaccard_pairs(
+                docs, "text", "doc_id", block_col="block", n=3, min_jaccard=0.05
+            )
+            return (
+                D.dedup_survivors(docs, pairs, "doc_id", algorithm=algorithm)
+                .select("doc_id").orderBy("doc_id")
+            )
+        return q
 
-    register(
-        "dedup_cluster_survivors",
-        cluster_survivors,
-        f"""
+    _survivors_sql = f"""
         WITH RECURSIVE t AS (
           SELECT doc_id, lang, n_chars // 50 AS lb, {_SHINGLES3} AS ng
           FROM documents
@@ -302,8 +304,11 @@ def contribute(register) -> None:
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
         ORDER BY doc_id
-        """,
-    )
+        """
+    register("dedup_cluster_survivors", cluster_survivors("propagation"),
+             _survivors_sql)
+    register("dedup_cluster_survivors_star", cluster_survivors("star"),
+             _survivors_sql)
 
     # Embedding-based dedup tail: cosine near-dup pairs → connected
     # components → survivors, all SQL-expressible so the whole composed

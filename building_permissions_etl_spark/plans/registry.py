@@ -9,20 +9,25 @@ the driver records a rows-only check for those.
 
 Registration ORDER is a driver contract: the grading driver verifies only
 the FIRST 50 registry entries per round (CORRECTNESS_r01 capped there).
-``_DRIVER_WINDOW`` pins which 50 land in the round-3 window — all
-oracle-backed: first the three queries that were RED in round 2 (the
-events-timestamp family, fixed this round), then the eight queries NEW
-in round 3 (ranking/LM scoring, chunk dedup, containment, the Q5-shape
-join, streaming dedup), then everything whose only green verdict is from
-a single round, for re-confirmation. Rotated OUT to make room: queries
-green in BOTH r01 and r02 (pivot_counts_90d, marginal_counts,
-range_filter_halfopen, audit_metrics, days_lookback_window,
-value_counts_priority, monthly_series, count_distinct_dates,
-flagship_merge_shape, outer_merge_windows, dim_completion_zero_rows,
-scalar_max_watermark, timestamp_parse_metrics, top_k_parts) — the union
-of r01+r02+r03 verdicts still covers every oracle-backed query.
-Local tri-scale parity (scripts/oracle_check.py at sf0.001/0.01/0.1)
-covers all of them every round regardless of the window.
+``_DRIVER_WINDOW`` pins which 50 land in the round-4 window, chosen from
+the per-query verdict history of CORRECTNESS_r01-r03:
+
+  1. the six queries with NO driver verdict in any round — five registered
+     after their round's window was pinned (embedding_norm_stats,
+     quality_classifier_score, props_key_histogram, dedup_ngram_inverted,
+     pack_sequences_global) plus dedup_cluster_survivors_star (new this
+     round);
+  2. approx_count_distinct_dates, whose only driver record is a r01 FAIL
+     (fixed since; green in every local sweep — needs a driver verdict);
+  3. every query whose single green verdict came from one round only
+     (38 of them, r02-only or r03-only), for re-confirmation;
+  4. five of the r01+r02-green queries rotated out in round 3, oldest
+     evidence first.
+
+With this window, r01∪r02∪r03∪r04 gives every oracle-backed query at
+least one driver verdict, closing the three-query evidence gap VERDICT
+r03 flagged. Local tri-scale parity (scripts/oracle_check.py at
+sf0.001/0.01/0.1) covers ALL queries every round regardless of window.
 """
 
 from __future__ import annotations
@@ -36,11 +41,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 # The 50 entries the driver will verify this round (see module docstring).
 _DRIVER_WINDOW = [
-    # -- RED in round 2 (events-timestamp root cause), fixed this round --
-    "range_join_clicks_errors",
-    "event_sessionization",
-    "stream_window_counts",
-    # -- NEW in round 3: ranking/LM scoring + chunk dedup + containment --
+    # -- 1. no driver verdict in any round --
+    "embedding_norm_stats",
+    "quality_classifier_score",
+    "props_key_histogram",
+    "dedup_ngram_inverted",
+    "pack_sequences_global",
+    "dedup_cluster_survivors_star",
+    # -- 2. only driver record is a r01 FAIL (since fixed) --
+    "approx_count_distinct_dates",
+    # -- 3. single-round green (r03 only) --
     "tfidf_top_terms",
     "bm25_topk",
     "unigram_logprob",
@@ -54,42 +64,38 @@ _DRIVER_WINDOW = [
     "event_gap_stats",
     "pricing_summary",
     "bigram_logprob",
-    # -- single green verdict so far (r02 only), re-confirmed --
-    "asof_join_last_error",
-    "event_window_counts",
-    "event_sliding_window",
-    "event_json_props",
-    "salted_group_count",
-    "salted_join_segments",
-    "exact_distinct_per_key",
-    "text_quality_filter",
-    "text_quality_stats",
-    "language_id",
-    "token_counts",
-    "corpus_vocabulary_top100",
-    "orders_per_customer_array",
-    "dedup_minhash_lsh",
-    "dedup_minhash_oph",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "stratified_sample_by_lang",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pii_redact",
-    "decontaminate_8gram",
-    "pack_sequences_by_lang",
-    "repetition_stats",
-    "corpus_composition",
-    "rollup_order_totals",
-    # -- core SURVEY §2 evidence, re-confirmed (flagship + joins/aggs) --
-    "flagship_monthly_pivot",
-    "fuzzy_first_match",
-    "terc_decision_tree",
-    "dim_summary_left_join",
-    "validation_suite",
+    # -- 3. single-round green (r02 only) --
+    "upper_bound_filter",
+    "not_in_set_filter",
+    "prefix_filter_drilldown",
+    "semi_join_known_keys",
+    "anti_join_unknown_keys",
+    "unpivot_cells_long",
+    "region_rollup_with_default",
+    "scalar_function_showcase",
+    "roman_numeral_codec",
+    "union_schema_align",
+    "projection_rename",
+    "topk_per_group",
+    "doc_length_quantiles",
+    "shipping_priority_topk",
+    "cube_order_counts",
+    "daily_active_users",
+    "intersect_active_customers",
+    "except_finished_only_customers",
+    "sql_revenue_by_status",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_cluster_survivors",
+    "embedding_dedup_survivors",
+    "similarity_topk_bruteforce",
+    # -- 4. oldest two-round evidence (r01+r02), re-confirmed --
+    "flagship_merge_shape",
+    "pivot_counts_90d",
+    "marginal_counts",
+    "outer_merge_windows",
+    "monthly_series",
 ]
 
 

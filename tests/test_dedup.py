@@ -288,3 +288,87 @@ def test_hot_bucket_cap_bounds_boilerplate_flood(spark):
     s = sorted((r.id_a, r.id_b, round(r.est_jaccard, 6)) for r in capped)
     d = sorted((a, b, round(e, 6)) for a, b, e in oracle)
     assert s == d
+
+
+def test_star_components_long_chain_bounded_rounds(spark):
+    """VERDICT r03 item 8: planted long-chain component. Min-label
+    propagation needs O(diameter) rounds (300 here — far past its
+    max_iters); the large-star/small-star variant must label the whole
+    chain within its default O(log² n) budget of 25 rounds."""
+    from building_permissions_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels = connected_components_star(edges)
+    got = {(r.id, r.label) for r in labels.collect()}
+    labels.unpersist()
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_star_components_match_propagation_on_random_graphs(spark):
+    """Property: both algorithms produce identical (id, label) maps on
+    arbitrary edge lists — islands, chains, stars, self-loops, dups."""
+    import random
+
+    from building_permissions_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n_nodes = rng.randint(2, 40)
+        n_edges = rng.randint(1, 60)
+        pairs = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        base = connected_components(df, max_iters=50)
+        star = connected_components_star(df)
+        a = {(r.id, r.label) for r in base.collect()}
+        b = {(r.id, r.label) for r in star.collect()}
+        base.unpersist()
+        star.unpersist()
+        assert a == b, f"trial {trial}: {sorted(a ^ b)}"
+
+
+def test_star_components_release_caches(spark):
+    """Same cache discipline as the propagation form: net persisted-RDD
+    growth after return is the returned labels plus at most the
+    checkpoint residues (one per 5 rounds), never one frame per round."""
+    from building_permissions_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
+    )
+    before = jsc.getPersistentRDDs().size()
+    labels = connected_components_star(edges)
+    # 100-node chain: ~4-7 star rounds → labels + <= 2 checkpoints
+    assert jsc.getPersistentRDDs().size() - before <= 3
+    assert {(r.id, r.label) for r in labels.collect()} == {
+        (i, 0) for i in range(100)
+    }
+    labels.unpersist()
+
+
+def test_dedup_survivors_star_matches_default_and_validates(spark):
+    import pytest as _pytest
+
+    from building_permissions_etl_spark.operators.dedup import dedup_survivors
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 5), (5, 7), (2, 3)], ["id_a", "id_b"])
+    star = sorted(r["doc_id"] for r in dedup_survivors(
+        df, pairs, "doc_id", algorithm="star").collect())
+    assert star == [0, 1, 2, 4, 6]
+    with _pytest.raises(ValueError, match="algorithm"):
+        dedup_survivors(df, pairs, "doc_id", algorithm="labelprop")
