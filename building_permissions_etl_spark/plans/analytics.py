@@ -629,3 +629,51 @@ def contribute(register) -> None:
         return spark.sql(_SQL_REVENUE)
 
     register("sql_revenue_by_status", sql_surface, _SQL_REVENUE)
+
+    # --- C22-C23: CRS reprojection as shared SQL text (functions/crs.py).
+    # The EPSG:2180→WGS84 inverse Transverse Mercator series is emitted
+    # ONCE as a SQL expression both engines parse: Spark runs it through
+    # F.expr (whole-stage codegen, no UDF), DuckDB runs the IDENTICAL
+    # text — the driver's hash-compare proves the projection math itself.
+    # Synthetic easting/northing grid derived from order keys spans the
+    # EPSG:2180 domain; every 97th key keeps the output compact.
+    from building_permissions_etl_spark.functions.crs import to_wgs84_sql
+
+    _GRID_SRC = """
+        SELECT o_orderkey,
+               CAST(250000 + (o_orderkey * 7919) % 500000 AS DOUBLE) AS x,
+               CAST(150000 + (o_orderkey * 104729) % 600000 AS DOUBLE) AS y
+        FROM orders WHERE o_orderkey % 97 = 0
+    """
+    _LON_SQL, _LAT_SQL = to_wgs84_sql("x", "y")
+
+    def crs_grid(spark, sf):
+        from building_permissions_etl_spark.catalog import load_table
+
+        return (
+            load_table(spark, "orders", sf)
+            .filter(F.expr("o_orderkey % 97 = 0"))
+            .selectExpr(
+                "o_orderkey",
+                "CAST(250000 + (o_orderkey * 7919) % 500000 AS DOUBLE) AS x",
+                "CAST(150000 + (o_orderkey * 104729) % 600000 AS DOUBLE) AS y",
+            )
+            .selectExpr(
+                "o_orderkey",
+                f"ROUND({_LON_SQL}, 6) AS lon",
+                f"ROUND({_LAT_SQL}, 6) AS lat",
+            )
+            .orderBy("o_orderkey")
+        )
+
+    register(
+        "crs_transform_grid",
+        crs_grid,
+        f"""
+        SELECT o_orderkey,
+               ROUND({_LON_SQL}, 6) AS lon,
+               ROUND({_LAT_SQL}, 6) AS lat
+        FROM ({_GRID_SRC})
+        ORDER BY o_orderkey
+        """,
+    )

@@ -12,16 +12,16 @@ the FIRST 50 registry entries per round (CORRECTNESS_r01 capped there).
 ``_DRIVER_WINDOW`` pins which 50 land in the round-4 window, chosen from
 the per-query verdict history of CORRECTNESS_r01-r03:
 
-  1. the six queries with NO driver verdict in any round — five registered
+  1. the seven queries with NO driver verdict in any round — five registered
      after their round's window was pinned (embedding_norm_stats,
      quality_classifier_score, props_key_histogram, dedup_ngram_inverted,
-     pack_sequences_global) plus dedup_cluster_survivors_star (new this
-     round);
+     pack_sequences_global) plus the two new this round
+     (dedup_cluster_survivors_star, crs_transform_grid);
   2. approx_count_distinct_dates, whose only driver record is a r01 FAIL
      (fixed since; green in every local sweep — needs a driver verdict);
   3. every query whose single green verdict came from one round only
      (38 of them, r02-only or r03-only), for re-confirmation;
-  4. five of the r01+r02-green queries rotated out in round 3, oldest
+  4. four of the r01+r02-green queries rotated out in round 3, oldest
      evidence first.
 
 With this window, r01∪r02∪r03∪r04 gives every oracle-backed query at
@@ -48,6 +48,7 @@ _DRIVER_WINDOW = [
     "dedup_ngram_inverted",
     "pack_sequences_global",
     "dedup_cluster_survivors_star",
+    "crs_transform_grid",
     # -- 2. only driver record is a r01 FAIL (since fixed) --
     "approx_count_distinct_dates",
     # -- 3. single-round green (r03 only) --
@@ -95,7 +96,6 @@ _DRIVER_WINDOW = [
     "pivot_counts_90d",
     "marginal_counts",
     "outer_merge_windows",
-    "monthly_series",
 ]
 
 

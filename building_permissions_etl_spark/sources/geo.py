@@ -5,10 +5,13 @@ and stores geometry as WKT strings in an all-string table (380 county
 rows). Geometry stays a plain ``StringType`` WKT column in the engine —
 small enough to broadcast everywhere it is joined (SURVEY.md §1.1).
 
-geopandas/shapely are not installed in this container, so the shapefile
-path is import-gated; the always-available path builds the dim from
-(code, name, wkt) records — which is also the shape any warehouse extract
-of the dim would have.
+``geo_dim_from_shapefile`` auto-detects its backend (same seam pattern
+as the multimodal codec): geopandas when installed, otherwise the
+built-in pure-Python reader (``sources/shapefile.py``) plus the
+built-in EPSG:2180→WGS84 series transform (``functions/crs.py``) — so
+the reference's S3 path runs end-to-end in this container with no geo
+library at all. ``geo_dim_from_records`` remains the path for
+warehouse extracts that already carry (code, name, wkt).
 """
 
 from __future__ import annotations
@@ -32,24 +35,60 @@ def geo_dim_from_records(
     return spark.createDataFrame(records, POWIATY_SCHEMA)
 
 
+def _detect_source_epsg(shapefile_path: str) -> int:
+    """Best-effort CRS sniff from the sidecar ``.prj`` WKT. Defaults to
+    2180 (PUWG 1992) — the CRS the reference's shapefile ships in —
+    when no .prj exists."""
+    import os
+
+    prj = shapefile_path[:-4] + ".prj"
+    if not os.path.exists(prj):
+        return 2180
+    with open(prj, encoding="ascii", errors="replace") as f:
+        wkt = f.read().upper()
+    if "WGS_1984" in wkt or "WGS 84" in wkt or '"4326"' in wkt:
+        return 4326
+    return 2180
+
+
 def geo_dim_from_shapefile(
     spark: SparkSession, shapefile_path: str, crs: str = "EPSG:4326"
 ) -> DataFrame:
     """Shapefile → reproject → WKT → DataFrame (helpers:774-779 parity).
-    Requires geopandas; raises ImportError with guidance if absent."""
+
+    Backend auto-detect: geopandas when available (arbitrary CRS pairs);
+    otherwise the built-in reader + built-in EPSG:2180→WGS84 transform.
+    The built-in path supports exactly the reference's case — target
+    EPSG:4326 from a 2180 (or already-4326) source — and says so loudly
+    for anything else.
+    """
     try:
         import geopandas as gpd
-    except ImportError as ex:  # pragma: no cover - geopandas not in container
-        raise ImportError(
-            "geo_dim_from_shapefile needs geopandas; install it or use "
-            "geo_dim_from_records with a pre-extracted (code, name, wkt) list"
-        ) from ex
-    gdf = gpd.read_file(shapefile_path).to_crs(crs)
-    records = [
-        (str(r["JPT_KOD_JE"]), str(r["JPT_NAZWA_"]), r.geometry.wkt)
-        for _, r in gdf.iterrows()
-    ]
-    return geo_dim_from_records(spark, records)
+    except ImportError:
+        gpd = None
+    if gpd is not None:  # pragma: no cover - geopandas not in container
+        gdf = gpd.read_file(shapefile_path).to_crs(crs)
+        records = [
+            (str(r["JPT_KOD_JE"]), str(r["JPT_NAZWA_"]), r.geometry.wkt)
+            for _, r in gdf.iterrows()
+        ]
+        return geo_dim_from_records(spark, records)
+
+    from building_permissions_etl_spark.functions.crs import to_wgs84
+    from building_permissions_etl_spark.sources.shapefile import (
+        shapefile_records,
+    )
+
+    if crs not in ("EPSG:4326", "4326", 4326):
+        raise ValueError(
+            f"built-in shapefile backend only targets EPSG:4326, got {crs!r}; "
+            f"install geopandas for arbitrary reprojection"
+        )
+    source_epsg = _detect_source_epsg(shapefile_path)
+    transform = to_wgs84 if source_epsg == 2180 else None
+    return geo_dim_from_records(
+        spark, shapefile_records(shapefile_path, transform=transform)
+    )
 
 
 def dissolve_wkt(

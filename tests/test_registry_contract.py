@@ -39,6 +39,6 @@ def test_driver_window_is_oracle_backed_and_complete():
         "embedding_norm_stats", "quality_classifier_score",
         "props_key_histogram", "dedup_ngram_inverted",
         "pack_sequences_global", "dedup_cluster_survivors_star",
-        "approx_count_distinct_dates",
+        "crs_transform_grid", "approx_count_distinct_dates",
     }
     assert never_driver_verified <= set(names[:50])
