@@ -251,3 +251,80 @@ def render_animation(
     parts += _legend(width, height, vmin, vmax, legend_label)
     parts.append("</svg>")
     return "\n".join(parts)
+
+
+def render_bar_chart(
+    items: Sequence[tuple[str, float]],
+    title: str = "",
+    ylabel: str = "Number of Occurrences",
+    log_scale: bool = True,
+    width: int = 760,
+    height: int = 420,
+) -> str:
+    """(label, value) rows → SVG bar chart matching the notebook's bar
+    plots (nb:9, nb:11, nb:13, nb:21): viridis gradient over
+    linspace(0.45, 0.9, n) like ``plt.cm.viridis``, optional log-scale
+    y-axis with plain-number tick labels (the notebook's FuncFormatter),
+    45°-rotated category labels."""
+    pad_l, pad_r, pad_t, pad_b = 64, 16, 40, 96
+    plot_w, plot_h = width - pad_l - pad_r, height - pad_t - pad_b
+    vals = [max(float(v), 0.0) for _, v in items]
+    vmax = max(vals) if vals else 1.0
+    floor = 1.0  # log scale needs a positive floor, like the notebook's
+    top = max(vmax, floor * 10.0)
+
+    def y_of(v):
+        if log_scale:
+            t = (0.0 if v <= floor
+                 else (math.log(v) - math.log(floor))
+                 / (math.log(top) - math.log(floor)))
+        else:
+            t = v / top
+        return pad_t + plot_h * (1.0 - min(t, 1.0))
+
+    n = max(len(items), 1)
+    bw = plot_w / n
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">',
+        f'<rect width="{width}" height="{height}" fill="white"/>',
+        f'<text x="{width / 2:.0f}" y="22" font-size="15" '
+        f'text-anchor="middle">{title}</text>',
+        f'<text x="16" y="{pad_t + plot_h / 2:.0f}" font-size="11" '
+        f'text-anchor="middle" transform="rotate(-90 16 '
+        f'{pad_t + plot_h / 2:.0f})">{ylabel}'
+        f'{" (Log Scale)" if log_scale else ""}</text>',
+        f'<line x1="{pad_l}" y1="{pad_t + plot_h}" x2="{width - pad_r}" '
+        f'y2="{pad_t + plot_h}" stroke="black" stroke-width="1"/>',
+    ]
+    # y ticks: powers of 10 on log scale, 5 even ticks otherwise
+    ticks = ([10.0 ** e for e in range(0, int(math.log10(top)) + 1)]
+             if log_scale else [top * i / 4 for i in range(5)])
+    for tv in ticks:
+        y = y_of(tv)
+        parts.append(
+            f'<line x1="{pad_l - 4}" y1="{y:.1f}" x2="{pad_l}" '
+            f'y2="{y:.1f}" stroke="black" stroke-width="1"/>'
+        )
+        parts.append(
+            f'<text x="{pad_l - 8}" y="{y + 4:.1f}" font-size="10" '
+            f'text-anchor="end">{tv:.0f}</text>'
+        )
+    for i, (label, v) in enumerate(items):
+        # plt.cm.viridis(np.linspace(0.45, 0.9, n)) — the notebook ramp
+        t = 0.45 + (0.45 * i / (n - 1) if n > 1 else 0.0)
+        x = pad_l + i * bw + bw * 0.1
+        y = y_of(max(float(v), 0.0))
+        parts.append(
+            f'<rect x="{x:.1f}" y="{y:.1f}" width="{bw * 0.8:.1f}" '
+            f'height="{pad_t + plot_h - y:.1f}" fill="{viridis(t)}">'
+            f'<title>{label}: {v:g}</title></rect>'
+        )
+        lx, ly = pad_l + (i + 0.5) * bw, pad_t + plot_h + 12
+        parts.append(
+            f'<text x="{lx:.1f}" y="{ly:.1f}" font-size="10" '
+            f'text-anchor="end" transform="rotate(-45 {lx:.1f} '
+            f'{ly:.1f})">{label}</text>'
+        )
+    parts.append("</svg>")
+    return "\n".join(parts)

@@ -115,3 +115,44 @@ def test_dissolve_to_render_pipeline(spark):
     )
     assert svg.count("<path ") == 2
     assert "<svg " in svg
+
+
+def test_render_bar_chart_log_scale():
+    from building_permissions_etl_spark.operators.choropleth import (
+        render_bar_chart,
+    )
+
+    items = [("one", 1200.0), ("two", 300.0), ("three", 7.0)]
+    svg = render_bar_chart(items, title="Building Permit Categories")
+    assert svg.startswith("<svg ") and svg.endswith("</svg>")
+    assert svg.count("<rect ") == 1 + 3  # background + 3 bars
+    assert "Log Scale" in svg
+    # log scale: bar heights ordered by value, and the 1200 bar is far
+    # from 1200/7x the height of the 7 bar
+    import re
+
+    hs = [float(m) for m in
+          re.findall(r'height="([0-9.]+)" fill="#[0-9a-f]{6}">', svg)]
+    assert hs[0] > hs[1] > hs[2] > 0
+    assert hs[0] / hs[2] < 5  # compressed by log, not linear
+    # power-of-ten tick labels as plain numbers
+    assert ">1<" in svg and ">10<" in svg and ">100<" in svg and ">1000<" in svg
+
+
+def test_bar_chart_from_value_counts(spark):
+    """nb:9 flow: value_counts on the engine → bar chart markup."""
+    from building_permissions_etl_spark.operators.aggregates import (
+        value_counts,
+    )
+    from building_permissions_etl_spark.operators.choropleth import (
+        render_bar_chart,
+    )
+
+    docs = spark.createDataFrame(
+        [("en",), ("en",), ("de",), ("en",), ("fr",)], ["lang"]
+    )
+    rows = value_counts(docs, "lang").collect()
+    svg = render_bar_chart([(r[0], float(r["cnt"])) for r in rows],
+                           log_scale=False)
+    assert svg.count("<rect ") == 1 + 3
+    assert "Log Scale" not in svg
