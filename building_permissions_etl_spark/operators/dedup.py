@@ -681,14 +681,19 @@ def connected_components_star(
         its smaller neighbors (and itself) to m = min(Γ≤(u) ∪ {u}).
 
     Convergence is detected by edge-set stability (count + hash-sum in
-    ONE aggregate over the materialized generation). Each round's edge
-    set is eagerly localCheckpoint'ed and the PREVIOUS generation's
-    blocks are then released: unlike the propagation loop (3 refs/round,
-    checkpoint every 5), the star rewrite references the prior plan ~5
-    times per round, and Catalyst's tree traversals revisit shared
-    subtrees — without a per-round lineage cut the analysis cost is
-    exponential in rounds (measured: heap OOM at ~7 rounds on a 300-node
-    chain). At most two generations are ever materialized at once.
+    ONE aggregate, which also materializes the round's cache). Memory
+    discipline: each round's edge set is cached and the superseded
+    generation unpersisted — at most two generations materialized at
+    once. The lineage is cut with localCheckpoint every 3 rounds, more
+    aggressively than the propagation loop's every-5: the star rewrite
+    references the prior plan ~5 times per round and Catalyst's tree
+    traversals revisit shared subtrees, so an uncut plan's analysis
+    cost is exponential in rounds (measured: heap OOM at ~7 rounds on a
+    300-node chain; depth ≤ 3 keeps the tree ≤ 5³ node-visits).
+    Checkpoint blocks themselves are NOT unpersistable through the
+    DataFrame API (RDD-level persist, invisible to the CacheManager) and
+    remain until context GC — one bounded residue per 3 rounds, same
+    trade the propagation form makes.
     """
     raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     ids = raw.select(F.explode(F.array("u", "v")).alias("id")).distinct().cache()
@@ -698,7 +703,7 @@ def connected_components_star(
         raw.filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .cache()
     )
 
     def _signature(e: DataFrame) -> tuple:
@@ -709,8 +714,9 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     sig = _signature(edges)
+    edges_is_ckpt = False
     try:
-        for _ in range(max_iters):
+        for i in range(max_iters):
             if sig[0] == 0:
                 break
             sym = edges.union(
@@ -733,13 +739,17 @@ def connected_components_star(
                 .union(smins.select("u", F.col("m").alias("v")))
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
-                .localCheckpoint(eager=True)  # cuts lineage, materializes
+                .cache()
             )
-            # the new generation is self-contained (truncated lineage),
-            # so the superseded generation's blocks can be dropped safely
-            edges.unpersist()
-            edges = small
-            new_sig = _signature(small)
+            new_sig = _signature(small)  # materializes the cache
+            if not edges_is_ckpt:
+                edges.unpersist()
+            edges, edges_is_ckpt = small, False
+            if (i + 1) % 3 == 0:
+                # cut lineage before the plan tree deepens past 3 rounds;
+                # the plain cache is then redundant with the checkpoint
+                edges, edges_is_ckpt = small.localCheckpoint(eager=True), True
+                small.unpersist()
             if new_sig == sig:
                 break
             sig = new_sig
@@ -750,10 +760,12 @@ def connected_components_star(
         labels = children.union(roots).cache()
         labels.count()
     finally:
-        # the final edges generation stays persisted: labels' own cache
-        # may be evicted, and its recompute path runs through this
-        # lineage-truncated frame. The propagation form keeps its final
-        # checkpoint alive for the same reason.
+        # the final generation stays persisted when it is a checkpoint:
+        # labels' recompute path runs through its truncated lineage. A
+        # plain-cache final generation is droppable — labels recompute
+        # through intact lineage if their own cache is ever evicted.
+        if not edges_is_ckpt:
+            edges.unpersist()
         ids.unpersist()
     return labels
 

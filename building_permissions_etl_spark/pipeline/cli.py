@@ -9,6 +9,9 @@ and the scheduler stays external (cron/Airflow/Dagster calling
     validate  — V1-V4 expectation suite → HTML report
     ingest    — CSV → terc correction → month-partitioned fact write
     aggregate — the flagship multi-window aggregate → evolving sink
+    viz       — nb:21/nb:25 reporting: lookback choropleth, monthly
+                animation, category bar chart → SVG files (no plotting
+                libraries needed; see operators/choropleth.py)
     all       — validate → ingest → aggregate in sequence
 
 Logical time comes ONLY from ``--date`` (the reference threads Airflow's
@@ -29,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
         prog="building_permissions_etl_spark.pipeline",
         description="Run one ETL task for a logical date",
     )
-    p.add_argument("task", choices=["download", "validate", "ingest", "aggregate", "all"])
+    p.add_argument("task", choices=["download", "validate", "ingest",
+                                    "aggregate", "viz", "all"])
     p.add_argument("--date", required=True,
                    help="logical execution date, YYYY-MM-DD[ HH:MM:SS]")
     p.add_argument("--zip-url")
@@ -41,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--powiaty", help="county dim path (parquet with "
                                      "JPT_KOD_JE / JPT_NAZWA_ columns)")
     p.add_argument("--report", default="/tmp/validation_report.html")
+    p.add_argument("--viz-out", default="/tmp/permits_viz",
+                   help="directory for viz task SVG output")
+    p.add_argument("--days", type=int, default=90,
+                   help="lookback window for the viz choropleth")
     return p
 
 
@@ -98,6 +106,82 @@ def run(spark: SparkSession, argv: list[str]) -> dict:
         audit = ingest_permissions(spark, ns.csv, ns.fact, powiaty, exec_date)
         if ns.task == "ingest":
             return {"task": "ingest", **audit}
+
+    if ns.task == "viz":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from building_permissions_etl_spark.operators.choropleth import (
+            render_animation,
+            render_bar_chart,
+            render_choropleth,
+        )
+        from building_permissions_etl_spark.schemas import EVENT_TIME_COL
+        from building_permissions_etl_spark.sources.geo import dissolve_wkt
+
+        fact = spark.read.parquet(ns.fact).withColumn(
+            "voivodeship", F.substring("terc", 1, 2)
+        ).withColumn("__ts", F.col(EVENT_TIME_COL).cast("timestamp"))
+        powiaty = spark.read.parquet(ns.powiaty)
+        # the reference's powiaty table stores WKT under 'geometry'
+        # (helpers:778); the engine dim calls it 'wkt' — accept both
+        wkt_col = "wkt" if "wkt" in powiaty.columns else "geometry"
+        dim_wkt = {
+            r["voivodeship"]: r["wkt"]
+            for r in dissolve_wkt(powiaty, wkt_col=wkt_col).collect()
+        }
+
+        # lookback choropleth, anchored at the max date in the data (F6)
+        mx = fact.agg(F.max("__ts")).first()[0]
+        recent = fact.filter(
+            F.col("__ts") >= F.lit(mx) - F.expr(f"INTERVAL {ns.days} DAYS")
+        )
+        counts = {
+            r["voivodeship"]: r["n"]
+            for r in recent.groupBy("voivodeship")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        feats = [(v, w, float(counts.get(v, 0.0))) for v, w in dim_wkt.items()]
+
+        # one animation frame per month over the whole fact
+        months = (
+            fact.groupBy(F.date_format("__ts", "yyyy-MM").alias("month"),
+                         "voivodeship")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_month: dict = {}
+        for r in months:
+            if r["month"] is not None:
+                by_month.setdefault(r["month"], {})[r["voivodeship"]] = r["n"]
+        frames = [
+            (m, [(v, w, float(by_month[m].get(v, 0.0)))
+                 for v, w in dim_wkt.items()])
+            for m in sorted(by_month)
+        ]
+
+        cats = fact.groupBy("kategoria").agg(
+            F.count(F.lit(1)).alias("n")
+        ).orderBy(F.desc("n"), "kategoria").collect()
+
+        os.makedirs(ns.viz_out, exist_ok=True)
+        outputs = {}
+        for name, svg in (
+            (f"choropleth_last_{ns.days}d.svg", render_choropleth(
+                feats, title=f"Permits by voivodeship, last {ns.days} days")),
+            ("choropleth_monthly.svg", render_animation(
+                frames, title="Permits by voivodeship, monthly")),
+            ("categories_bar.svg", render_bar_chart(
+                [(str(r["kategoria"]), float(r["n"])) for r in cats],
+                title="Building Permit Categories")),
+        ):
+            path = os.path.join(ns.viz_out, name)
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(svg)
+            outputs[name] = path
+        return {"task": "viz", "outputs": outputs,
+                "months": len(frames), "voivodeships": len(dim_wkt)}
 
     if ns.task in ("aggregate", "all"):
         from building_permissions_etl_spark.pipeline.permissions import superior_aggregates

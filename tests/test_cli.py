@@ -75,3 +75,39 @@ def test_notify_file_outbox(tmp_path):
     assert msg["to"] == ["ops@example.com"]
     assert msg["attachments"]["r.html"] == "<html>ok</html>"
     assert msg["logical_date"].startswith("2022-07-01")
+
+
+def test_cli_viz_renders_svgs(spark, tmp_path):
+    """nb:21/nb:25 reporting as an engine task: fact → lookback
+    choropleth + monthly animation + category bar chart, all SVG."""
+    csv = str(tmp_path / "perms.csv")
+    _write_csv(csv, _csv_rows())
+    wkts = {
+        "1465": "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))",
+        "0201": "POLYGON ((2 0, 2 1, 3 1, 3 0, 2 0))",
+        "0463": "POLYGON ((0 2, 0 3, 1 3, 1 2, 0 2))",
+        "2261": "POLYGON ((2 2, 2 3, 3 3, 3 2, 2 2))",
+    }
+    rows = [(code, f"County {code}", wkt) for code, wkt in wkts.items()]
+    powiaty = str(tmp_path / "powiaty_wkt")
+    spark.createDataFrame(
+        rows, ["JPT_KOD_JE", "JPT_NAZWA_", "geometry"]
+    ).write.parquet(powiaty)
+    fact = str(tmp_path / "fact")
+    run(spark, ["ingest", "--date", "2022-07-01", "--csv", csv,
+                "--fact", fact, "--powiaty", powiaty])
+
+    out = run(spark, ["viz", "--date", "2022-07-01", "--fact", fact,
+                      "--powiaty", powiaty,
+                      "--viz-out", str(tmp_path / "viz")])
+    assert out["task"] == "viz" and out["months"] >= 1
+    assert set(out["outputs"]) == {
+        "choropleth_last_90d.svg", "choropleth_monthly.svg",
+        "categories_bar.svg",
+    }
+    for path in out["outputs"].values():
+        svg = open(path).read()
+        assert svg.startswith("<svg ") and svg.endswith("</svg>")
+    choro = open(out["outputs"]["choropleth_last_90d.svg"]).read()
+    # one path per voivodeship present in the dim
+    assert choro.count("<path ") == len({c[:2] for c in wkts})

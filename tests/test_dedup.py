@@ -340,7 +340,9 @@ def test_star_components_match_propagation_on_random_graphs(spark):
 def test_star_components_release_caches(spark):
     """Same cache discipline as the propagation form: net persisted-RDD
     growth after return is the returned labels plus at most the
-    checkpoint residues (one per 5 rounds), never one frame per round."""
+    checkpoint residues (one per 3 rounds), never one frame per round.
+    (Checkpoint blocks are RDD-level persists the DataFrame API cannot
+    drop; they free on context GC.)"""
     from building_permissions_etl_spark.operators.dedup import (
         connected_components_star,
     )
@@ -351,8 +353,9 @@ def test_star_components_release_caches(spark):
     )
     before = jsc.getPersistentRDDs().size()
     labels = connected_components_star(edges)
-    # 100-node chain: ~4-7 star rounds → labels + <= 2 checkpoints
-    assert jsc.getPersistentRDDs().size() - before <= 3
+    # 100-node chain: <= ~9 star rounds → labels + <= 3 checkpoints,
+    # never the one-frame-per-round leak this test exists to catch
+    assert jsc.getPersistentRDDs().size() - before <= 4
     assert {(r.id, r.label) for r in labels.collect()} == {
         (i, 0) for i in range(100)
     }
