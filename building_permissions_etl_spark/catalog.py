@@ -55,9 +55,15 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
       * timestamp_ntz   — current µs fixtures: interpret the naive wall
                           clock AS UTC regardless of the session zone
                           (DuckDB's naive-as-UTC view of the same file),
-                          via cast + ``from_utc_timestamp`` against the
-                          live session zone — a bare cast would shift
-                          epoch math on any non-UTC session;
+                          by REBUILDING the epoch from tz-free field
+                          extractions (date, hour, minute, fractional
+                          second) — a bare cast shifts epoch math on any
+                          non-UTC session, and even cast +
+                          ``from_utc_timestamp`` mangles wall clocks
+                          that fall in the session zone's DST
+                          spring-forward gap (the cast resolves the
+                          nonexistent local time by shifting it an hour
+                          first);
       * timestamp       — already normalized.
 
     ltz is required downstream: ``withWatermark`` rejects NTZ
@@ -69,14 +75,19 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     if dt == "bigint":
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if dt == "timestamp_ntz":
-        # cast renders the naive wall clock as an instant in the SESSION
-        # zone; from_utc_timestamp(·, session_zone) re-reads that same
-        # wall clock as UTC. Identity when the session is UTC, and the
-        # tz-independent fix everywhere else.
+        # ntz→date and date_part on ntz are pure field truncations — no
+        # timezone semantics anywhere on this path, so gap/ambiguous
+        # local times cannot shift (timestampdiff and cast both coerce
+        # through the session zone; measured wrong on 'America/New_York'
+        # for 2023-03-12 02:30, the spring-forward gap)
         return df.withColumn(
             "ts",
-            F.from_utc_timestamp(
-                F.col("ts").cast("timestamp"), F.current_timezone()
+            F.expr(
+                "timestamp_micros("
+                "CAST(unix_date(CAST(ts AS DATE)) AS BIGINT) * 86400000000"
+                " + CAST(date_part('HOUR', ts) AS BIGINT) * 3600000000"
+                " + CAST(date_part('MINUTE', ts) AS BIGINT) * 60000000"
+                " + CAST(date_part('SECOND', ts) * 1000000 AS BIGINT))"
             ),
         )
     return df

@@ -123,6 +123,7 @@ def _project(features, width, height, pad):
 
 def _feature_markup(features, to_px, vmin, vmax, label_fmt):
     parts = []
+    features = [f for f in features if f[1]]  # skip EMPTY geometries
     for code, rings, value in features:
         d = ""
         for ring in rings:
@@ -181,6 +182,11 @@ def render_choropleth(
     log-normalized polygons, black edges, centroid value labels, vertical
     colorbar legend — the nb:25 figure as vector markup."""
     feats = [(c, parse_wkt(w), float(v)) for c, w, v in features]
+    if not any(rings for _, rings, _ in feats):
+        raise ValueError(
+            "render_choropleth: no features with geometry to render "
+            "(empty dim or all-EMPTY WKT)"
+        )
     to_px = _project(feats, width, height, pad=24)
     parts = [
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
@@ -216,6 +222,10 @@ def render_animation(
         for label, feats in frames
     ]
     all_feats = [f for _, feats in parsed for f in feats]
+    if not any(rings for _, rings, _ in all_feats):
+        raise ValueError(
+            "render_animation: no frames with geometry to render"
+        )
     to_px = _project(all_feats, width, height, pad=24)
     n = len(parsed)
     total = n * seconds_per_frame

@@ -209,18 +209,26 @@ def pack_sequences_global(
     prefix-sum ``pack_sequences`` names as the scalable alternative to a
     single-partition window.
 
-    Pass 1: ``repartitionByRange(id)`` puts contiguous id ranges in
-    separate partitions (RangePartitioner guarantees partition i's keys
-    all precede partition i+1's), and a per-partition window computes
-    LOCAL running token sums in parallel. Pass 2: per-partition totals —
-    ONE ROW per partition, bounded by the partition count, not the data —
-    get an exclusive prefix sum on a single partition (the only
-    SinglePartition exchange in the plan, plan-asserted), and the offsets
-    broadcast-join back so every doc's global start is local_cum + its
-    partition's offset. Result is row-identical to the one-partition
-    window form, but the per-row work runs in ``num_ranges``-way
-    parallel — at 100 TB the serialized stage touches only ~#partitions
-    rows instead of the corpus.
+    Pass 1: ids are bucketed into contiguous ranges by DETERMINISTIC
+    literal boundaries (one bounded ``approxQuantile`` driver action —
+    #ranges values, like the IVF training sample), and a per-range
+    window computes LOCAL running token sums in parallel. Pass 2:
+    per-range totals — ONE ROW per range, bounded by the range count,
+    not the data — get an exclusive prefix sum on a single partition
+    (the only SinglePartition exchange in the plan, plan-asserted), and
+    the offsets broadcast-join back so every doc's global start is
+    local_cum + its range's offset. Result is row-identical to the
+    one-partition window form, but the per-row work runs in
+    ``num_ranges``-way parallel — at 100 TB the serialized stage touches
+    only ~#ranges rows instead of the corpus.
+
+    The range id is a pure literal function of the id column —
+    ``repartitionByRange + spark_partition_id`` would be wrong here: the
+    frame is consumed by BOTH the totals aggregate and the final join,
+    RangePartitioner re-samples boundaries per execution, and
+    ``spark_partition_id`` is documented non-deterministic, so without
+    exchange reuse the two subtrees could disagree on a row's range and
+    silently corrupt offsets.
     """
     n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
     base = fan_out(df).select(F.col(id_col).alias("id"), n_tok.alias("n_tokens"))
@@ -228,9 +236,15 @@ def pack_sequences_global(
     ranges = num_ranges or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ranged = base.repartitionByRange(ranges, "id").withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    qs = [i / ranges for i in range(1, ranges)]
+    bounds = base.select(F.col("id").cast("double").alias("id")) \
+                 .approxQuantile("id", qs, 0.001) if qs else []
+    pid = F.aggregate(
+        F.array(*[F.lit(float(b)) for b in bounds]),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("id") > b, 1).otherwise(0),
+    ) if bounds else F.lit(0)
+    ranged = base.withColumn("__pid", pid)
     w_local = (
         Window.partitionBy("__pid").orderBy("id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

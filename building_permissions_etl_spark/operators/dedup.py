@@ -570,8 +570,17 @@ def ngram_jaccard_pairs_auto(
     by document frequency instead of block occupancy (83 s → near-linear
     on the 10× raw-corpus sweep, SCALE.md §10). Both shapes return
     identical rows for ``min_jaccard > 0`` when ``max_df`` is None, so
-    the choice is a physical-plan decision, not a semantic one.
+    the choice is a physical-plan decision, not a semantic one. A
+    ``max_df`` cutoff CHANGES the semantics (Jaccard over the
+    df-filtered shingle universe) and only the inverted shape implements
+    it, so setting it forces that shape — auto-selecting the quadratic
+    would silently ignore the cutoff and make results depend on the
+    day's block occupancy.
     """
+    if max_df is not None:
+        return ngram_jaccard_pairs_inverted(
+            df, text_col, id_col, block_col, n, min_jaccard, max_df
+        )
     top = df.groupBy(F.col(block_col)).agg(F.count(F.lit(1)).alias("__bsz")) \
             .agg(F.max("__bsz")).first()[0]
     if top is not None and top > switch_block_size:

@@ -144,17 +144,28 @@ def decode_asset(
     decoder output is library-versioned). ``fake=False`` REQUIRES a real
     codec and raises ``NotImplementedError`` when it isn't installed —
     the honest error for callers that must not fall back silently."""
-    codecs = available_codecs()
-    if fake is True or (fake is None and kind not in codecs):
+    # a kind is usable only when its library imports AND a decoder is
+    # wired for it — librosa being importable must not flip audio decode
+    # from "stub works" to "raises" (there is no audio decoder here yet)
+    wired = {"image": _pil_image_features}
+    usable = {k: wired[k] for k in available_codecs() if k in wired}
+    if fake is True or (fake is None and kind not in usable):
         return _fake_features(payload)
-    if kind not in codecs:
+    if kind not in usable:
         raise NotImplementedError(
             f"real {kind} decode needs PIL/librosa/decord — not installed "
             "here; pass fake=True (deterministic stub) or fake=None (auto)"
         )
-    if kind == "image":
-        return _pil_image_features(payload)
-    raise NotImplementedError(f"no real decoder wired for kind={kind!r}")
+    if fake is None:
+        # auto mode: a null/corrupt payload falls back to the stub's
+        # deterministic zeros instead of crashing the caller
+        if payload is None or len(payload) == 0:
+            return _fake_features(payload)
+        try:
+            return usable[kind](payload)
+        except Exception:
+            return _fake_features(payload)
+    return usable[kind](payload)
 
 
 def extract_features(
@@ -223,6 +234,17 @@ def extract_features(
                         "not installed on this worker"
                     )
                 return fake_features(payload)
+            if fake is None:
+                # auto mode must not crash the task on a null or
+                # undecodable payload — the stub path returns its
+                # deterministic zero/byte-stat features instead (the
+                # contract the no-codec deployment already has)
+                if payload is None or len(payload) == 0:
+                    return fake_features(payload)
+                try:
+                    return fn(payload)
+                except Exception:
+                    return fake_features(payload)
             return fn(payload)
 
         for pdf in it:

@@ -201,6 +201,8 @@ def query_ivf(
         index.indexed.filter(F.col(index.id_col) == query_id)
         .select(index.vec_col).first()
     )
+    if qrow is None:
+        raise ValueError(f"query_id {query_id!r} not found in the index")
     q = np.asarray(qrow[0], dtype=np.float32)
     cn = index.centroids / np.maximum(
         np.linalg.norm(index.centroids, axis=1, keepdims=True), 1e-12
@@ -313,6 +315,8 @@ def query_ivf_portable(
         indexed.filter(F.col(id_col) == query_id)
         .select(F.col(vec_col), probe_expr.alias("__probe")).first()
     )
+    if qrow is None:
+        raise ValueError(f"query_id {query_id!r} not found in the index")
     probe = [int(c) for c in qrow[1]]
     qv = F.array(*[F.lit(float(v)) for v in qrow[0]])
     return (
@@ -340,7 +344,15 @@ def build_lsh_index(
     is the partition/cluster key of the materialized table, so a query
     scans ~2^-r of the corpus; ``persist()`` stands in for that here."""
     planes = _hyperplanes(n_planes, dim, seed)
-    indexed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes)).persist()
+    indexed = (
+        df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+        # record the geometry ON the index: the probe enumeration at
+        # query time must flip exactly the bits this build used, and a
+        # caller-supplied plane count that disagrees would silently drop
+        # candidate buckets
+        .withColumn("__n_planes", F.lit(n_planes))
+        .persist()
+    )
     indexed.count()  # materialize now so queries never re-bucket the corpus
     return indexed
 
@@ -372,7 +384,7 @@ def query_lsh(
     k: int = 10,
     hamming_probe: int = 1,
     round_to: int = 6,
-    n_planes: int = 8,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Probe-only LSH query over a built index: the query row's bucket is
     looked up once (bounded driver action, same pattern as ``query_ivf``),
@@ -381,11 +393,30 @@ def query_lsh(
     persisted ``__bucket`` — a partition-prunable IN-list, so at 100 TB a
     layout clustered by ``__bucket`` scans only the probed buckets
     instead of evaluating a hamming predicate over every row. Exact
-    cosine rerank of candidates only."""
+    cosine rerank of candidates only.
+
+    The plane count comes from the index itself (``__n_planes``, stamped
+    by ``build_lsh_index``) so the probe set always matches the build
+    geometry; the ``n_planes`` parameter is only a fallback for indexes
+    built before the stamp existed."""
     qrow = (
         indexed.filter(F.col(id_col) == query_id)
         .select(F.col(vec_col), F.col("__bucket")).first()
     )
+    if qrow is None:
+        raise ValueError(f"query_id {query_id!r} not found in the index")
+    if "__n_planes" in indexed.columns:
+        idx_planes = int(
+            indexed.select("__n_planes").limit(1).first()[0]
+        )
+        if n_planes is not None and n_planes != idx_planes:
+            raise ValueError(
+                f"n_planes={n_planes} disagrees with the index "
+                f"(built with {idx_planes})"
+            )
+        n_planes = idx_planes
+    elif n_planes is None:
+        n_planes = 8
     probe = probe_buckets(int(qrow[1]), n_planes, hamming_probe)
     qv = F.array(*[F.lit(float(v)) for v in qrow[0]])
     return (

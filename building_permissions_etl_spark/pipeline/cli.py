@@ -166,19 +166,29 @@ def run(spark: SparkSession, argv: list[str]) -> dict:
         ).orderBy(F.desc("n"), "kategoria").collect()
 
         os.makedirs(ns.viz_out, exist_ok=True)
+        renders = []
+        if dim_wkt:
+            renders.append((f"choropleth_last_{ns.days}d.svg",
+                            lambda: render_choropleth(
+                                feats,
+                                title=f"Permits by voivodeship, "
+                                      f"last {ns.days} days")))
+        if frames:
+            renders.append(("choropleth_monthly.svg",
+                            lambda: render_animation(
+                                frames,
+                                title="Permits by voivodeship, monthly")))
+        if cats:
+            renders.append(("categories_bar.svg",
+                            lambda: render_bar_chart(
+                                [(str(r["kategoria"]), float(r["n"]))
+                                 for r in cats],
+                                title="Building Permit Categories")))
         outputs = {}
-        for name, svg in (
-            (f"choropleth_last_{ns.days}d.svg", render_choropleth(
-                feats, title=f"Permits by voivodeship, last {ns.days} days")),
-            ("choropleth_monthly.svg", render_animation(
-                frames, title="Permits by voivodeship, monthly")),
-            ("categories_bar.svg", render_bar_chart(
-                [(str(r["kategoria"]), float(r["n"])) for r in cats],
-                title="Building Permit Categories")),
-        ):
+        for name, render in renders:
             path = os.path.join(ns.viz_out, name)
             with open(path, "w", encoding="utf-8") as f:
-                f.write(svg)
+                f.write(render())
             outputs[name] = path
         return {"task": "viz", "outputs": outputs,
                 "months": len(frames), "voivodeships": len(dim_wkt)}

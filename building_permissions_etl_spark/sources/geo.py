@@ -36,9 +36,11 @@ def geo_dim_from_records(
 
 
 def _detect_source_epsg(shapefile_path: str) -> int:
-    """Best-effort CRS sniff from the sidecar ``.prj`` WKT. Defaults to
-    2180 (PUWG 1992) — the CRS the reference's shapefile ships in —
-    when no .prj exists."""
+    """CRS sniff from the sidecar ``.prj`` WKT. Defaults to 2180
+    (PUWG 1992) — the CRS the reference's shapefile ships in — when no
+    .prj exists; REFUSES a .prj that names any other CRS rather than
+    silently running the 2180 inverse on foreign coordinates (which
+    would produce plausible-looking garbage)."""
     import os
 
     prj = shapefile_path[:-4] + ".prj"
@@ -48,7 +50,14 @@ def _detect_source_epsg(shapefile_path: str) -> int:
         wkt = f.read().upper()
     if "WGS_1984" in wkt or "WGS 84" in wkt or '"4326"' in wkt:
         return 4326
-    return 2180
+    if ("1992" in wkt or "2180" in wkt or "CS92" in wkt
+            or "POLAND" in wkt):
+        return 2180
+    raise ValueError(
+        f"{prj}: unrecognized source CRS ({wkt[:80]!r}...); the built-in "
+        f"backend transforms only EPSG:2180 (or passes 4326 through) — "
+        f"install geopandas for other source projections"
+    )
 
 
 def geo_dim_from_shapefile(

@@ -135,7 +135,11 @@ def rings_to_wkt(rings: list[list[tuple[float, float]]], ndigits: int = 7) -> st
     """Ring soup → POLYGON / MULTIPOLYGON WKT. Outer rings are the
     clockwise ones (negative signed area, per the shapefile spec's
     screen-coordinate convention); each hole attaches to the smallest
-    enclosing outer ring."""
+    enclosing outer ring. Degenerate input (no ring with ≥ 4 points)
+    yields valid ``POLYGON EMPTY``, never malformed markup."""
+    rings = [r for r in rings if len(r) >= 4]  # a closed ring needs 4 pts
+    if not rings:
+        return "POLYGON EMPTY"
     outers = [r for r in rings if _signed_area(r) <= 0]
     holes = [r for r in rings if _signed_area(r) > 0]
     if not outers:  # degenerate: treat everything as outer
@@ -178,11 +182,26 @@ def shapefile_records(
         )
     out = []
     for geom, row in zip(geoms, attrs):
-        rings = geom.get("rings") or [geom.get("points") or []]
-        if transform is not None:
-            rings = [[transform(x, y) for x, y in ring] for ring in rings]
-        out.append(
-            (row.get(code_field, ""), row.get(name_field, ""),
-             rings_to_wkt(rings, ndigits))
-        )
+        if geom["type"] == "point":
+            (x, y), = geom["points"]
+            if transform is not None:
+                x, y = transform(x, y)
+            wkt = f"POINT ({round(x, ndigits)!r} {round(y, ndigits)!r})"
+        elif geom["type"] == "null":
+            wkt = "POLYGON EMPTY"
+        elif geom["type"] == "polyline":
+            parts = geom["rings"]
+            if transform is not None:
+                parts = [[transform(x, y) for x, y in p] for p in parts]
+            wkt = "MULTILINESTRING (" + ", ".join(
+                "(" + ", ".join(f"{round(x, ndigits)!r} {round(y, ndigits)!r}"
+                                for x, y in p) + ")"
+                for p in parts
+            ) + ")" if parts else "MULTILINESTRING EMPTY"
+        else:
+            rings = geom["rings"]
+            if transform is not None:
+                rings = [[transform(x, y) for x, y in ring] for ring in rings]
+            wkt = rings_to_wkt(rings, ndigits)
+        out.append((row.get(code_field, ""), row.get(name_field, ""), wkt))
     return out

@@ -122,6 +122,8 @@ def main() -> None:
     timed("chunk_dup_fraction", R.chunk_dup_fraction(docs, "text", "doc_id"))
 
     _planted_long_doc_repetition(spark)
+    _planted_long_chain_components(spark)
+    _crs_codegen_throughput(spark)
     shutil.rmtree(out, ignore_errors=True)
 
 
@@ -144,6 +146,47 @@ def _planted_long_doc_repetition(spark) -> None:
         repetition_stats(df, "text", "id").write.format("noop").mode("overwrite").save()
         print(f"repetition_stats planted {ntok}-token docs x8: "
               f"{round(time.time() - t0, 2)} s")
+
+
+def _planted_long_chain_components(spark) -> None:
+    """Adversarial connected-components probe: one chain of n nodes
+    (diameter n-1). Min-label propagation would need n rounds — far past
+    any iteration budget; the large-star/small-star variant is O(log² n)
+    rounds, so runtime must grow far slower than 10× for 10× nodes."""
+    from building_permissions_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    for n in (10_000, 100_000):
+        edges = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+        t0 = time.time()
+        labels = connected_components_star(edges)
+        n_in_min = labels.filter("label = 0").count()
+        labels.unpersist()
+        print(f"star_components chain n={n}: {round(time.time() - t0, 2)} s "
+              f"({n_in_min}/{n} labeled to component min)")
+
+
+def _crs_codegen_throughput(spark) -> None:
+    """The EPSG:2180→WGS84 series as whole-stage-codegen SQL: per-row
+    cost must be trig-bound nanoseconds, i.e. millions of rows/s on one
+    machine and embarrassingly parallel at 100 TB."""
+    from building_permissions_etl_spark.functions.crs import to_wgs84_sql
+
+    lon, lat = to_wgs84_sql("x", "y")
+    n = 20_000_000
+    df = (
+        spark.range(n)
+        .selectExpr("CAST(250000 + (id * 7919) % 500000 AS DOUBLE) AS x",
+                    "CAST(150000 + (id * 104729) % 600000 AS DOUBLE) AS y")
+        .selectExpr(f"{lon} AS lon", f"{lat} AS lat")
+        .selectExpr("sum(lon + lat) AS s")
+    )
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    el = time.time() - t0
+    print(f"crs_transform {n} rows: {round(el, 2)} s "
+          f"({round(n / el / 1e6, 1)}M rows/s)")
 
 
 if __name__ == "__main__":

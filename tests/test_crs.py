@@ -204,3 +204,32 @@ def test_geo_dim_from_shapefile_end_to_end(spark, tmp_path):
     lon, lat = float(first_pt[0]), float(first_pt[1])
     assert math.isclose(lon, 19.0, abs_tol=0.05)
     assert math.isclose(lat, 52.0, abs_tol=0.05)
+
+
+def test_rings_to_wkt_degenerate_inputs_yield_valid_wkt():
+    from building_permissions_etl_spark.sources.shapefile import rings_to_wkt
+
+    assert rings_to_wkt([]) == "POLYGON EMPTY"
+    assert rings_to_wkt([[]]) == "POLYGON EMPTY"
+    # fewer than 4 points cannot close a ring
+    assert rings_to_wkt([[(0.0, 0.0), (1.0, 1.0)]]) == "POLYGON EMPTY"
+
+
+def test_unknown_prj_crs_is_refused(tmp_path):
+    """A .prj naming a CRS the built-in backend cannot transform must
+    raise, not silently run the 2180 inverse on foreign coordinates."""
+    from building_permissions_etl_spark.sources.geo import _detect_source_epsg
+
+    shp = tmp_path / "m.shp"
+    shp.write_bytes(b"")
+    (tmp_path / "m.prj").write_text(
+        'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",GEOGCS...'
+        .replace("WGS_1984_", "")  # avoid the WGS84 marker
+    )
+    with pytest.raises(ValueError, match="unrecognized source CRS"):
+        _detect_source_epsg(str(shp))
+    # the two supported cases still resolve
+    (tmp_path / "m.prj").write_text('PROJCS["ETRS_1989_Poland_CS92",...')
+    assert _detect_source_epsg(str(shp)) == 2180
+    (tmp_path / "m.prj").write_text('GEOGCS["GCS_WGS_1984",...')
+    assert _detect_source_epsg(str(shp)) == 4326

@@ -375,3 +375,37 @@ def test_dedup_survivors_star_matches_default_and_validates(spark):
     assert star == [0, 1, 2, 4, 6]
     with _pytest.raises(ValueError, match="algorithm"):
         dedup_survivors(df, pairs, "doc_id", algorithm="labelprop")
+
+
+def test_ngram_auto_forces_inverted_when_max_df_set(spark):
+    """A max_df cutoff changes semantics (df-filtered shingle universe);
+    only the inverted shape implements it, so auto must pick that shape
+    even on tight blocks — silently ignoring the cutoff would make the
+    pair set depend on the day's block occupancy."""
+    from building_permissions_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
+        ngram_jaccard_pairs_inverted,
+    )
+
+    # 6 tiny docs (far below switch_block_size): a boilerplate trigram
+    # shared by ALL docs plus genuinely similar pairs
+    boiler = "lorem ipsum dolor"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta"),
+        (2, f"{boiler} alpha beta gamma epsilon"),
+        (3, f"{boiler} zeta eta theta iota"),
+        (4, f"{boiler} zeta eta theta kappa"),
+        (5, f"{boiler} mu nu xi omicron"),
+        (6, f"{boiler} pi rho sigma tau"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("block", F.lit("b"))
+    auto = sorted(map(tuple, ngram_jaccard_pairs_auto(
+        df, "text", "doc_id", "block", max_df=2).collect()))
+    inv = sorted(map(tuple, ngram_jaccard_pairs_inverted(
+        df, "text", "doc_id", "block", max_df=2).collect()))
+    quad = sorted(map(tuple, ngram_jaccard_pairs(
+        df, "text", "doc_id", "block").collect()))
+    assert auto == inv
+    assert auto != quad  # the cutoff genuinely changes the answer here

@@ -86,21 +86,26 @@ def test_ntz_normalization_is_session_timezone_independent(spark):
     under any session timezone."""
     from building_permissions_etl_spark.catalog import normalize_events_ts
 
-    src = spark.sql(
-        "SELECT TIMESTAMP_NTZ '2023-06-15 12:00:00' AS ts, 1 AS event_id"
-    )
+    # plain noon, a wall clock inside NY's spring-forward GAP (02:30
+    # does not exist as a local time on 2023-03-12), and one inside the
+    # fall-back AMBIGUITY (01:30 exists twice on 2023-11-05) — cast- or
+    # from_utc_timestamp-based conversions shift the gap case by 1 h
+    walls = {
+        "2023-06-15 12:00:00": 1686830400,
+        "2023-03-12 02:30:00": 1678588200,
+        "2023-11-05 01:30:00": 1699147800,
+    }
+    src = spark.sql(" UNION ALL ".join(
+        f"SELECT TIMESTAMP_NTZ '{w}' AS ts" for w in walls
+    ))
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
-        epochs = {}
         for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
             spark.conf.set("spark.sql.session.timeZone", tz)
-            row = (
-                normalize_events_ts(src)
-                .selectExpr("unix_seconds(ts) AS e")
-                .collect()[0]
+            got = sorted(
+                r["e"] for r in normalize_events_ts(src)
+                .selectExpr("unix_seconds(ts) AS e").collect()
             )
-            epochs[tz] = row["e"]
+            assert got == sorted(walls.values()), (tz, got)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
-    # 2023-06-15T12:00:00Z regardless of session zone
-    assert set(epochs.values()) == {1686830400}, epochs

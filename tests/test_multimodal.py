@@ -153,3 +153,42 @@ def test_metadata_query_never_reads_payload(spark, tmp_path):
     import re
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert schemas and all("payload" not in s for s in schemas), plan
+
+
+def test_auto_mode_never_crashes_on_null_or_corrupt_payload(spark):
+    """Auto codec mode must degrade to the stub on a null or undecodable
+    payload instead of failing the task — a pipeline that ran clean
+    without a codec library must not start crashing when one appears."""
+    from building_permissions_etl_spark.operators.multimodal import (
+        decode_asset,
+        extract_features,
+    )
+
+    # driver-side: auto mode with no usable codec → stub for any kind
+    assert decode_asset(None, "audio", fake=None) == [0.0] * 8
+    assert decode_asset(b"", "image", fake=None) == [0.0] * 8
+
+    # executor-side: an injected real decoder that rejects bad payloads
+    def strict_decoder(payload):
+        if payload is None or payload[:2] != b"OK":
+            raise ValueError("undecodable")
+        return [1.0] * 8
+
+    rows = [(1, "image", bytearray(b"OK-payload")),
+            (2, "image", None),
+            (3, "image", bytearray(b"garbage"))]
+    df = spark.createDataFrame(rows, "asset_id long, kind string, payload binary")
+    got = {r["asset_id"]: r["features"]
+           for r in extract_features(df, fake=None,
+                                     decoder=strict_decoder).collect()}
+    assert got[1] == [1.0] * 8            # real decode used
+    assert got[2] == [0.0] * 8            # null → stub zeros
+    assert len(got[3]) == 8 and got[3] != [1.0] * 8  # corrupt → stub stats
+
+    # fake=False keeps the honest hard failure
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        extract_features(
+            df.filter("asset_id = 2"), fake=False, decoder=strict_decoder
+        ).collect()

@@ -222,3 +222,33 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     # en sampled at 0.5 must keep a much larger share than zh at 0.1
     assert got.get("en", 0) / totals["en"] > 0.3
     assert got.get("zh", 0) / totals["zh"] < 0.3
+
+
+def test_query_lsh_probe_set_follows_index_geometry(spark):
+    """A 16-plane index queried without an explicit n_planes must flip
+    all 16 bits when probing (the stamped geometry), not a default 8 —
+    and a conflicting caller-supplied count must raise, not silently
+    drop candidate buckets."""
+    import pytest as _pytest
+
+    from building_permissions_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", SF)
+    idx = S.build_lsh_index(emb, "embedding", "vec_id", n_planes=16, dim=64)
+    try:
+        got = S.query_lsh(idx, "embedding", "vec_id", query_id=0, k=5,
+                          hamming_probe=1)
+        # the probe set must be C(16,1)+1 = 17 buckets wide; with only 8
+        # planes probed the filter would enumerate 9. Read the IN-list
+        # length straight from the plan.
+        plan = got._jdf.queryExecution().optimizedPlan().toString()
+        import re
+        in_lists = re.findall(r"__bucket#\d+L? INSET ([0-9, ]+)", plan)
+        assert in_lists, plan
+        assert max(len(lst.split(",")) for lst in in_lists) == 17
+        with _pytest.raises(ValueError, match="disagrees"):
+            S.query_lsh(idx, "embedding", "vec_id", query_id=0, n_planes=8)
+        with _pytest.raises(ValueError, match="not found"):
+            S.query_lsh(idx, "embedding", "vec_id", query_id=10**9)
+    finally:
+        idx.unpersist()
