@@ -233,3 +233,21 @@ def test_unknown_prj_crs_is_refused(tmp_path):
     assert _detect_source_epsg(str(shp)) == 2180
     (tmp_path / "m.prj").write_text('GEOGCS["GCS_WGS_1984",...')
     assert _detect_source_epsg(str(shp)) == 4326
+
+
+def test_roundtrip_property_hypothesis():
+    """Property: forward∘inverse ≈ identity everywhere in the EPSG:2180
+    domain (and a bit beyond), not just at hand-picked anchors."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lon=st.floats(min_value=13.5, max_value=24.5),
+        lat=st.floats(min_value=48.5, max_value=55.5),
+    )
+    def check(lon, lat):
+        x, y = from_wgs84(lon, lat)
+        lo, la = to_wgs84(x, y)
+        assert abs(lo - lon) < 1e-6 and abs(la - lat) < 1e-6
+
+    check()
