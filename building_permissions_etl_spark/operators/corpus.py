@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from building_permissions_etl_spark.functions.expr import let
-from building_permissions_etl_spark.operators.dedup import tokens
+from building_permissions_etl_spark.operators.dedup import tokens, word_shingles
 from building_permissions_etl_spark.operators.scale import fan_out
 
 # PII patterns restricted to the regex subset with identical semantics in
@@ -59,16 +59,10 @@ def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_ngrams(col: Column, n: int) -> Column:
-    """Distinct word n-grams (set semantics); whole doc as a single gram
-    when shorter than ``n`` tokens, so short docs still participate."""
-    toks = tokens(col)
-    return let(toks, lambda tk: F.when(
-        F.size(tk) >= n,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size(tk) - n),
-            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
-        )),
-    ).otherwise(F.array(F.concat_ws(" ", tk))))
+    """Alias of ``dedup.word_shingles`` — ONE n-gram builder serves the
+    dedup and decontamination families, so a semantics fix cannot make
+    them silently diverge (it did exist twice through round 3)."""
+    return word_shingles(col, n)
 
 
 def decontaminate(
@@ -175,11 +169,14 @@ def pack_sequences(
     Scale shape: the running sum is windowed PER ``part_col`` (language
     here), never a global single-partition window — each language stream
     packs independently and in parallel, which is both the realistic
-    curriculum layout and the scalable plan. A global pack at 100 TB
-    would serialize on one task; when global order is truly required,
-    ``pack_sequences_global`` runs the two-pass range-partitioned
-    prefix-sum instead.
+    curriculum layout and the scalable plan. ``part_col=None`` (a global
+    pack) DELEGATES to ``pack_sequences_global``'s two-pass
+    range-partitioned prefix-sum: the old behavior silently built
+    ``Window.partitionBy()`` — the exact single-task serialization this
+    module's docstring forbids.
     """
+    if part_col is None:
+        return pack_sequences_global(df, text_col, id_col, budget)
     n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
     part = [part_col] if part_col else []
     w = (
@@ -230,6 +227,16 @@ def pack_sequences_global(
     exchange reuse the two subtrees could disagree on a row's range and
     silently corrupt offsets.
     """
+    id_type = dict(df.dtypes).get(id_col, "")
+    if not (id_type.startswith(("int", "bigint", "smallint", "tinyint",
+                                "float", "double", "decimal"))):
+        # the bucket assignment compares id AS DOUBLE against numeric
+        # quantile boundaries; for string ids numeric vs lexicographic
+        # order disagree and seq offsets would be silently wrong
+        raise ValueError(
+            f"pack_sequences_global needs a numeric {id_col!r} "
+            f"(got {id_type}); map string ids to a numeric sort key first"
+        )
     n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
     base = fan_out(df).select(F.col(id_col).alias("id"), n_tok.alias("n_tokens"))
     spark = df.sparkSession

@@ -54,17 +54,24 @@ def tokens(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the text column (set semantics)."""
+    """Distinct word n-grams of the text column (set semantics); whole
+    doc as a single gram when shorter than ``n`` tokens, so short docs
+    still participate; an EMPTY/whitespace-only doc yields an empty
+    array — the former single-'' gram made every empty doc "share" a
+    gram with every other empty doc, flagging them as contaminated /
+    near-duplicate despite zero content. The token subtree is let-bound
+    so tokenization runs once per row, not once per position (this is
+    the single n-gram builder — ``corpus.word_ngrams`` aliases it)."""
     toks = tokens(col)
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    return let(toks, lambda tk: F.when(
+        F.size(tk) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+        )),
+    ).when(
+        F.size(tk) > 0, F.array(F.concat_ws(" ", tk))
+    ).otherwise(F.array().cast("array<string>")))
 
 
 # Hot-bucket safety valve for the banded self-joins: a boilerplate-heavy

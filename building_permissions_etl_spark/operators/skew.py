@@ -74,11 +74,14 @@ def exact_distinct_per_key(df: DataFrame, key: str, value: str) -> DataFrame:
     """Exact COUNT(DISTINCT value) per key in two skew-safe shuffles:
     dropDuplicates shuffles on (key, value) — a hot key spreads across
     reducers by value — then the count per key aggregates pre-shrunk
-    rows. The approx_count_distinct sketch is the single-shuffle
-    alternative when exactness isn't required."""
+    rows. ``count(value)`` (not ``count(*)``) skips the NULL row the
+    dedup keeps, matching SQL ``COUNT(DISTINCT value)`` — which ignores
+    NULLs — while a key whose values are ALL null still surfaces with
+    n_distinct = 0. The approx_count_distinct sketch is the
+    single-shuffle alternative when exactness isn't required."""
     return (
         df.select(key, value)
         .dropDuplicates([key, value])
         .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .agg(F.count(F.col(value)).alias("n_distinct"))
     )

@@ -50,8 +50,12 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
         F.round(avg_tok, 6).alias("avg_token_len"),
-        F.round(punct.cast("double") / n_chars, 6).alias("punct_ratio"),
-        F.round(upper.cast("double") / n_chars, 6).alias("upper_ratio"),
+        # greatest(·, 1): an empty doc gets ratio 0.0, not NULL (Spark)
+        # vs NaN (DuckDB 0/0) — the one divisor here that can be zero
+        F.round(punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
+        .alias("punct_ratio"),
+        F.round(upper.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
+        .alias("upper_ratio"),
         F.round(stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)), 6)
         .alias("stopword_ratio"),
     )

@@ -39,7 +39,7 @@ _SHINGLES3 = (
     "CASE WHEN len({t}) >= 3 THEN "
     "list_distinct(list_transform(range(1, len({t}) - 1), "
     "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])) "
-    "ELSE [array_to_string({t}, ' ')] END"
+    "WHEN len({t}) > 0 THEN [array_to_string({t}, ' ')] ELSE [] END"
 ).format(t=_TOKS)
 
 _DOT = ("list_sum(list_transform(range(1,65), "
@@ -415,9 +415,9 @@ def contribute(register) -> None:
           SELECT doc_id AS id,
             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
             round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-                  AS DOUBLE) / length(text), 6) AS punct_ratio,
+                  AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
             round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
-                  AS DOUBLE) / length(text), 6) AS upper_ratio,
+                  AS DOUBLE) / greatest(length(text), 1), 6) AS upper_ratio,
             round(CAST(len(list_filter({_TOKS},
                   t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
                   AS DOUBLE) / greatest(len({_TOKS}), 1), 6) AS stopword_ratio
@@ -451,9 +451,9 @@ def contribute(register) -> None:
             CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
               / len({_TOKS}) ELSE 0.0 END, 6) AS avg_token_len,
           round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-                AS DOUBLE) / length(text), 6) AS punct_ratio,
+                AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
           round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
-                AS DOUBLE) / length(text), 6) AS upper_ratio,
+                AS DOUBLE) / greatest(length(text), 1), 6) AS upper_ratio,
           round(CAST(len(list_filter({_TOKS},
                 t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
                 AS DOUBLE) / greatest(len({_TOKS}), 1), 6) AS stopword_ratio

@@ -174,7 +174,8 @@ def contribute(register) -> None:
                      range(1, len(w) - {_CONTAIN_N - 2}),
                      i -> array_to_string(
                        list_slice(w, i, i + {_CONTAIN_N - 1}), ' ')))
-                 ELSE [array_to_string(w, ' ')] END AS gs
+                 WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                 ELSE [] END AS gs
           FROM toks),
         e AS (SELECT DISTINCT unnest(gs) AS gram FROM grams
               WHERE doc_id % {_EVAL_MOD} = 0),

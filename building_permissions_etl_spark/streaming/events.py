@@ -122,13 +122,16 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) 
     from pyspark.sql.window import Window
 
     by_user = Window.partitionBy("user_id").orderBy("ts")
-    # cast("timestamp") first: a no-op on ltz input, and the only legal
-    # route to epoch seconds if a caller hands in a raw NTZ frame.
-    ts_epoch = F.col("ts").cast("timestamp").cast("long")
+    # exact integer MICROSECONDS (cast("timestamp") is a no-op on ltz and
+    # the legal route for a raw-NTZ caller): a whole-second cast("long")
+    # truncates the fraction, so a gap of 1800.5 s would compare as 1800
+    # and merge sessions the µs-exact oracle and streaming twin split.
+    ts_epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = ts_epoch - F.lag(ts_epoch).over(by_user)
     flagged = events.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1)
+        .otherwise(0),
     ).withColumn(
         "session_id",
         F.sum("new_session").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
@@ -141,8 +144,10 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) 
     )
 
 
-def _sessionize_fn(key, pdfs, state: GroupState):
-    """Stateful per-user session accumulator (applyInPandasWithState).
+def _make_sessionize_fn(gap_minutes: int = SESSION_GAP_MINUTES,
+                        tz_name: str = "UTC"):
+    """Build the stateful per-user session accumulator
+    (applyInPandasWithState) for a given gap and session timezone.
 
     State = (start_us, end_us, n, total, next_sid) — the OPEN session plus
     a MONOTONIC per-user session counter. Sessions close in event-time
@@ -154,60 +159,90 @@ def _sessionize_fn(key, pdfs, state: GroupState):
     only the advanced counter (a 5-number stub, no timeout re-armed) so a
     user who returns later continues the numbering — bounded by live
     users; pipelines that prefer strict state reclamation over numbering
-    continuity can drop the stub and accept a per-user restart. Self-
-    contained closure: executor workers may not have this package on
-    sys.path (driver-side module refs would break cloudpickle).
-    """
-    import datetime as _dt
+    continuity can drop the stub and accept a per-user restart.
 
-    GAP_US = 30 * 60 * 1_000_000
+    ``tz_name`` must be the session's ``spark.sql.session.timeZone``:
+    pandas receives event times as NAIVE wall clocks rendered in that
+    zone, and ``setTimeoutTimestamp`` needs TRUE epoch millis — stamping
+    the walls as UTC on a non-UTC session would arm every timeout hours
+    off the real watermark. Outputs are emitted as walls in the same
+    zone so Spark reads back the correct instants.
 
-    def us(t):
-        return int(t.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    A late-but-admitted event that precedes the open session's stored
+    start extends the session BACKWARD (start is min'd, not assumed
+    sorted): within one micro-batch rows are sorted here, but an event
+    arriving in a later micro-batch can still be earlier than the open
+    session's start while inside the watermark.
 
-    def ts(u):
-        return _dt.datetime.fromtimestamp(u / 1_000_000, _dt.timezone.utc).replace(tzinfo=None)
+    The returned closure is SELF-CONTAINED: executor workers may not
+    have this package on sys.path (driver-side module refs would break
+    cloudpickle)."""
+    gap_us_const = gap_minutes * 60 * 1_000_000
+    zone = tz_name
 
-    (user_id,) = key
-    cols = ["user_id", "session_id", "session_start", "session_end",
-            "n_events", "total_value"]
-    if state.hasTimedOut:
-        start, end, n, total, sid = state.get
-        if start is None:          # counter stub: nothing open to emit
-            state.remove()
+    def fn(key, pdfs, state: GroupState):
+        import datetime as _dt
+        from zoneinfo import ZoneInfo
+
+        GAP_US = gap_us_const
+        tz = _dt.timezone.utc if zone == "UTC" else ZoneInfo(zone)
+
+        def us(t):
+            return int(t.replace(tzinfo=tz).timestamp() * 1_000_000)
+
+        def ts(u):
+            return _dt.datetime.fromtimestamp(
+                u / 1_000_000, tz
+            ).replace(tzinfo=None)
+
+        (user_id,) = key
+        cols = ["user_id", "session_id", "session_start", "session_end",
+                "n_events", "total_value"]
+        if state.hasTimedOut:
+            start, end, n, total, sid = state.get
+            if start is None:          # counter stub: nothing open to emit
+                state.remove()
+                return
+            state.update((None, None, 0, 0.0, sid + 1))
+            yield pd.DataFrame(
+                [[user_id, sid, ts(start), ts(end), n, round(total, 6)]],
+                columns=cols,
+            )
             return
-        state.update((None, None, 0, 0.0, sid + 1))
-        yield pd.DataFrame(
-            [[user_id, sid, ts(start), ts(end), n, round(total, 6)]],
-            columns=cols,
-        )
-        return
 
-    if state.exists:
-        start, end, n, total, sid = state.get
-        cur = None if start is None else [start, end, n, total]
-    else:
-        cur, sid = None, 1
-    rows = pd.concat(list(pdfs)).sort_values("ts")
-    out = []
-    for t, v in zip(rows["ts"], rows["value"]):
-        t_us = us(t.to_pydatetime())
-        if cur is None:
-            cur = [t_us, t_us, 0, 0.0]
-        elif t_us - cur[1] > GAP_US:
-            out.append((sid, cur))
-            sid += 1
-            cur = [t_us, t_us, 0, 0.0]
-        cur[1] = max(cur[1], t_us)
-        cur[2] += 1
-        cur[3] += float(v)
-    state.update((cur[0], cur[1], cur[2], cur[3], sid))
-    state.setTimeoutTimestamp(cur[1] // 1000 + GAP_US // 1000)
-    if out:
-        yield pd.DataFrame(
-            [[user_id, s, ts(c[0]), ts(c[1]), c[2], round(c[3], 6)] for s, c in out],
-            columns=cols,
-        )
+        if state.exists:
+            start, end, n, total, sid = state.get
+            cur = None if start is None else [start, end, n, total]
+        else:
+            cur, sid = None, 1
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        out = []
+        for t, v in zip(rows["ts"], rows["value"]):
+            t_us = us(t.to_pydatetime())
+            if cur is None:
+                cur = [t_us, t_us, 0, 0.0]
+            elif t_us - cur[1] > GAP_US:
+                out.append((sid, cur))
+                sid += 1
+                cur = [t_us, t_us, 0, 0.0]
+            cur[0] = min(cur[0], t_us)
+            cur[1] = max(cur[1], t_us)
+            cur[2] += 1
+            cur[3] += float(v)
+        state.update((cur[0], cur[1], cur[2], cur[3], sid))
+        state.setTimeoutTimestamp(cur[1] // 1000 + GAP_US // 1000)
+        if out:
+            yield pd.DataFrame(
+                [[user_id, s, ts(c[0]), ts(c[1]), c[2], round(c[3], 6)]
+                 for s, c in out],
+                columns=cols,
+            )
+
+    return fn
+
+
+# default instance (UTC session, 30-min gap) — also the unit-test target
+_sessionize_fn = _make_sessionize_fn()
 
 
 _SESSION_STATE_SCHEMA = StructType([
@@ -219,14 +254,26 @@ _SESSION_STATE_SCHEMA = StructType([
 ])
 
 
-def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+def sessionize_stream(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    gap_minutes: int = SESSION_GAP_MINUTES,
+) -> DataFrame:
     """Streaming sessionization: custom stateful operator, one state entry
-    per live user, closed sessions emitted as watermark passes the gap."""
+    per live user, closed sessions emitted as watermark passes the gap.
+    ``gap_minutes`` threads through to the stateful closure so the stream
+    structurally matches ``sessionize_batch(events, gap_minutes)`` — the
+    round-3 form hardcoded 30 minutes regardless of the batch twin. The
+    session timezone is read off the OWNING SparkSession so the closure
+    stamps pandas' naive walls with the zone they were rendered in."""
+    tz_name = events.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    ) or "UTC"
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_fn,
+            _make_sessionize_fn(gap_minutes, tz_name),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_SESSION_STATE_SCHEMA,
             outputMode="append",

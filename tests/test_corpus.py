@@ -131,3 +131,59 @@ def test_corpus_composition_shares_sum_to_one(spark):
     assert abs(shares[("web", "en")] - 5 / 9) < 1e-6
     tot = {(r["source"], r["lang"]): r["total_tokens"] for r in rows}
     assert tot[("web", "en")] == 5 and tot[("books", "de")] == 4
+
+
+def test_empty_doc_produces_no_grams_and_no_contamination(spark):
+    """An empty/whitespace-only doc must not share a phantom '' gram."""
+    from building_permissions_etl_spark.operators.corpus import (
+        decontaminate_containment,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    grams = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", word_ngrams(F.col("text"), 3).alias("g")).collect()}
+    assert grams[0] == [] and grams[1] == []
+    assert grams[2] == ["alpha beta gamma"]
+    # doc 0 is "eval": docs 1 (empty) and 2 must show zero containment
+    got = {r["id"]: r["containment"] for r in decontaminate_containment(
+        df, "text", "doc_id", eval_pred=F.col("doc_id") == 0).collect()}
+    assert all(v in (0.0, None) for v in got.values()), got
+
+
+def test_pack_sequences_none_part_delegates_to_global(spark):
+    """part_col=None must NOT build a single-partition window."""
+    from building_permissions_etl_spark.operators.corpus import (
+        pack_sequences,
+        pack_sequences_global,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 7 + 1)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, pack_sequences(
+        df, "text", "doc_id", budget=16, part_col=None).collect()))
+    b = sorted(map(tuple, pack_sequences_global(
+        df, "text", "doc_id", budget=16).collect()))
+    assert a == b
+    plan = pack_sequences(df, "text", "doc_id", budget=16, part_col=None) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the only SinglePartition exchange allowed is the tiny offsets one
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_pack_sequences_global_rejects_string_ids(spark):
+    import pytest as _pytest
+
+    from building_permissions_etl_spark.operators.corpus import (
+        pack_sequences_global,
+    )
+
+    df = spark.createDataFrame([("a", "x y"), ("b", "z")],
+                               "doc_id string, text string")
+    with _pytest.raises(ValueError, match="numeric"):
+        pack_sequences_global(df, "text", "doc_id")

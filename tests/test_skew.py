@@ -65,3 +65,19 @@ def test_salted_join_on_fixture_tables(spark):
     cust = load_table(spark, "customer", SF).select("c_custkey", "c_mktsegment")
     got = salted_join(orders, cust, "o_custkey", "c_custkey", salt_on="o_orderkey")
     assert got.count() == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+
+
+def test_exact_distinct_ignores_nulls_like_sql(spark):
+    """COUNT(DISTINCT value) semantics: NULL is not a value; a key whose
+    values are all NULL still appears with n_distinct = 0."""
+    from building_permissions_etl_spark.operators.skew import (
+        exact_distinct_per_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, None), (1, "a"), (2, None)],
+        "k int, v string",
+    )
+    got = {r["k"]: r["n_distinct"]
+           for r in exact_distinct_per_key(df, "k", "v").collect()}
+    assert got == {1: 1, 2: 0}

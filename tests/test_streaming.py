@@ -280,3 +280,75 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     got = {r["window_start"]: r["n_events"]
            for r in spark.read.parquet(out).collect()}
     assert got.get(base) == 2    # late 40-minute row NOT double-counted
+
+
+def test_sessionize_fn_merges_late_event_backward():
+    """A late-but-admitted event EARLIER than the open session's stored
+    start must extend the session backward (start min'd), matching what
+    sessionize_batch computes over the same rows."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from building_permissions_etl_spark.streaming.events import _sessionize_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.hasTimedOut = None, False
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+        def remove(self):
+            self._v = None
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    st = FakeState()
+    t0 = dt.datetime(2023, 5, 1, 12, 0, 0)
+    b1 = pd.DataFrame({"ts": [t0], "value": [1.0]})
+    list(_sessionize_fn((7,), iter([b1]), st))
+    # batch 2: an event 5 minutes EARLIER arrives (inside the gap)
+    b2 = pd.DataFrame({"ts": [t0 - dt.timedelta(minutes=5)], "value": [2.0]})
+    list(_sessionize_fn((7,), iter([b2]), st))
+    start_us, end_us, n, total, sid = st.get
+    assert n == 2 and sid == 1
+    # session_start moved BACK to 11:55, end stays 12:00
+    assert end_us - start_us == 5 * 60 * 1_000_000
+
+
+def test_sessionize_stream_gap_minutes_threads_through(spark, tmp_path):
+    """A 10-minute gap stream must split what the 30-minute default
+    merges — parity with sessionize_batch(gap_minutes=10)."""
+    import datetime as dt
+
+    from building_permissions_etl_spark.streaming.events import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2023, 5, 1, 12, 0, 0)
+    rows = [(1, base), (1, base + dt.timedelta(minutes=15)),
+            (2, base)]
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp"
+    ).withColumn("value", F.lit(1.0)).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double").parquet(src_dir)
+    out = sessionize_stream(stream, watermark="0 seconds", gap_minutes=10)
+    q = (out.writeStream.format("memory").queryName("gap10")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT user_id, session_id, n_events FROM gap10")
+    # user 1's two events are > 10 min apart: the FIRST session closes and
+    # is emitted; the second stays open (no later watermark to flush it)
+    emitted = {(r.user_id, r.session_id): r.n_events for r in got.collect()}
+    assert emitted.get((1, 1)) == 1
+    batch = sessionize_batch(
+        spark.read.parquet(src_dir), gap_minutes=10)
+    assert batch.filter("user_id = 1").count() == 2  # split in batch too
