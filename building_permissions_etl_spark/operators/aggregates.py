@@ -70,13 +70,26 @@ def windowed_conditional_counts(
     shape is kept too (plans/flagship.py) as the parity-checkable form; a
     parity test pins both to the same result.
     """
-    aggs = []
-    for wname, wpred in windows.items():
-        for v in cell_values:
-            aggs.append(
-                F.count(F.when(wpred & (F.col(cell_col) == v), 1)).alias(f"{v}_{wname}")
-            )
+    aggs = windowed_count_exprs(cell_col, cell_values, windows)
     return df.groupBy(key).agg(*aggs)
+
+
+def windowed_count_exprs(
+    cell_col: str,
+    cell_values: list[str],
+    windows: dict[str, "F.Column"],
+    alias_fmt=lambda v, w: f"{v}_{w}",
+) -> list:
+    """The conditional-count expression list behind
+    ``windowed_conditional_counts``, exposed so composite single-shuffle
+    aggregates (flagship: cells + return-flag marginals in ONE groupBy)
+    build from the same implementation instead of re-inlining it."""
+    return [
+        F.count(F.when(wpred & (F.col(cell_col) == v), 1))
+        .alias(alias_fmt(v, wname))
+        for wname, wpred in windows.items()
+        for v in cell_values
+    ]
 
 
 def value_counts(df: DataFrame, key: str) -> DataFrame:

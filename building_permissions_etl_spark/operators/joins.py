@@ -15,6 +15,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from building_permissions_etl_spark.functions.text import ci_contains
+
 
 def outer_merge_zero_fill(dfs: list[DataFrame], key: str) -> DataFrame:
     """J1: n-way full-outer equi-join on ``key``; missing counts → 0, int
@@ -118,7 +120,7 @@ def fuzzy_first_match(
     """
     matched = left.join(
         F.broadcast(dim.select(dim_key, dim_text)),
-        F.contains(F.lower(F.col(dim_text)), F.lower(F.col(left_text))),
+        ci_contains(F.col(dim_text), F.col(left_text)),
         "left",
     )
     w = Window.partitionBy(row_id).orderBy(F.col(dim_key).asc_nulls_last())

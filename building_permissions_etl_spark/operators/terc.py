@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.functions.text import (
     canonicalize_numeric_string,
+    ci_contains,
     is_nullish,
 )
 from building_permissions_etl_spark.schemas import VOIVODESHIPS
@@ -51,7 +52,7 @@ def _fuzzy_city_lookup(df: DataFrame, powiaty: DataFrame,
     ).distinct()
     matched = cities.join(
         F.broadcast(powiaty.select("JPT_KOD_JE", "JPT_NAZWA_")),
-        F.contains(F.lower(F.col("JPT_NAZWA_")), F.lower(F.col("__miasto"))),
+        ci_contains(F.col("JPT_NAZWA_"), F.col("__miasto")),
         "left",
     )
     return matched.groupBy("__miasto").agg(

@@ -46,7 +46,11 @@ class Expectation:
                 .when(col.rlike(self.regex), 1.0)
                 .otherwise(0.0)
             )
-            return (rate >= self.mostly).alias(self.name)
+            # vacuous success on zero non-null elements (avg → NULL):
+            # Great Expectations treats a mostly-expectation with nothing
+            # to check as passing; NULL here would read as FAIL and block
+            # the pipeline on an empty/all-null batch
+            return F.coalesce(rate >= self.mostly, F.lit(True)).alias(self.name)
         if self.kind == "distinct_in_set":
             # distinct-set containment == no non-null value outside the set
             # (V4 is a distinct-level check; row-level containment implies

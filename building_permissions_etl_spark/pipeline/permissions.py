@@ -28,8 +28,7 @@ from building_permissions_etl_spark.functions.roman import INT_OF_ROMAN
 from building_permissions_etl_spark.functions.text import sanitize_column_names
 from building_permissions_etl_spark.operators.aggregates import pivot_counts
 from building_permissions_etl_spark.operators.joins import (
-    complete_dim_keys,
-    keep_known_keys,
+    complete_via_left_join,
     outer_merge_zero_fill,
 )
 from building_permissions_etl_spark.operators.terc import (
@@ -82,14 +81,21 @@ def ingest_permissions(
     else:
         df = df.filter(t < F.lit(execution_date))
 
-    corrected = correct_terc(df, powiaty)
-    audit = correction_audit_metrics(corrected).first().asDict()
-    clean = drop_invalid_terc(corrected).na.drop(subset=[EVENT_TIME_COL])
+    # the audit action and the write both consume the corrected frame,
+    # and correct_terc internally scans the CSV again for its distinct-
+    # city broadcast lookup — uncached, one ingest run would execute ~4
+    # full CSV scans. One cached generation serves both actions.
+    corrected = correct_terc(df, powiaty).cache()
+    try:
+        audit = correction_audit_metrics(corrected).first().asDict()
+        clean = drop_invalid_terc(corrected).na.drop(subset=[EVENT_TIME_COL])
 
-    write_fact_partitioned(
-        clean, fact_path, EVENT_TIME_COL, "terc",
-        overwrite_partitions=(mode == "update"),
-    )
+        write_fact_partitioned(
+            clean, fact_path, EVENT_TIME_COL, "terc",
+            overwrite_partitions=(mode == "update"),
+        )
+    finally:
+        corrected.unpersist()
     return {"mode": mode, **audit}
 
 
@@ -147,12 +153,25 @@ def superior_aggregates(
     execution_date: dt.datetime,
 ) -> DataFrame:
     """Task 4 (helpers:323-426): the flagship monthly aggregate."""
+    from building_permissions_etl_spark.sources.sinks import MONTH_COL
+
     t = F.col(EVENT_TIME_COL)
     fact = spark.read.parquet(fact_path)
-    # S7: 3-month predicate reaches the parquet scan (partition pruning on
-    # the month partitions + row-group min/max)
+    # S7: the 3-month window is bounded on BOTH sides and duplicated on
+    # the month PARTITION column. The upper bound makes backfills
+    # re-run-safe — without `t < execution_date` a re-run for an old
+    # logical date would count months ingested by later runs (the
+    # reference only survived because Airflow catchup replayed serially
+    # over an append-only table). The month predicates are what Spark
+    # can actually PRUNE partitions with: a filter on the event-time
+    # data column alone still lists and footer-reads every month
+    # directory (yyyy-MM strings compare chronologically).
+    lo = F.add_months(F.lit(execution_date), -3)
     base = fact.filter(
-        t >= F.add_months(F.lit(execution_date), -3).cast("timestamp")
+        (t >= lo.cast("timestamp")) & (t < F.lit(execution_date))
+        & (F.col(MONTH_COL) >= F.date_format(lo, "yyyy-MM"))
+        & (F.col(MONTH_COL)
+           <= F.date_format(F.lit(execution_date), "yyyy-MM"))
     ).withColumn("terc", F.substring("terc", 1, 4)).cache()
 
     windows = {
@@ -173,8 +192,11 @@ def superior_aggregates(
     merged = merged.select(*ordered)
 
     dim = powiaty.select("JPT_KOD_JE")
-    merged = keep_known_keys(merged, dim, "unit_id", "JPT_KOD_JE")
-    merged = complete_dim_keys(
+    # fused J2+J3+U1: the semi+anti+union shape references `merged` twice
+    # and would evaluate the whole 3-window pivot subtree twice (only
+    # `base` is cached) — complete_via_left_join is the single-evaluation
+    # form this module's own joins.py documents as "the one to run"
+    merged = complete_via_left_join(
         merged, dim, "unit_id", "JPT_KOD_JE",
         fill_values={"injection_date": F.lit(inj)},
     ).orderBy("unit_id")

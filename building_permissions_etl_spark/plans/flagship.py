@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from building_permissions_etl_spark.catalog import load_table
 from building_permissions_etl_spark.operators.aggregates import (
     pivot_counts,
-    windowed_conditional_counts,
+    windowed_count_exprs,
 )
 from building_permissions_etl_spark.operators.joins import (
     complete_dim_keys,
@@ -148,18 +148,16 @@ def flagship_single_pass(spark: SparkSession, sf_dir: str,
         wname: F.col("d") >= F.col("max_d") - F.expr(f"INTERVAL {days} DAYS")
         for wname, days in WINDOWS
     }
+    # per window: cell counts then return-flag marginals, both built by
+    # the shared conditional-count expression builder (one groupBy total)
     aggs = []
     for wname, wpred in windows.items():
-        for cell in CELLS:
-            aggs.append(
-                F.count(F.when(wpred & (F.col("cell") == cell), 1))
-                .alias(f"{cell.lower()}_{wname}")
-            )
-        for rf in RETURN_FLAGS:
-            aggs.append(
-                F.count(F.when(wpred & (F.col("rf") == rf), 1))
-                .alias(f"rf_{rf.lower()}_{wname}")
-            )
+        aggs += windowed_count_exprs(
+            "cell", CELLS, {wname: wpred},
+            alias_fmt=lambda v, w: f"{v.lower()}_{w}")
+        aggs += windowed_count_exprs(
+            "rf", RETURN_FLAGS, {wname: wpred},
+            alias_fmt=lambda v, w: f"rf_{v.lower()}_{w}")
     agg = base.groupBy("unit_id").agg(*aggs)
     return _finalize(agg, spark, sf_dir, injection_date, one_pass=True)
 

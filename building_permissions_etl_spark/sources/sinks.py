@@ -21,7 +21,6 @@ The reference's BigQuery sink semantics, on parquet:
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,9 +52,14 @@ def write_fact_partitioned(
 
 
 def table_exists_nonempty(spark: SparkSession, path: str) -> bool:
-    """S6 (helpers:89-96): EXISTS(SELECT 1 ... LIMIT 1) analog."""
-    if not os.path.exists(path):
-        return False
+    """S6 (helpers:89-96): EXISTS(SELECT 1 ... LIMIT 1) analog.
+
+    The probe is the read itself — a driver-local ``os.path.exists``
+    would be False for EVERY distributed path (s3a://, hdfs://), making
+    the caller treat populated remote tables as missing: ingest would
+    re-load full history every run and schema evolution would
+    destructively overwrite the sink. ``spark.read.parquet`` raising
+    PATH_NOT_FOUND is the storage-agnostic "missing" signal."""
     try:
         return not spark.read.parquet(path).limit(1).isEmpty()
     except Exception:
@@ -80,12 +84,23 @@ def append_with_schema_evolution(
 
     Count columns are whatever isn't a key column; they are always
     integer-typed zeros, per the reference's INTEGER schema fields.
+    ``key_cols`` are the columns that may NEVER be reconciled by
+    zero-fill: a key absent from either side is schema corruption, not
+    evolution, and raises instead of silently materializing '0' keys.
     """
     if not table_exists_nonempty(spark, path):
         df.write.mode("overwrite").parquet(path)
         return
 
     existing = spark.read.parquet(path)
+    missing_keys = [k for k in key_cols
+                    if k not in df.columns or k not in existing.columns]
+    if missing_keys:
+        raise ValueError(
+            f"key column(s) {missing_keys} absent from "
+            f"{'input' if missing_keys[0] not in df.columns else 'sink'} — "
+            f"refusing to zero-fill identity columns"
+        )
     df_missing = [c for c in existing.columns if c not in df.columns]
     for c in df_missing:
         df = df.withColumn(c, F.lit(0).cast(dict(existing.dtypes)[c]))
@@ -142,7 +157,16 @@ def zorder_value(cols: list, mins: list[int], maxs: list[int],
     key gives parquet min/max pruning on ALL clustered columns at once —
     single-column clustering only prunes its leading column. Pure Column
     arithmetic (shift/mask), no UDF.
+
+    Total interleaved width is capped at 63 bits: the top bit of a long
+    is the SIGN bit, and ``len(cols) * bits > 63`` would shift set bits
+    into it, making large coordinates sort NEGATIVE — z-order
+    monotonicity silently broken, pruning silently gone. Per-column
+    precision auto-shrinks to fit (e.g. 4 columns → 15 bits each).
     """
+    n_cols = max(len(cols), 1)
+    if n_cols * bits > 63:
+        bits = 63 // n_cols
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         span = max(int(hi) - int(lo), 1)
