@@ -30,4 +30,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with a zero-vector guard: 0/0 is IEEE NaN, and
+    Spark sorts NaN ABOVE every finite double, so an unguarded all-zero
+    embedding would permanently occupy rank 1 of every top-k. The 1e-12
+    floor maps zero vectors to similarity ~0 instead (mirrored in the
+    DuckDB oracle's greatest() guard)."""
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))

@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 
 
 def half_open_range(df: DataFrame, col: str, lo, hi) -> DataFrame:
-    """F1: strictly-greater / strictly-less date range (helpers:186-191)."""
+    """F1: strictly-greater AND strictly-less date range — i.e. a fully
+    OPEN interval (lo, hi), despite the name. Both strict bounds are the
+    reference's exact semantics (helpers:186-191) and the name tracks
+    SURVEY.md's F1 label for auditability; callers wanting the
+    conventional [lo, hi) must add the boundary row themselves."""
     return df.filter((F.col(col) > F.lit(lo)) & (F.col(col) < F.lit(hi)))
 
 
@@ -34,9 +38,13 @@ def not_in_set(df: DataFrame, col: str, values: list[str]) -> DataFrame:
 
 def months_lookback(df: DataFrame, col: str, anchor, months: int) -> DataFrame:
     """F5: ``>= anchor - n months`` (helpers:352-354). ``anchor`` is a literal
-    (the logical date) — never wall-clock."""
+    (the logical date) — never wall-clock. INTERVAL arithmetic (not
+    ``add_months``, which coerces through DATE and silently drops the
+    anchor's time-of-day) mirrors the reference's ``relativedelta``:
+    time preserved, month-end clamped."""
     return df.filter(
-        F.col(col) >= F.add_months(F.lit(anchor), -months).cast("timestamp")
+        F.col(col) >= F.lit(anchor).cast("timestamp")
+        - F.expr(f"INTERVAL {int(months)} MONTH")
     )
 
 

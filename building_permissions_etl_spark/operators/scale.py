@@ -11,6 +11,13 @@ the expensive projection that follows.
 Use it ONLY in front of per-row-expensive work (hash families, n-gram
 pipelines, vector math, Pandas UDFs) — a plain filter/agg query should let
 Catalyst/AQE pick partitioning, and its first shuffle redistributes anyway.
+
+Contract: apply DIRECTLY to a scan (or narrow transformations of one).
+The probe reads the lineage's source file list, which is the partition
+count only for scan-rooted plans; a frame that already contains a
+shuffle/aggregation reports its SOURCE's files, not its current
+(possibly AQE-coalesced) partitioning, so the guard would silently no-op
+there. Every in-repo call site follows this contract.
 """
 
 from __future__ import annotations

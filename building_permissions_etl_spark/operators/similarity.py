@@ -92,7 +92,18 @@ def topk_bruteforce(
 
     Scores are rounded before ranking so the (score desc, id asc) order is
     reproducible across engines; the query row itself is excluded.
+
+    The query id is validated with one bounded action (same pattern as
+    the index queries): a missing id previously returned an empty frame
+    indistinguishable from "no neighbors", and a duplicated id would
+    cross-join every candidate against BOTH query rows, halving the
+    distinct results inside ``limit(k)``.
     """
+    n_q = df.filter(F.col(id_col) == query_id).limit(2).count()
+    if n_q == 0:
+        raise ValueError(f"query_id {query_id!r} not found")
+    if n_q > 1:
+        raise ValueError(f"query_id {query_id!r} matches multiple rows")
     q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
     return (
         df.crossJoin(F.broadcast(q))
@@ -145,9 +156,16 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids) -> DataFrame:
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
 
+    dim = cn.shape[1]
+
     @pandas_udf("int")
     def cell_of(vecs: pd.Series) -> pd.Series:
-        x = np.asarray(list(vecs), dtype=np.float32)
+        # a NULL embedding must not kill the build job (the LSH and
+        # portable-IVF paths tolerate it); map it to the zero vector,
+        # which lands in cell 0 like theirs
+        zero = [0.0] * dim
+        x = np.asarray([v if v is not None else zero for v in vecs],
+                       dtype=np.float32)
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(xn @ cn.T, axis=1).astype("int32"))
 
@@ -235,9 +253,15 @@ def topk_ivf(
     round_to: int = 6,
 ) -> DataFrame:
     """One-shot convenience: build + single query. Amortized use goes
-    through ``build_ivf_index`` + ``query_ivf``."""
+    through ``build_ivf_index`` + ``query_ivf``. The transient index is
+    unpersisted before returning — the handle would otherwise be
+    unreachable and every one-shot call would leak a cached copy of the
+    assigned corpus; the returned plan recomputes through intact lineage
+    on its single collection."""
     index = build_ivf_index(df, vec_col, id_col, n_cells, sample_size)
-    return query_ivf(index, query_id, k, n_probe, round_to)
+    out = query_ivf(index, query_id, k, n_probe, round_to)
+    index.indexed.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -399,16 +423,17 @@ def query_lsh(
     by ``build_lsh_index``) so the probe set always matches the build
     geometry; the ``n_planes`` parameter is only a fallback for indexes
     built before the stamp existed."""
+    has_stamp = "__n_planes" in indexed.columns
+    qcols = [F.col(vec_col), F.col("__bucket")]
+    if has_stamp:
+        qcols.append(F.col("__n_planes"))
     qrow = (
-        indexed.filter(F.col(id_col) == query_id)
-        .select(F.col(vec_col), F.col("__bucket")).first()
+        indexed.filter(F.col(id_col) == query_id).select(*qcols).first()
     )
     if qrow is None:
         raise ValueError(f"query_id {query_id!r} not found in the index")
-    if "__n_planes" in indexed.columns:
-        idx_planes = int(
-            indexed.select("__n_planes").limit(1).first()[0]
-        )
+    if has_stamp:
+        idx_planes = int(qrow[2])
         if n_planes is not None and n_planes != idx_planes:
             raise ValueError(
                 f"n_planes={n_planes} disagrees with the index "

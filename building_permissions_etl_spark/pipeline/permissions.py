@@ -166,9 +166,12 @@ def superior_aggregates(
     # can actually PRUNE partitions with: a filter on the event-time
     # data column alone still lists and footer-reads every month
     # directory (yyyy-MM strings compare chronologically).
-    lo = F.add_months(F.lit(execution_date), -3)
+    # INTERVAL arithmetic preserves the logical date's time-of-day
+    # (add_months coerces to DATE and would snap a midday logical date
+    # to midnight, mirroring nothing in the reference's relativedelta)
+    lo = F.lit(execution_date).cast("timestamp") - F.expr("INTERVAL 3 MONTHS")
     base = fact.filter(
-        (t >= lo.cast("timestamp")) & (t < F.lit(execution_date))
+        (t >= lo) & (t < F.lit(execution_date))
         & (F.col(MONTH_COL) >= F.date_format(lo, "yyyy-MM"))
         & (F.col(MONTH_COL)
            <= F.date_format(F.lit(execution_date), "yyyy-MM"))
@@ -176,8 +179,10 @@ def superior_aggregates(
 
     windows = {
         "3m": base,
-        "2m": base.filter(t >= F.add_months(F.lit(execution_date), -2).cast("timestamp")),
-        "1m": base.filter(t >= F.add_months(F.lit(execution_date), -1).cast("timestamp")),
+        "2m": base.filter(t >= F.lit(execution_date).cast("timestamp")
+                          - F.expr("INTERVAL 2 MONTHS")),
+        "1m": base.filter(t >= F.lit(execution_date).cast("timestamp")
+                          - F.expr("INTERVAL 1 MONTH")),
     }
     aggs = [aggregate_window(wdf, s) for s, wdf in windows.items()]
     merged = outer_merge_zero_fill(aggs, "terc")

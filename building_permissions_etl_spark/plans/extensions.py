@@ -48,7 +48,8 @@ _DOT = ("list_sum(list_transform(range(1,65), "
 
 def _cos(a: str, b: str) -> str:
     return (f"({_DOT.format(a=a, b=b)}) / "
-            f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))")
+            f"greatest(sqrt({_DOT.format(a=a, b=a)})"
+            f" * sqrt({_DOT.format(a=b, b=b)}), 1e-12)")
 
 
 # Session-scoped ANN index cache: the expensive build (centroid training,

@@ -198,8 +198,8 @@ def lsh_topk_sql(
              "j -> CAST(embedding[j] AS DOUBLE) * CAST(qv[j] AS DOUBLE)))")
     nrm = ("sqrt(list_sum(list_transform(range(1, {d} + 1), "
            "j -> CAST({v}[j] AS DOUBLE) * CAST({v}[j] AS DOUBLE))))")
-    cos = (f"({dot_q}) / ({nrm.format(v='embedding', d=dim)} * "
-           f"{nrm.format(v='qv', d=dim)})")
+    cos = (f"({dot_q}) / greatest({nrm.format(v='embedding', d=dim)} * "
+           f"{nrm.format(v='qv', d=dim)}, 1e-12)")
     return f"""
         WITH b AS (
           SELECT vec_id, embedding, (
@@ -244,7 +244,7 @@ def ivf_topk_sql(
         ne = ("sqrt(list_sum(list_transform(range(1, {d} + 1), "
               "j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))))"
               ).format(d=dim)
-        return f"({d}) / ({ne} * {nc})"
+        return f"({d}) / greatest({ne} * {nc}, 1e-12)"
 
     cs = "[\n            " + ",\n            ".join(
         dot_cent(p) for p in centroids

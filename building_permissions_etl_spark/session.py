@@ -55,7 +55,15 @@ def get_spark(app_name: str = "building_permissions_etl_spark",
     )
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif not os.environ.get("SPARK_MASTER") \
+            and "PYSPARK_SUBMIT_ARGS" not in os.environ \
+            and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # local default ONLY when nothing external supplied a master:
+        # spark-submit/pyspark communicate --master through
+        # PYSPARK_SUBMIT_ARGS or an already-running gateway
+        # (PYSPARK_GATEWAY_PORT), never the SPARK_MASTER env var — and an
+        # explicit builder.master here would override them, silently
+        # running the "cluster" job single-node on the driver
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

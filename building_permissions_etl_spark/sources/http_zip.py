@@ -29,5 +29,8 @@ def download_and_unpack_zip(url: str, local_zip_path: str, extract_to_folder: st
             out.write(chunk)
     with zipfile.ZipFile(local_zip_path) as zf:
         zf.extractall(extract_to_folder)
-        names = zf.namelist()
+        # FILES only: namelist() also contains directory entries, and a
+        # caller feeding the list to spark.read would ingest 'data/' AND
+        # 'data/a.csv' — reading a.csv twice (or erroring on the dir)
+        names = [i.filename for i in zf.infolist() if not i.is_dir()]
     return [os.path.join(extract_to_folder, n) for n in names]

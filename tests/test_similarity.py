@@ -252,3 +252,63 @@ def test_query_lsh_probe_set_follows_index_geometry(spark):
             S.query_lsh(idx, "embedding", "vec_id", query_id=10**9)
     finally:
         idx.unpersist()
+
+
+def test_cosine_zero_vector_never_ranks_top(spark):
+    """IEEE 0/0 = NaN sorts ABOVE every finite double in Spark — a
+    zero embedding must score ~0, not occupy rank 1 of every top-k."""
+    from building_permissions_etl_spark.operators.similarity import (
+        topk_bruteforce,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r.id, r.score) for r in
+           topk_bruteforce(df, "embedding", "vec_id", 0, k=2).collect()]
+    assert got[0][0] == 1            # the real neighbor ranks first
+    assert got[1] == (2, 0.0)        # zero vector scores 0, not NaN
+
+
+def test_topk_bruteforce_validates_query_id(spark):
+    import pytest as _pytest
+
+    from building_permissions_etl_spark.operators.similarity import (
+        topk_bruteforce,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [0.0, 1.0]), (1, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="not found"):
+        topk_bruteforce(df, "embedding", "vec_id", 99)
+    with _pytest.raises(ValueError, match="multiple"):
+        topk_bruteforce(df, "embedding", "vec_id", 0)
+
+
+def test_ivf_build_tolerates_null_embeddings(spark):
+    from building_permissions_etl_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf,
+    )
+
+    rows = [(i, [float(i % 5), float((i * 3) % 7)]) for i in range(40)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = build_ivf_index(df, "embedding", "vec_id", n_cells=4, sample_size=32)
+    try:
+        got = query_ivf(idx, query_id=1, k=3)
+        assert got.count() == 3
+    finally:
+        idx.indexed.unpersist()
+
+
+def test_topk_ivf_oneshot_does_not_leak_cache(spark):
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.operators.similarity import topk_ivf
+
+    emb = load_table(spark, "embeddings", SF)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    topk_ivf(emb, "embedding", "vec_id", 0, k=5).collect()
+    assert jsc.getPersistentRDDs().size() - before == 0

@@ -69,3 +69,21 @@ def test_dissolve_wkt_groups_counties_into_voivodeship_multipolygons(spark):
         assert part in out["02"].wkt
     assert out["02"].wkt.startswith("MULTIPOLYGON (") and out["02"].wkt.endswith(")")
     assert out["04"].wkt == "MULTIPOLYGON (((9 9, 10 9, 10 10, 9 10, 9 9)))"
+
+
+def test_zip_extract_returns_files_not_directories(spark, tmp_path):
+    import zipfile
+
+    from building_permissions_etl_spark.sources.http_zip import (
+        download_and_unpack_zip,
+    )
+
+    src = tmp_path / "d.zip"
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.writestr("data/", "")
+        zf.writestr("data/a.csv", "x#y\n1#2\n")
+        zf.writestr("b.csv", "x#y\n3#4\n")
+    files = download_and_unpack_zip(
+        src.as_uri(), str(tmp_path / "dl.zip"), str(tmp_path / "ex"))
+    names = sorted(f.split("ex/")[-1] for f in files)
+    assert names == ["b.csv", "data/a.csv"]  # no 'data/' dir entry
