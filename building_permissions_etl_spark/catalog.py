@@ -43,7 +43,14 @@ def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:
     effect."""
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except Exception as exc:
+        # ONLY the ns-era footer rejection takes the legacy-conf path: a
+        # bare retry would set the session-wide conf on ANY failure
+        # (missing file, corrupt footer) and mask the real error behind
+        # the retry's
+        msg = str(exc)
+        if "PARQUET_TYPE_ILLEGAL" not in msg and "Illegal Parquet type" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
 

@@ -199,6 +199,12 @@ def minhash_lsh_pairs(
     """
     r = k // bands
     df = fan_out(df)  # signature computation is the per-row hot loop
+    # shingle-less (empty/whitespace) docs carry NO signal: their
+    # signature would be the untouched all-sentinel init array, pairing
+    # every empty doc with every other at est 1.0. The oracle's
+    # list_min over an empty list yields null sigs / est 0 — excluded
+    # there too, so both engines agree: empty docs never pair.
+    df = df.filter(F.size(tokens(F.col(text_col))) > 0)
     sigs = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), k, shingle_n, base_hash).alias("sig"),

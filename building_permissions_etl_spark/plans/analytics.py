@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.catalog import load_table
 from building_permissions_etl_spark.functions.roman import (
+    ROMAN_OF_INT,
     int_to_roman_col,
     roman_to_int_col,
 )
@@ -187,13 +188,7 @@ def contribute(register) -> None:
         ).orderBy("p_partkey")
 
     roman_case = " ".join(
-        f"WHEN {n} THEN '{r}'"
-        for n, r in sorted(
-            __import__(
-                "building_permissions_etl_spark.functions.roman",
-                fromlist=["ROMAN_OF_INT"],
-            ).ROMAN_OF_INT.items()
-        )
+        f"WHEN {n} THEN '{r}'" for n, r in sorted(ROMAN_OF_INT.items())
     )
     register(
         "roman_numeral_codec",
@@ -255,9 +250,9 @@ def contribute(register) -> None:
           (count(CASE WHEN o_orderstatus IS NOT NULL
                        AND o_orderstatus NOT IN ('F','O','P')
                  THEN 1 END) = 0) AS status_in_set_pass,
-          (avg(CASE WHEN o_orderpriority IS NULL THEN NULL
+          COALESCE(avg(CASE WHEN o_orderpriority IS NULL THEN NULL
                     WHEN regexp_matches(o_orderpriority, '^[12]-') THEN 1.0
-                    ELSE 0.0 END) >= 0.2) AS priority_mostly_pass,
+                    ELSE 0.0 END) >= 0.2, TRUE) AS priority_mostly_pass,
           (count(DISTINCT CASE WHEN o_orderstatus NOT IN ('F','O','P')
                           THEN o_orderstatus END) = 0) AS status_distinct_subset_pass,
           CAST(count(*) AS BIGINT) AS element_count
@@ -521,8 +516,16 @@ def contribute(register) -> None:
     # skew-safety argument as operators/skew.exact_distinct_per_key).
     def dau(spark, sf):
         ev = load_table(spark, "events", sf)
+        # UTC-day truncation via epoch arithmetic: date_trunc('day') on
+        # an ltz timestamp uses the SESSION zone's day boundaries, which
+        # diverges from the oracle's naive-as-UTC truncation on any
+        # non-UTC session (measured: even the row COUNT differs under
+        # America/New_York). floor(epoch/86400) is zone-free.
+        day = F.timestamp_seconds(
+            F.floor(F.unix_seconds(F.col("ts")) / 86400) * 86400
+        )
         return (
-            ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+            ev.select(day.alias("day"), "user_id")
             .dropDuplicates(["day", "user_id"])
             .groupBy("day")
             .agg(F.count(F.lit(1)).alias("dau"))
@@ -648,8 +651,6 @@ def contribute(register) -> None:
     _LON_SQL, _LAT_SQL = to_wgs84_sql("x", "y")
 
     def crs_grid(spark, sf):
-        from building_permissions_etl_spark.catalog import load_table
-
         return (
             load_table(spark, "orders", sf)
             .filter(F.expr("o_orderkey % 97 = 0"))

@@ -136,7 +136,9 @@ def contribute(register) -> None:
     # band; this is the exact-verify shape.
     def ngram_jaccard(spark, sf):
         docs = load_table(spark, "documents", sf).withColumn(
-            "block", F.concat_ws("_", "lang", F.expr("n_chars div 50"))
+            "block", F.concat_ws(
+                "_", F.coalesce("lang", F.lit("~null~")),
+                F.expr("n_chars div 50"))
         )
         return D.ngram_jaccard_pairs(
             docs, "text", "doc_id", block_col="block", n=3, min_jaccard=0.05
@@ -153,7 +155,7 @@ def contribute(register) -> None:
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.ng, b.ng))) AS jaccard
-        FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb
+        FROM t a JOIN t b ON coalesce(a.lang, '~null~') = coalesce(b.lang, '~null~') AND a.lb = b.lb
                          AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.ng, b.ng))) >= 0.05
@@ -265,7 +267,9 @@ def contribute(register) -> None:
     def cluster_survivors(algorithm):
         def q(spark, sf):
             docs = load_table(spark, "documents", sf).withColumn(
-                "block", F.concat_ws("_", "lang", F.expr("n_chars div 50"))
+                "block", F.concat_ws(
+                "_", F.coalesce("lang", F.lit("~null~")),
+                F.expr("n_chars div 50"))
             )
             pairs = D.ngram_jaccard_pairs(
                 docs, "text", "doc_id", block_col="block", n=3, min_jaccard=0.05
@@ -284,7 +288,7 @@ def contribute(register) -> None:
         pairs AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM t a JOIN t b
-            ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+            ON coalesce(a.lang, '~null~') = coalesce(b.lang, '~null~') AND a.lb = b.lb AND a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
                 / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)))
                 >= 0.05
@@ -539,7 +543,9 @@ def contribute(register) -> None:
         SELECT doc_id AS asset_id,
                CAST(least(16, greatest(1, octet_length(encode(text)) // 64))
                     AS BIGINT) AS n_frames
-        FROM documents ORDER BY asset_id
+        FROM documents
+        WHERE text IS NOT NULL  -- Spark's explode skips null payloads
+        ORDER BY asset_id
         """,
     )
 

@@ -449,9 +449,11 @@ def _contribute_unpivot(register) -> None:
             .orderBy("suppkey", "cell")
         )
 
+    # derived from the SAME constant the Spark side unpivots — a
+    # hardcoded twin list would silently drift if CELLS ever changes
     cell_selects = " UNION ALL ".join(
-        f"SELECT suppkey, '{c}' AS cell, {c} AS cnt FROM wide" for c in
-        ["A_F", "A_O", "N_F", "N_O", "R_F", "R_O"]
+        f"SELECT suppkey, '{c}' AS cell, {c} AS cnt FROM wide"
+        for c in CELLS
     )
     register(
         "unpivot_cells_long",

@@ -135,11 +135,16 @@ def _populate() -> None:
     scale_queries.contribute(stage)
 
     # driver window first (KeyError here = window names drifted from the
-    # contributors), then everything else in contribution order
+    # contributors), then everything else in contribution order. Built
+    # into a LOCAL dict and committed atomically: a mid-loop KeyError
+    # must not leave _REGISTRY partially filled, or a caller that
+    # catches and retries would hit the `if _REGISTRY: return`
+    # short-circuit and silently serve a truncated driver window.
+    ordered: dict[str, tuple] = {}
     for name in _DRIVER_WINDOW:
-        fn, sql = staged.pop(name)
-        register(name, fn, sql)
-    for name, (fn, sql) in staged.items():
+        ordered[name] = staged.pop(name)
+    ordered.update(staged)
+    for name, (fn, sql) in ordered.items():
         register(name, fn, sql)
 
 

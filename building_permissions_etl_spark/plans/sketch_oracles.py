@@ -253,8 +253,8 @@ def ivf_topk_sql(
              "j -> CAST(embedding[j] AS DOUBLE) * CAST(qv[j] AS DOUBLE)))")
     nrm = ("sqrt(list_sum(list_transform(range(1, {d} + 1), "
            "j -> CAST({v}[j] AS DOUBLE) * CAST({v}[j] AS DOUBLE))))")
-    cos_q = (f"({dot_q}) / ({nrm.format(v='embedding', d=dim)} * "
-             f"{nrm.format(v='qv', d=dim)})")
+    cos_q = (f"({dot_q}) / greatest({nrm.format(v='embedding', d=dim)} * "
+             f"{nrm.format(v='qv', d=dim)}, 1e-12)")
     return f"""
         WITH c AS (
           SELECT vec_id, embedding, {cs} AS cs
@@ -296,7 +296,9 @@ def multimodal_features_sql(n_features: int = 8, cap: int = 4096) -> str:
           SELECT doc_id AS asset_id,
                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                 encode(text) AS payload
+                 -- NULL text mirrors Spark's null-payload contract:
+                 -- n_bytes 0 and all-zero features, not NULLs
+                 encode(coalesce(text, '')) AS payload
           FROM documents
         ),
         b AS (

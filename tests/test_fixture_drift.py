@@ -109,3 +109,26 @@ def test_ntz_normalization_is_session_timezone_independent(spark):
             assert got == sorted(walls.values()), (tz, got)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_daily_active_users_day_is_session_timezone_independent(spark):
+    """date_trunc('day', ltz) uses SESSION-zone day boundaries; the dau
+    query must bucket by UTC days (the oracle's naive-as-UTC view) under
+    any session timezone."""
+    import __spark_entry__ as E
+
+    q = E.queries()["daily_active_users"]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = [(r["day"].isoformat(), r["dau"])
+               for r in q(spark, SF_DIR).collect()]
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = [(r["day"], r["dau"]) for r in q(spark, SF_DIR).collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # row count and dau values must be identical; collect renders the
+    # day INSTANTS in the session zone, but the grouping (and therefore
+    # the counts) must not move with the zone
+    assert len(utc) == len(ny)
+    assert [n for _, n in utc] == [n for _, n in ny]
