@@ -117,6 +117,7 @@ def _populate() -> None:
         ranking_queries,
         scale_queries,
         streaming_queries,
+        tpch_queries,
     )
 
     staged: dict[str, tuple] = {}
@@ -133,6 +134,7 @@ def _populate() -> None:
     streaming_queries.contribute(stage)
     ranking_queries.contribute(stage)
     scale_queries.contribute(stage)
+    tpch_queries.contribute(stage)
 
     # driver window first (KeyError here = window names drifted from the
     # contributors), then everything else in contribution order. Built

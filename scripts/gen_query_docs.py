@@ -17,6 +17,7 @@ MODULES = [
     ("streaming_queries", "Events: windows, sessions, as-of/range joins, streaming"),
     ("ranking_queries", "Ranking/LM scoring: TF-IDF, BM25, unigram LM, chunk dedup"),
     ("scale_queries", "Skew-mitigation shapes (salted agg/join, safe distinct)"),
+    ("tpch_queries", "TPC-H-style decision support adapted to the fixture schema"),
 ]
 
 
