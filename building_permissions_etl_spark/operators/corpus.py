@@ -361,3 +361,89 @@ def corpus_composition(df: DataFrame, text_col: str) -> DataFrame:
         "source", "lang", "n_docs", "total_tokens", "avg_chars",
         F.round(share, 6).alias("token_share"),
     ).orderBy("source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits and mixture resampling. Both are HASH-derived, not
+# RNG-derived: rand() splits are irreproducible across retries and
+# engines, and a retried task at 100 TB would re-draw its rows. A content
+# hash makes the assignment a pure function of the row — stable across
+# runs, engines, cluster sizes, and AQE re-planning — and lets an
+# independent SQL engine verify the exact member set.
+# ---------------------------------------------------------------------------
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    buckets: tuple[tuple[str, int], ...] = (
+        ("train", 9800), ("val", 100), ("test", 100),
+    ),
+) -> DataFrame:
+    """Add a ``split`` column by portable-hash bucket of ``id_col``.
+
+    ``buckets`` are (name, parts-per-10000) in priority order and must sum
+    to 10000 so every row lands in exactly one split. Narrow projection:
+    no shuffle, no RNG, reproducible under retry.
+    """
+    from building_permissions_etl_spark.functions.portable import portable_hash64
+
+    total = sum(n for _, n in buckets)
+    if total != 10000:
+        raise ValueError(f"bucket weights must sum to 10000, got {total}")
+    bucket = F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(10000))
+    expr = None
+    cum = 0
+    for name, n in buckets:
+        cum += n
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def resample_to_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Deterministically downsample groups to target mixture proportions.
+
+    The output is the LARGEST feasible corpus in which group ``g`` makes
+    up ``weights[g]`` of the rows without upsampling any group: feasible
+    total ``T = min_g(n_g / w_g)``, per-group keep threshold
+    ``floor(10000 · w_g · T / n_g)`` applied to the portable hash bucket
+    of the id. Groups not in ``weights`` are dropped.
+
+    Scale shape: one partial-agg shuffle for the per-group counts (a
+    few-row frame), broadcast back; the keep decision is then a narrow
+    map-side filter — no row-level shuffle of the corpus itself.
+    """
+    from building_permissions_etl_spark.functions.portable import portable_hash64
+
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and positive")
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+    )
+    in_scope = df.filter(F.col(group_col).isin(*weights.keys()))
+    counts = in_scope.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    feasible = counts.agg(
+        F.min(F.col("__n").cast("double") / wmap[F.col(group_col)]).alias("__t")
+    )
+    thr = (
+        counts.join(F.broadcast(feasible))
+        .select(
+            F.col(group_col).alias("__g"),
+            F.least(
+                F.lit(10000.0),
+                F.floor(F.lit(10000.0) * wmap[F.col(group_col)] * F.col("__t")
+                        / F.col("__n").cast("double")).cast("double"),
+            ).alias("__thr"),
+        )
+    )
+    bucket = F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(10000))
+    return (
+        in_scope.join(F.broadcast(thr), F.col(group_col) == F.col("__g"))
+        .filter(bucket.cast("double") < F.col("__thr"))
+        .drop("__g", "__thr")
+    )

@@ -474,3 +474,79 @@ def topk_lsh(
     with_bucket = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     return query_lsh(with_bucket, vec_col, id_col, query_id, k, hamming_probe,
                      round_to, n_planes=n_planes)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the memory-bound scale path: a 64-dim float
+# embedding is 256 bytes; symmetric per-vector int8 is 64 bytes + one
+# float scale (4× less scan I/O, and integer dot products vectorize).
+# At 100 TB the quantized column is written NEXT TO the float column at
+# ingest; queries scan only the narrow column and re-rank the final
+# candidates on floats if exactness matters.
+# ---------------------------------------------------------------------------
+
+def quantize_scale(vec: Column) -> Column:
+    """Symmetric per-vector scale: max|x| / 127, floored at 1e-12 so the
+    all-zero vector quantizes to zeros instead of NaN."""
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.greatest(maxabs, F.lit(1e-12)) / F.lit(127.0)
+
+
+def quantize_int8(vec: Column, scale: Column) -> Column:
+    """Round-half-up to integers in [-127, 127]. ``floor(x/s + 0.5)`` is
+    used (not ``round``) because its IEEE evaluation is identical in
+    every engine — half-even vs half-up ``round`` variants differ."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("long")
+    )
+
+
+def topk_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id: int,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k by quantized dot product.
+
+    score = scale_d * scale_q * Σ q_d[i]·q_q[i] — the integer Σ is exact
+    (no float-association drift), so the ONLY approximation is the
+    quantization itself, and the result is bit-reproducible across
+    engines: the DuckDB oracle replays the identical pipeline.
+
+    Same validation contract as ``topk_bruteforce``: unknown or
+    duplicated query ids raise instead of returning a plausible frame.
+    """
+    n_q = df.filter(F.col(id_col) == query_id).limit(2).count()
+    if n_q == 0:
+        raise ValueError(f"query_id {query_id!r} not found")
+    if n_q > 1:
+        raise ValueError(f"query_id {query_id!r} matches multiple rows")
+
+    def quantized(prefix: str, frame: DataFrame) -> DataFrame:
+        scale = quantize_scale(F.col(vec_col))
+        return frame.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            scale.alias(f"{prefix}_scale"),
+            quantize_int8(F.col(vec_col), scale).alias(f"{prefix}_q"),
+        )
+
+    docs = quantized("d", df.filter(F.col(id_col) != query_id))
+    q = quantized("q", df.filter(F.col(id_col) == query_id))
+    int_dot = F.aggregate(
+        F.zip_with(F.col("d_q"), F.col("q_q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.crossJoin(F.broadcast(q))
+        .select(
+            F.col("d_id").alias("id"),
+            F.round(F.col("d_scale") * F.col("q_scale")
+                    * int_dot.cast("double"), round_to).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )

@@ -159,3 +159,48 @@ def doc_fingerprint(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col).alias("id"),
         let(hs, body).alias("fingerprint"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 30,
+    max_words: int = 90,
+    min_mean_word_len: float = 3.5,
+    max_mean_word_len: float = 5.0,
+    stopwords: tuple[str, ...] = ("a", "the"),
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length band, and a minimum stopword
+    presence. Each rule is emitted as its own boolean next to the inputs
+    it judged — pipelines tune thresholds by inspecting rule marginals,
+    not just the conjunction.
+
+    Pure Column expressions over one narrow pass (split → HOF aggregate);
+    no shuffle, no UDF. Thresholds default to the fixture corpus's scale;
+    production corpora pass the paper's values (50/100k words, 3-10
+    chars).
+    """
+    toks = tokens(F.col(text_col))
+    word_count = F.size(toks)
+    mean_wl = (
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+        / F.greatest(word_count, F.lit(1)).cast("double")
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return df.select(
+        F.col(id_col),
+        word_count.alias("word_count"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        ((word_count >= min_words) & (word_count <= max_words))
+        .alias("rule_words"),
+        ((F.round(mean_wl, 4) >= min_mean_word_len)
+         & (F.round(mean_wl, 4) <= max_mean_word_len)).alias("rule_word_len"),
+        (stop_hits >= min_stop_hits).alias("rule_stopwords"),
+    ).withColumn(
+        "keep",
+        F.col("rule_words") & F.col("rule_word_len") & F.col("rule_stopwords"),
+    )

@@ -118,6 +118,7 @@ def _populate() -> None:
         scale_queries,
         streaming_queries,
         tpch_queries,
+        training_queries,
     )
 
     staged: dict[str, tuple] = {}
@@ -135,6 +136,7 @@ def _populate() -> None:
     ranking_queries.contribute(stage)
     scale_queries.contribute(stage)
     tpch_queries.contribute(stage)
+    training_queries.contribute(stage)
 
     # driver window first (KeyError here = window names drifted from the
     # contributors), then everything else in contribution order. Built

@@ -18,6 +18,7 @@ MODULES = [
     ("ranking_queries", "Ranking/LM scoring: TF-IDF, BM25, unigram LM, chunk dedup"),
     ("scale_queries", "Skew-mitigation shapes (salted agg/join, safe distinct)"),
     ("tpch_queries", "TPC-H-style decision support adapted to the fixture schema"),
+    ("training_queries", "Training-data curation: splits, mixing, Gopher rules, int8 ANN"),
 ]
 
 

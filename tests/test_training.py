@@ -1,0 +1,98 @@
+"""Unit contracts for the training-curation operators (splits, mixture
+resampling, Gopher rules, int8-quantized similarity) beyond the oracle
+parity sweep: error paths, invariants, and determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.operators import corpus as C
+from building_permissions_etl_spark.operators import similarity as S
+from building_permissions_etl_spark.operators import textstats as T
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_assign_split_partitions_every_row(spark):
+    docs = load_table(spark, "documents", SF)
+    out = C.assign_split(docs, "doc_id")
+    total = docs.count()
+    by_split = {r["split"]: r["count"]
+                for r in out.groupBy("split").count().collect()}
+    assert sum(by_split.values()) == total
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split.get("train", 0) > by_split.get("val", 0)
+
+
+def test_assign_split_rejects_bad_weights(spark):
+    docs = load_table(spark, "documents", SF)
+    with pytest.raises(ValueError, match="sum to 10000"):
+        C.assign_split(docs, "doc_id", buckets=(("train", 5000), ("val", 100)))
+
+
+def test_assign_split_deterministic(spark):
+    docs = load_table(spark, "documents", SF)
+    a = sorted(C.assign_split(docs, "doc_id").select("doc_id", "split").collect())
+    b = sorted(C.assign_split(docs, "doc_id").select("doc_id", "split").collect())
+    assert a == b
+
+
+def test_resample_to_mix_respects_proportions(spark):
+    docs = load_table(spark, "documents", SF)
+    weights = {"src0": 0.5, "src1": 0.5}
+    kept = C.resample_to_mix(docs, "source", "doc_id", weights)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= {"src0", "src1"}
+    n0, n1 = counts.get("src0", 0), counts.get("src1", 0)
+    # equal weights on equal-sized fixture groups: counts within hash noise
+    assert abs(n0 - n1) <= max(2, 0.5 * max(n0, n1))
+
+
+def test_resample_to_mix_rejects_bad_weights(spark):
+    docs = load_table(spark, "documents", SF)
+    with pytest.raises(ValueError, match="positive"):
+        C.resample_to_mix(docs, "source", "doc_id", {"src0": -1.0})
+    with pytest.raises(ValueError, match="non-empty"):
+        C.resample_to_mix(docs, "source", "doc_id", {})
+
+
+def test_gopher_rules_keep_is_conjunction(spark):
+    docs = load_table(spark, "documents", SF)
+    out = T.gopher_rules(docs, "text", "doc_id")
+    bad = out.filter(
+        F.col("keep")
+        != (F.col("rule_words") & F.col("rule_word_len") & F.col("rule_stopwords"))
+    ).count()
+    assert bad == 0
+    # thresholds chosen to actually split the fixture corpus
+    kept = out.filter("keep").count()
+    assert 0 < kept < out.count()
+
+
+def test_topk_quantized_close_to_exact(spark):
+    emb = load_table(spark, "embeddings", SF)
+    exact = [r["id"] for r in
+             S.topk_bruteforce(emb, "embedding", "vec_id", query_id=0, k=10).collect()]
+    quant = [r["id"] for r in
+             S.topk_quantized(emb, "embedding", "vec_id", query_id=0, k=10).collect()]
+    # int8 quantization preserves most of the exact top-10 neighborhood
+    assert len(set(exact) & set(quant)) >= 6
+
+
+def test_topk_quantized_validates_query_id(spark):
+    emb = load_table(spark, "embeddings", SF)
+    with pytest.raises(ValueError, match="not found"):
+        S.topk_quantized(emb, "embedding", "vec_id", query_id=10**9, k=5)
+
+
+def test_quantize_int8_bounds(spark):
+    emb = load_table(spark, "embeddings", SF)
+    scale = S.quantize_scale(F.col("embedding"))
+    q = S.quantize_int8(F.col("embedding"), scale)
+    row = emb.select(
+        F.array_max(q).alias("mx"), F.array_min(q).alias("mn")
+    ).agg(F.max("mx").alias("mx"), F.min("mn").alias("mn")).collect()[0]
+    assert row["mx"] <= 127 and row["mn"] >= -127
