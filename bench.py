@@ -135,6 +135,31 @@ EXTENSION_HEADLINE = [
     "props_key_histogram",
     "embedding_norm_stats",
     "crs_transform_grid",
+    # TPC-H-style decision-support family (fact-table joins/aggs; the
+    # single-dim point filters are left out as cheap lookups)
+    "order_priority_checking",
+    "forecast_revenue",
+    "volume_shipping",
+    "national_market_share",
+    "product_profit_by_nation",
+    "returned_items_report",
+    "part_value_concentration",
+    "priority_shipping_split",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "supplier_part_variety",
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "brand_range_revenue",
+    "last_shipper_per_order",
+    "min_cost_supplier_per_part",
+    "dormant_high_balance_customers",
+    # training-curation family
+    "train_split_census",
+    "mixture_resample_counts",
+    "gopher_rule_filter",
+    "similarity_topk_quantized",
 ]
 
 
