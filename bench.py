@@ -160,6 +160,14 @@ EXTENSION_HEADLINE = [
     "mixture_resample_counts",
     "gopher_rule_filter",
     "similarity_topk_quantized",
+    # behavioral-analytics family
+    "grouping_sets_order_stats",
+    "lineitem_stats_by_flag",
+    "price_regression_by_flag",
+    "event_funnel_conversion",
+    "monthly_cohort_retention",
+    "gapfill_daily_forward_fill",
+    "value_outliers_zscore",
 ]
 
 

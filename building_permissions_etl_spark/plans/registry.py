@@ -117,6 +117,7 @@ def _populate() -> None:
         ranking_queries,
         scale_queries,
         streaming_queries,
+        insight_queries,
         tpch_queries,
         training_queries,
     )
@@ -137,6 +138,7 @@ def _populate() -> None:
     scale_queries.contribute(stage)
     tpch_queries.contribute(stage)
     training_queries.contribute(stage)
+    insight_queries.contribute(stage)
 
     # driver window first (KeyError here = window names drifted from the
     # contributors), then everything else in contribution order. Built

@@ -19,6 +19,7 @@ MODULES = [
     ("scale_queries", "Skew-mitigation shapes (salted agg/join, safe distinct)"),
     ("tpch_queries", "TPC-H-style decision support adapted to the fixture schema"),
     ("training_queries", "Training-data curation: splits, mixing, Gopher rules, int8 ANN"),
+    ("insight_queries", "Behavioral analytics: grouping sets, stats/regression, funnel, cohort, gap-fill"),
 ]
 
 
