@@ -168,6 +168,9 @@ EXTENSION_HEADLINE = [
     "monthly_cohort_retention",
     "gapfill_daily_forward_fill",
     "value_outliers_zscore",
+    # dimension maintenance
+    "scd1_customer_upsert",
+    "scd2_customer_upsert",
 ]
 
 

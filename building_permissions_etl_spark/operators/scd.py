@@ -1,0 +1,166 @@
+"""Slowly-changing-dimension maintenance: SCD1 (overwrite) and SCD2
+(versioned history) upserts, expressed as pure DataFrame set algebra.
+
+The reference's sink surface stops at append + two-way schema evolution
+(`sources/sinks.py`; reference dags/aggregates_python_helpers.py write
+path); a warehouse user of the same engine also needs MERGE semantics
+for dimension tables. Spark has no MERGE on plain parquet, so both
+operators compute the post-merge STATE as a DataFrame — the caller
+writes it back with the partitioned sink (overwrite), which is also the
+only transactional choice on immutable files.
+
+Scale shape: the update batch is almost always dims-sized (≪ fact) —
+both operators take it as a separate frame so Spark can broadcast it;
+the current table is scanned ONCE; change detection is a null-safe
+column comparison (eqNullSafe), never a row-serialized hash. With a
+table-format sink (Iceberg/Delta) the same frames feed MERGE INTO
+directly; the state computation here is the engine-portable core.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _any_tracked_differs(tracked: Sequence[str]) -> Column:
+    """True when any tracked attribute changed, null-safely: NULL→value
+    and value→NULL are changes; NULL→NULL is not."""
+    cond = F.lit(False)
+    for c in tracked:
+        cond = cond | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+    return cond
+
+
+def scd1_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: Sequence[str],
+) -> DataFrame:
+    """Type-1 merge: matched rows take the update's tracked attributes
+    (history overwritten), unmatched update keys are inserted, rows
+    absent from the batch are kept unchanged.
+
+    Columns of ``current`` define the output schema; ``updates`` must
+    carry ``key`` + ``tracked``.
+    """
+    out_cols = current.columns
+    upd = updates.select(key, *tracked)
+    # Membership is a dedicated flag, not coalesce(): an update that
+    # legitimately sets a tracked attribute to NULL must win.
+    in_batch = F.coalesce(F.col("__in_batch"), F.lit(False))
+    merged = (
+        current.alias("cur")
+        .join(F.broadcast(upd.withColumn("__in_batch", F.lit(True)))
+              .alias("upd"), on=key, how="left")
+        .select(
+            F.col(key),
+            *[
+                (F.when(in_batch, F.col(f"upd.{c}"))
+                 .otherwise(F.col(f"cur.{c}"))
+                 if c in tracked else F.col(f"cur.{c}")).alias(c)
+                for c in out_cols if c != key
+            ],
+        )
+    )
+    inserts = (
+        upd.alias("upd")
+        .join(current.select(key), on=key, how="left_anti")
+        .select(
+            F.col(key),
+            *[
+                (F.col(c) if c in tracked else F.lit(None)).alias(c)
+                for c in out_cols if c != key
+            ],
+        )
+    )
+    return merged.unionByName(inserts)
+
+
+def scd2_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: Sequence[str],
+    effective_ts,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 merge: changed keys close their open version
+    (``valid_to = effective_ts``) and open a new one; new keys insert an
+    open version; unchanged and already-closed rows pass through.
+
+    ``current`` must carry ``key``, the attributes, and the
+    ``valid_from`` / ``valid_to`` columns (open = NULL ``valid_to``);
+    ``updates`` carries ``key`` + ``tracked``. ``effective_ts`` is a
+    literal (string/timestamp) — one batch has ONE effective time, which
+    is what makes the merge deterministic and retry-safe.
+
+    One scan of ``current``, one broadcast of the batch; the three
+    output legs (pass-through, closed old versions, opened new versions)
+    are unions of the same join, not re-scans.
+    """
+    eff = F.lit(effective_ts).cast(dict(current.dtypes)[valid_from])
+    attr_cols = [c for c in current.columns
+                 if c not in (key, valid_from, valid_to)]
+    upd = updates.select(key, *tracked)
+
+    open_rows = current.filter(F.col(valid_to).isNull())
+    closed_rows = current.filter(F.col(valid_to).isNotNull())
+
+    # Batch membership is a dedicated flag column, not attribute-null
+    # probing — tracked attributes may legitimately be NULL.
+    flagged = (
+        open_rows.alias("cur")
+        .join(
+            F.broadcast(upd.withColumn("__in_batch", F.lit(True))).alias("upd"),
+            on=key, how="left",
+        )
+        .withColumn(
+            "__changed",
+            F.coalesce(F.col("__in_batch"), F.lit(False))
+            & _any_tracked_differs(tracked),
+        )
+    )
+
+    unchanged_open = flagged.filter(~F.col("__changed")).select(
+        F.col(key), *[F.col(f"cur.{c}").alias(c) for c in attr_cols],
+        F.col(f"cur.{valid_from}").alias(valid_from),
+        F.col(f"cur.{valid_to}").alias(valid_to),
+    )
+    closed_old = flagged.filter(F.col("__changed")).select(
+        F.col(key), *[F.col(f"cur.{c}").alias(c) for c in attr_cols],
+        F.col(f"cur.{valid_from}").alias(valid_from),
+        eff.alias(valid_to),
+    )
+    opened_new = flagged.filter(F.col("__changed")).select(
+        F.col(key),
+        *[
+            (F.col(f"upd.{c}") if c in tracked else F.col(f"cur.{c}"))
+            .alias(c)
+            for c in attr_cols
+        ],
+        eff.alias(valid_from),
+        F.lit(None).cast(dict(current.dtypes)[valid_to]).alias(valid_to),
+    )
+    brand_new = (
+        upd.alias("upd")
+        .join(current.select(key).distinct(), on=key, how="left_anti")
+        .select(
+            F.col(key),
+            *[
+                (F.col(c) if c in tracked else F.lit(None)).alias(c)
+                for c in attr_cols
+            ],
+            eff.alias(valid_from),
+            F.lit(None).cast(dict(current.dtypes)[valid_to]).alias(valid_to),
+        )
+    )
+    out = closed_rows.select(
+        key, *attr_cols, valid_from, valid_to
+    ).unionByName(unchanged_open).unionByName(closed_old).unionByName(
+        opened_new).unionByName(brand_new)
+    return out

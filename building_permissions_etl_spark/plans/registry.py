@@ -118,6 +118,7 @@ def _populate() -> None:
         scale_queries,
         streaming_queries,
         insight_queries,
+        scd_queries,
         tpch_queries,
         training_queries,
     )
@@ -139,6 +140,7 @@ def _populate() -> None:
     tpch_queries.contribute(stage)
     training_queries.contribute(stage)
     insight_queries.contribute(stage)
+    scd_queries.contribute(stage)
 
     # driver window first (KeyError here = window names drifted from the
     # contributors), then everything else in contribution order. Built

@@ -20,6 +20,7 @@ MODULES = [
     ("tpch_queries", "TPC-H-style decision support adapted to the fixture schema"),
     ("training_queries", "Training-data curation: splits, mixing, Gopher rules, int8 ANN"),
     ("insight_queries", "Behavioral analytics: grouping sets, stats/regression, funnel, cohort, gap-fill"),
+    ("scd_queries", "Dimension maintenance: SCD1 overwrite and SCD2 versioned merge"),
 ]
 
 

@@ -1,0 +1,104 @@
+"""SCD1/SCD2 merge semantics beyond oracle parity: idempotency,
+null-safe change detection, and NULL-update overwrite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+from building_permissions_etl_spark.operators import scd as SCD
+
+_DIM = StructType([
+    StructField("k", LongType()),
+    StructField("name", StringType()),
+    StructField("bal", DoubleType()),
+    StructField("seg", StringType()),
+    StructField("valid_from", TimestampType()),
+    StructField("valid_to", TimestampType()),
+])
+_UPD = StructType([
+    StructField("k", LongType()),
+    StructField("bal", DoubleType()),
+    StructField("seg", StringType()),
+])
+
+import datetime
+
+_T0 = datetime.datetime(2000, 1, 1)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, _DIM)
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(rows, _UPD)
+
+
+def test_scd2_legs(spark):
+    cur = _dim(spark, [
+        (1, "a", 10.0, "X", _T0, None),       # changed by batch
+        (2, "b", 20.0, "Y", _T0, None),       # untouched
+        (3, "c", 5.0, "Z", _T0, _T0),         # already closed
+    ])
+    upd = _upd(spark, [(1, 11.0, "X"), (9, 1.0, "NEW")])
+    out = SCD.scd2_upsert(cur, upd, "k", ["bal", "seg"], "2001-06-01")
+    rows = {(r["k"], r["bal"], r["valid_to"] is None)
+            for r in out.collect()}
+    assert (1, 10.0, False) in rows       # closed old version
+    assert (1, 11.0, True) in rows        # opened new version
+    assert (2, 20.0, True) in rows        # pass-through open
+    assert (3, 5.0, False) in rows        # pass-through closed
+    assert (9, 1.0, True) in rows         # brand-new insert
+    assert out.count() == 5
+
+
+def test_scd2_idempotent_reapply(spark):
+    cur = _dim(spark, [(1, "a", 10.0, "X", _T0, None),
+                       (2, "b", 20.0, "Y", _T0, None)])
+    upd = _upd(spark, [(1, 11.0, "X")])
+    once = SCD.scd2_upsert(cur, upd, "k", ["bal", "seg"], "2001-06-01")
+    twice = SCD.scd2_upsert(once, upd, "k", ["bal", "seg"], "2002-01-01")
+    # the open row now matches the batch — nothing changes on re-apply
+    assert sorted(map(tuple, once.collect())) == \
+        sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_null_to_null_is_not_a_change(spark):
+    cur = _dim(spark, [(1, "a", None, "X", _T0, None)])
+    upd = _upd(spark, [(1, None, "X")])
+    out = SCD.scd2_upsert(cur, upd, "k", ["bal", "seg"], "2001-06-01")
+    assert out.count() == 1
+    assert out.collect()[0]["valid_to"] is None
+
+
+def test_scd2_value_to_null_is_a_change(spark):
+    cur = _dim(spark, [(1, "a", 10.0, "X", _T0, None)])
+    upd = _upd(spark, [(1, None, "X")])
+    out = SCD.scd2_upsert(cur, upd, "k", ["bal", "seg"], "2001-06-01")
+    assert out.count() == 2
+    opened = [r for r in out.collect() if r["valid_to"] is None]
+    assert len(opened) == 1 and opened[0]["bal"] is None
+
+
+def test_scd1_null_update_wins(spark):
+    cur = _dim(spark, [(1, "a", 10.0, "X", _T0, None)]).drop(
+        "valid_from", "valid_to")
+    upd = _upd(spark, [(1, None, "Q")])
+    out = SCD.scd1_upsert(cur, upd, "k", ["bal", "seg"])
+    row = out.collect()[0]
+    assert row["bal"] is None and row["seg"] == "Q"
+    assert row["name"] == "a"  # non-tracked attribute untouched
+
+
+def test_scd1_insert_and_passthrough(spark):
+    cur = _dim(spark, [(1, "a", 10.0, "X", _T0, None),
+                       (2, "b", 20.0, "Y", _T0, None)]).drop(
+        "valid_from", "valid_to")
+    upd = _upd(spark, [(9, 1.0, "NEW")])
+    out = SCD.scd1_upsert(cur, upd, "k", ["bal", "seg"])
+    rows = {r["k"]: (r["bal"], r["seg"], r["name"]) for r in out.collect()}
+    assert rows[1] == (10.0, "X", "a")
+    assert rows[2] == (20.0, "Y", "b")
+    assert rows[9] == (1.0, "NEW", None)
