@@ -171,6 +171,7 @@ EXTENSION_HEADLINE = [
     # dimension maintenance
     "scd1_customer_upsert",
     "scd2_customer_upsert",
+    "native_session_window",
 ]
 
 

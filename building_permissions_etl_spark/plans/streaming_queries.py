@@ -402,3 +402,52 @@ def contribute(register) -> None:
         ORDER BY 1, 2, 3
         """,
     )
+
+    # Native session_window aggregation (the engine-level sibling of the
+    # gaps-and-islands sessionization above): Spark fuses session
+    # assignment INTO the aggregation — one shuffle on (user_id), no
+    # double window pass. Boundary semantics: window.start = first event,
+    # window.end = last event + gap; the oracle replays that with the
+    # islands construction. Same 30-minute gap as sessionize_batch.
+    def native_session_window(spark, sf):
+        ev = load_table(spark, "events", sf)
+        sw = F.session_window("ts", "30 minutes")
+        return (
+            ev.groupBy("user_id", sw)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events", "total_value",
+            )
+            .orderBy("user_id", "session_start")
+        )
+
+    register(
+        "native_session_window",
+        native_session_window,
+        """
+        WITH lagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        tagged AS (
+          SELECT *, sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM lagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM tagged GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+        """,
+    )
