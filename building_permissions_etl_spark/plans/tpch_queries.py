@@ -113,17 +113,30 @@ def contribute(register) -> None:
         """,
     )
 
-    # ---- Q4: order priority checking (EXISTS → left-semi) --------------
+    # ---- Q4: order priority checking (EXISTS → aggregate + semi) -------
+    # EXISTS(l_shipdate > o_orderdate) ⟺ max(l_shipdate) > o_orderdate,
+    # so lineitem is pre-aggregated to one row per order BEFORE the semi
+    # join. A direct semi join against raw lineitem is correct but
+    # scale-fragile: the build side is the unbounded fact, and AQE's
+    # shuffle-bytes estimate can runtime-convert it to a broadcast whose
+    # hashed relation doesn't fit (observed at sf0.1 on a 1 GiB driver).
+    # The aggregate form bounds the right side at |orders| rows with a
+    # map-side-combinable max, so any broadcast decision reflects the
+    # true aggregate size.
     def order_priority(spark, sf):
         orders = load_table(spark, "orders", sf).filter(
             (F.col("o_orderdate") >= _ts("1996-07-01"))
             & (F.col("o_orderdate") < _ts("1996-10-01"))
         )
-        li = load_table(spark, "lineitem", sf)
+        last_ship = (
+            load_table(spark, "lineitem", sf)
+            .groupBy("l_orderkey")
+            .agg(F.max("l_shipdate").alias("max_ship"))
+        )
         late = orders.join(
-            li,
-            (orders.o_orderkey == li.l_orderkey)
-            & (li.l_shipdate > orders.o_orderdate),
+            last_ship,
+            (orders.o_orderkey == last_ship.l_orderkey)
+            & (last_ship.max_ship > orders.o_orderdate),
             "left_semi",
         )
         return (
