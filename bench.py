@@ -172,6 +172,7 @@ EXTENSION_HEADLINE = [
     "scd1_customer_upsert",
     "scd2_customer_upsert",
     "native_session_window",
+    "stream_session_window",
 ]
 
 

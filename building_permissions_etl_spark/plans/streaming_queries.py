@@ -451,3 +451,53 @@ def contribute(register) -> None:
         ORDER BY user_id, session_start
         """,
     )
+
+    # The SAME session aggregation through the REAL streaming engine:
+    # file source → session_window groupBy → complete-mode memory sink
+    # (availableNow). Stream ≡ batch ≡ ANSI SQL is the parity claim, as
+    # with stream_window_counts. Complete mode keeps the final state
+    # comparable without modeling watermark holdback; a production
+    # deployment uses watermark + append against a kafka/table sink.
+    def stream_sessions(spark, sf):
+        name = f"stream_session_window_{next(_mem_ids)}"
+        ev = read_events_stream(spark, sf)
+        agg = (
+            ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events", "total_value",
+            )
+        )
+        run_stream_to_table(agg, name, output_mode="complete")
+        return spark.table(name).orderBy("user_id", "session_start")
+
+    register(
+        "stream_session_window",
+        stream_sessions,
+        """
+        WITH lagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        tagged AS (
+          SELECT *, sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM lagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM tagged GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+        """,
+    )
