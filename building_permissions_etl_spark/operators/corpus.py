@@ -390,7 +390,13 @@ def assign_split(
     total = sum(n for _, n in buckets)
     if total != 10000:
         raise ValueError(f"bucket weights must sum to 10000, got {total}")
-    bucket = F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(10000))
+    # NULL ids hash the empty string (md5(NULL) is NULL, which would make
+    # the when-chain yield NULL and silently drop the row from every
+    # split — violating the every-row-lands-somewhere invariant).
+    bucket = F.pmod(
+        portable_hash64(F.coalesce(F.col(id_col).cast("string"), F.lit(""))),
+        F.lit(10000),
+    )
     expr = None
     cum = 0
     for name, n in buckets:
@@ -427,6 +433,17 @@ def resample_to_mix(
     )
     in_scope = df.filter(F.col(group_col).isin(*weights.keys()))
     counts = in_scope.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # A weighted group with ZERO rows makes the true feasible total 0 —
+    # the min over present groups would silently ignore it and emit a
+    # full-size corpus with the wrong mixture (a typo'd source name must
+    # fail loudly). One bounded action: counts has ≤ len(weights) rows.
+    present = {r[group_col] for r in counts.collect()}
+    missing = sorted(set(weights) - present)
+    if missing:
+        raise ValueError(
+            f"weight groups with no rows in the input: {missing}; "
+            f"the target mixture is infeasible without upsampling"
+        )
     feasible = counts.agg(
         F.min(F.col("__n").cast("double") / wmap[F.col(group_col)]).alias("__t")
     )
@@ -441,7 +458,10 @@ def resample_to_mix(
             ).alias("__thr"),
         )
     )
-    bucket = F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(10000))
+    bucket = F.pmod(
+        portable_hash64(F.coalesce(F.col(id_col).cast("string"), F.lit(""))),
+        F.lit(10000),
+    )
     return (
         in_scope.join(F.broadcast(thr), F.col(group_col) == F.col("__g"))
         .filter(bucket.cast("double") < F.col("__thr"))

@@ -34,6 +34,20 @@ def _any_tracked_differs(tracked: Sequence[str]) -> Column:
     return cond
 
 
+def _reject_duplicate_keys(updates: DataFrame, key: str) -> None:
+    """MERGE semantics: a batch with two rows for one key is ambiguous —
+    a left join would silently multiply the matched dimension rows and
+    the caller's overwrite would persist the corruption. One bounded
+    action per merge call (the batch is dims-sized by contract)."""
+    dup = (updates.groupBy(key).count().filter(F.col("count") > 1)
+           .limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"update batch has duplicate {key!r} (e.g. {dup[0][key]!r}); "
+            f"a merge source must have at most one row per key"
+        )
+
+
 def scd1_upsert(
     current: DataFrame,
     updates: DataFrame,
@@ -45,10 +59,12 @@ def scd1_upsert(
     absent from the batch are kept unchanged.
 
     Columns of ``current`` define the output schema; ``updates`` must
-    carry ``key`` + ``tracked``.
+    carry ``key`` + ``tracked`` and at most one row per key (validated —
+    duplicates would silently multiply matched rows).
     """
-    out_cols = current.columns
     upd = updates.select(key, *tracked)
+    _reject_duplicate_keys(upd, key)
+    out_cols = current.columns
     # Membership is a dedicated flag, not coalesce(): an update that
     # legitimately sets a tracked attribute to NULL must win.
     in_batch = F.coalesce(F.col("__in_batch"), F.lit(False))
@@ -99,14 +115,20 @@ def scd2_upsert(
     literal (string/timestamp) — one batch has ONE effective time, which
     is what makes the merge deterministic and retry-safe.
 
+    A key whose versions are ALL closed (logically deleted) re-activates
+    like a brand-new key: the update opens a fresh version with the
+    batch's tracked attributes (non-tracked NULL) — it is NOT silently
+    dropped. The batch must have at most one row per key (validated).
+
     One scan of ``current``, one broadcast of the batch; the three
     output legs (pass-through, closed old versions, opened new versions)
     are unions of the same join, not re-scans.
     """
+    upd = updates.select(key, *tracked)
+    _reject_duplicate_keys(upd, key)
     eff = F.lit(effective_ts).cast(dict(current.dtypes)[valid_from])
     attr_cols = [c for c in current.columns
                  if c not in (key, valid_from, valid_to)]
-    upd = updates.select(key, *tracked)
 
     open_rows = current.filter(F.col(valid_to).isNull())
     closed_rows = current.filter(F.col(valid_to).isNotNull())
@@ -146,9 +168,12 @@ def scd2_upsert(
         eff.alias(valid_from),
         F.lit(None).cast(dict(current.dtypes)[valid_to]).alias(valid_to),
     )
+    # Insert leg anti-joins against keys WITH AN OPEN VERSION (not all
+    # keys): an update for a closed-only key must open a new version
+    # (re-activation), not vanish between the legs.
     brand_new = (
         upd.alias("upd")
-        .join(current.select(key).distinct(), on=key, how="left_anti")
+        .join(open_rows.select(key).distinct(), on=key, how="left_anti")
         .select(
             F.col(key),
             *[

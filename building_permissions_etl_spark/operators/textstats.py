@@ -185,9 +185,14 @@ def gopher_rules(
     """
     toks = tokens(F.col(text_col))
     word_count = F.size(toks)
-    mean_wl = (
+    # Empty/whitespace-only docs: mean word length is NULL (not the 0.0
+    # aggregate seed), matching SQL's list_sum over an empty list — the
+    # length-band rule is then NULL and ``keep`` is still FALSE via the
+    # word-count rule (FALSE AND NULL = FALSE in both engines).
+    mean_wl = F.when(
+        word_count > 0,
         F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
-        / F.greatest(word_count, F.lit(1)).cast("double")
+        / word_count.cast("double"),
     )
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     return df.select(

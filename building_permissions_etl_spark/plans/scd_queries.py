@@ -112,10 +112,12 @@ def contribute(register) -> None:
                  TIMESTAMP '{_EFF}', CAST(NULL AS TIMESTAMP)
           FROM changed
           UNION ALL
-          -- brand-new keys
+          -- brand-new keys (and re-activations of closed-only keys:
+          -- the anti-set is keys with an OPEN version)
           SELECT upd.c_custkey, NULL, NULL, upd.c_acctbal, upd.c_mktsegment,
                  TIMESTAMP '{_EFF}', CAST(NULL AS TIMESTAMP)
-          FROM upd WHERE upd.c_custkey NOT IN (SELECT c_custkey FROM cur)
+          FROM upd WHERE upd.c_custkey NOT IN
+               (SELECT c_custkey FROM cur WHERE valid_to IS NULL)
         )
         WHERE {_SUBSET}
         ORDER BY c_custkey, valid_from

@@ -77,12 +77,21 @@ def contribute(register) -> None:
         part = load_table(spark, "part", sf).filter(
             (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
         )
-        li = load_table(spark, "lineitem", sf).select("l_partkey", "l_suppkey").distinct()
+        # Broadcast-join the selective part filter BEFORE the distinct:
+        # the dedup shuffle then carries only the qualifying pairs, not
+        # the full fact's pair set (the filter is map-side via the
+        # broadcast, so distinct input shrinks by its selectivity).
+        li = (
+            load_table(spark, "lineitem", sf)
+            .select("l_partkey", "l_suppkey")
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .select("l_partkey", "l_suppkey", "p_partkey")
+            .distinct()
+        )
         sup = load_table(spark, "supplier", sf)
         nat = load_table(spark, "nation", sf)
         offers = (
-            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-            .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
             .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         )
         w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
@@ -543,17 +552,23 @@ def contribute(register) -> None:
     # (complaint suppliers ⇒ negative balance here) becomes a broadcast
     # anti-join — the blocklist is tiny, the probe is map-side.
     def supplier_variety(spark, sf):
-        pairs = load_table(spark, "lineitem", sf).select("l_partkey", "l_suppkey").distinct()
         part = load_table(spark, "part", sf).filter(
             (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20)
         )
         bad = load_table(spark, "supplier", sf).filter(
             F.col("s_acctbal") < 0).select("s_suppkey")
+        # Both broadcast filters run map-side; no explicit pair-distinct
+        # is needed — countDistinct dedups inside its own aggregate, so
+        # the fact shuffles exactly once, post-filter.
+        pairs = (
+            load_table(spark, "lineitem", sf)
+            .select("l_partkey", "l_suppkey")
+            .join(F.broadcast(bad),
+                  F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+            .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        )
         return (
-            pairs.join(F.broadcast(bad),
-                       pairs.l_suppkey == bad.s_suppkey, "left_anti")
-            .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
-            .groupBy("p_brand", "p_size")
+            pairs.groupBy("p_brand", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
             .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
         )

@@ -23,7 +23,10 @@ from building_permissions_etl_spark.operators import corpus as C
 from building_permissions_etl_spark.operators import similarity as S
 from building_permissions_etl_spark.operators import textstats as T
 
-_BUCKET_SQL = PORTABLE_HASH_SQL.format(x="CAST(doc_id AS VARCHAR)") + " % 10000"
+# coalesce mirrors assign_split/resample_to_mix: NULL ids hash '' so no
+# row can fall out of every split bucket.
+_BUCKET_SQL = (PORTABLE_HASH_SQL.format(
+    x="COALESCE(CAST(doc_id AS VARCHAR), '')") + " % 10000")
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 

@@ -46,6 +46,16 @@ def synthesize(spark, n_copies: int, out: str) -> None:
         big = big.unionByName(li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * shift)))
     big.repartition(16).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
+    # orders duplicated with the SAME key shift so order-grain joins stay
+    # referentially intact at N× (customer keys unchanged: each customer
+    # simply has N× the orders, which also deepens the per-key skew the
+    # distribution queries grind through)
+    od = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    obig = od
+    for i in range(1, n_copies):
+        obig = obig.unionByName(od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * shift)))
+    obig.repartition(8).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     dshift = docs.agg(F.max("doc_id")).first()[0] + 1
     dbig = docs
@@ -53,7 +63,7 @@ def synthesize(spark, n_copies: int, out: str) -> None:
         dbig = dbig.unionByName(docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * dshift)))
     dbig.repartition(16).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
-    for t in ["orders", "customer", "supplier", "nation", "region", "part",
+    for t in ["customer", "supplier", "nation", "region", "part",
               "events", "embeddings"]:
         shutil.copy(f"/root/testdata/sf0.1/{t}.parquet", f"{out}/{t}.parquet")
 
@@ -120,6 +130,18 @@ def main() -> None:
     timed("quality_classifier",
           R.quality_classifier_score(docs, "text", "doc_id"))
     timed("chunk_dup_fraction", R.chunk_dup_fraction(docs, "text", "doc_id"))
+
+    # TPC-H family on the N× fact pair (lineitem + orders duplicated with
+    # consistent keys): the decision-support joins/aggs should scale
+    # ~linearly — each shuffles the facts once on its key; dims broadcast.
+    from building_permissions_etl_spark.plans import tpch_queries
+
+    tq = {}
+    tpch_queries.contribute(lambda name, fn, sql: tq.__setitem__(name, fn))
+    for name in ("order_priority_checking", "part_value_concentration",
+                 "customer_order_distribution", "last_shipper_per_order",
+                 "volume_shipping"):
+        timed(f"tpch:{name}", tq[name](spark, out))
 
     _planted_long_doc_repetition(spark)
     _planted_long_chain_components(spark)

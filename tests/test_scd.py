@@ -102,3 +102,25 @@ def test_scd1_insert_and_passthrough(spark):
     assert rows[1] == (10.0, "X", "a")
     assert rows[2] == (20.0, "Y", "b")
     assert rows[9] == (1.0, "NEW", None)
+
+
+def test_scd2_reactivates_closed_only_key(spark):
+    cur = _dim(spark, [(1, "a", 10.0, "X", _T0, _T0)])  # all versions closed
+    upd = _upd(spark, [(1, 99.0, "Z")])
+    out = SCD.scd2_upsert(cur, upd, "k", ["bal", "seg"], "2001-06-01")
+    rows = out.collect()
+    assert len(rows) == 2
+    opened = [r for r in rows if r["valid_to"] is None]
+    assert len(opened) == 1
+    assert opened[0]["bal"] == 99.0 and opened[0]["seg"] == "Z"
+
+
+def test_scd_rejects_duplicate_batch_keys(spark):
+    import pytest as _pytest
+    cur = _dim(spark, [(1, "a", 10.0, "X", _T0, None)])
+    upd = _upd(spark, [(1, 11.0, "X"), (1, 12.0, "Y")])
+    with _pytest.raises(ValueError, match="duplicate"):
+        SCD.scd2_upsert(cur, upd, "k", ["bal", "seg"], "2001-06-01")
+    with _pytest.raises(ValueError, match="duplicate"):
+        SCD.scd1_upsert(cur.drop("valid_from", "valid_to"), upd,
+                        "k", ["bal", "seg"])

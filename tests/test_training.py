@@ -96,3 +96,30 @@ def test_quantize_int8_bounds(spark):
         F.array_max(q).alias("mx"), F.array_min(q).alias("mn")
     ).agg(F.max("mx").alias("mx"), F.min("mn").alias("mn")).collect()[0]
     assert row["mx"] <= 127 and row["mn"] >= -127
+
+
+def test_resample_to_mix_rejects_absent_group(spark):
+    docs = load_table(spark, "documents", SF)
+    with pytest.raises(ValueError, match="no rows"):
+        C.resample_to_mix(docs, "source", "doc_id",
+                          {"src0": 0.5, "src_absent": 0.5})
+
+
+def test_gopher_rules_empty_doc_mean_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, "the a the a " * 10), (2, "   "), (3, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            T.gopher_rules(df, "text", "doc_id").collect()}
+    for empty_id in (2, 3):
+        assert rows[empty_id]["word_count"] == 0
+        assert rows[empty_id]["mean_word_len"] is None
+        assert rows[empty_id]["rule_word_len"] is None
+        assert rows[empty_id]["keep"] is False
+
+
+def test_assign_split_null_id_still_lands_in_a_split(spark):
+    df = spark.createDataFrame([(None, "x"), (1, "y")],
+                               "doc_id long, text string")
+    out = C.assign_split(df, "doc_id").collect()
+    assert all(r["split"] in ("train", "val", "test") for r in out)
