@@ -209,3 +209,58 @@ def write_zordered(
        .sortWithinPartitions("__z")
        .drop("__z")
        .write.mode("overwrite").parquet(path))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str,
+    n_shards: int,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Export a curated corpus as ``n_shards`` hash-sharded parquet files
+    plus a verifiable manifest — the shape every training data loader
+    consumes (fixed shard count, stable membership, no shard skew).
+
+    Sharding is ``pmod(xxhash64(shard_col), n_shards)`` — a pure function
+    of the row, so membership is stable across runs, retries, cluster
+    sizes, and AQE re-planning (a ``repartition(n)`` round-robin would
+    reshuffle membership every run and break resumable training).
+    ``repartition`` on the shard id gives exactly one task per shard →
+    one file per shard; at 100 TB raise ``n_shards`` until a shard fits
+    an executor (the hash keeps them balanced within ~1/sqrt(rows/shard)).
+
+    Returns the manifest as a DataFrame: per-shard row count and an
+    order-insensitive xxhash64 checksum (sum of per-row hashes mod 2^63)
+    a consumer can re-verify after download.
+    """
+    from pyspark.sql import functions as F
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.pmod(F.xxhash64(F.col(shard_col).cast("string")),
+                   F.lit(n_shards)).cast("int")
+    (
+        df.withColumn("__shard", shard)
+        .repartition(n_shards, "__shard")
+        .write.mode(mode)
+        .partitionBy("__shard")
+        .parquet(path)
+    )
+    written = df.sparkSession.read.parquet(path)
+    # Checksum accumulates in decimal(38,0): a long sum of xxhash64
+    # values overflows (and ANSI mode rightly errors); 38 digits hold
+    # 2^63 · rows for any realistic shard.
+    row_hash = F.pmod(
+        F.xxhash64(*[F.col(c).cast("string") for c in df.columns]),
+        F.lit(2 ** 62),
+    ).cast("decimal(38,0)")
+    return (
+        written.groupBy(F.col("__shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.pmod(F.sum(row_hash), F.lit(2 ** 63 - 1).cast("decimal(38,0)"))
+            .cast("long").alias("checksum"),
+        )
+        .orderBy("shard")
+    )
