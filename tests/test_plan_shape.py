@@ -96,3 +96,54 @@ def test_asof_join_shuffles_once(spark):
     plan = _plan(asof_join_backward(left, right, "k", "ts", "ts", ["v"]))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_forecast_revenue_full_pushdown(spark):
+    from building_permissions_etl_spark.plans.registry import queries
+
+    plan = _plan(queries()["forecast_revenue"](spark, SF))
+    # toString truncates long filter lists with '…' — bound the segment
+    # by the ReadSchema field instead of the closing bracket
+    pushed = re.search(r"PushedFilters: \[(.*?), ReadSchema:", plan)
+    assert pushed, plan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed.group(1), pushed.group(1)
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(len(s.split(",")) == 4 for s in scans), scans
+
+
+def test_order_priority_semi_join_builds_on_aggregate(spark):
+    """The semi join's build side must be the per-order max-shipdate
+    AGGREGATE, never the raw lineitem fact (the scale-fragile shape a
+    misestimated broadcast OOMs on — fixed after the sf0.1 sweep)."""
+    from building_permissions_etl_spark.plans.registry import queries
+
+    plan = _plan(queries()["order_priority_checking"](spark, SF))
+    assert "LeftSemi" in plan, plan
+    # the lineitem subtree feeding the join carries a partial max
+    assert "partial_max" in plan or "max(l_shipdate" in plan, plan
+
+
+def test_tpch_fact_joins_never_cartesian_and_dims_broadcast(spark):
+    from building_permissions_etl_spark.plans.registry import queries
+
+    qs = queries()
+    for name in ("volume_shipping", "national_market_share",
+                 "returned_items_report", "min_cost_supplier_per_part"):
+        plan = _plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_mixture_resample_keep_filter_is_mapside(spark):
+    """The corpus-side keep decision must be a broadcast join + filter —
+    no shuffle of the documents rows themselves (only the few-row
+    per-group counts aggregate may exchange)."""
+    from building_permissions_etl_spark.plans.registry import queries
+
+    plan = _plan(queries()["mixture_resample_counts"](spark, SF))
+    # documents scan must not feed an Exchange before the join: every
+    # hashpartitioning exchange in the plan keys on the group/agg side
+    pre_agg_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for keys in pre_agg_exchanges:
+        assert "doc_id" not in keys, plan
