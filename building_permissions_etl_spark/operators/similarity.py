@@ -550,3 +550,54 @@ def topk_quantized(
         .orderBy(F.desc("score"), F.col("id"))
         .limit(k)
     )
+
+
+def build_quantized_index(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """One-off quantization pass: persist (id, scale, int8 vector). At
+    100 TB this column pair is written NEXT TO the float embedding at
+    ingest (4× less scan I/O); here it is computed once per session and
+    cached, mirroring the LSH/IVF index lifecycle."""
+    scale = quantize_scale(F.col(vec_col))
+    out = df.select(
+        F.col(id_col).alias("__qid"),
+        scale.alias("__qscale"),
+        quantize_int8(F.col(vec_col), scale).alias("__qvec"),
+    )
+    out.persist()
+    out.count()  # materialize so every query is probe-only
+    return out
+
+
+def query_quantized(
+    index: DataFrame,
+    query_id: int,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k by quantized dot product against a persisted index — the
+    scan reads only the narrow int8 column; no per-query re-quantization.
+    Same id-validation contract as the other query paths."""
+    qrows = index.filter(F.col("__qid") == query_id).limit(2).collect()
+    if len(qrows) == 0:
+        raise ValueError(f"query_id {query_id!r} not found")
+    if len(qrows) > 1:
+        raise ValueError(f"query_id {query_id!r} matches multiple rows")
+    q_scale = float(qrows[0]["__qscale"])
+    q_vec = F.array(*[F.lit(int(v)) for v in qrows[0]["__qvec"]])
+    int_dot = F.aggregate(
+        F.zip_with(F.col("__qvec"), q_vec, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        index.filter(F.col("__qid") != query_id)
+        .select(
+            F.col("__qid").alias("id"),
+            F.round(F.col("__qscale") * F.lit(q_scale)
+                    * int_dot.cast("double"), round_to).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )

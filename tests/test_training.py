@@ -123,3 +123,19 @@ def test_assign_split_null_id_still_lands_in_a_split(spark):
                                "doc_id long, text string")
     out = C.assign_split(df, "doc_id").collect()
     assert all(r["split"] in ("train", "val", "test") for r in out)
+
+
+def test_query_quantized_matches_oneshot(spark):
+    emb = load_table(spark, "embeddings", SF)
+    idx = S.build_quantized_index(emb, "embedding", "vec_id")
+    try:
+        via_index = [(r["id"], r["score"]) for r in
+                     S.query_quantized(idx, query_id=0, k=10).collect()]
+        oneshot = [(r["id"], r["score"]) for r in
+                   S.topk_quantized(emb, "embedding", "vec_id",
+                                    query_id=0, k=10).collect()]
+        assert via_index == oneshot
+        with pytest.raises(ValueError, match="not found"):
+            S.query_quantized(idx, query_id=10**9)
+    finally:
+        idx.unpersist()
