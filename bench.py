@@ -168,6 +168,8 @@ EXTENSION_HEADLINE = [
     "monthly_cohort_retention",
     "gapfill_daily_forward_fill",
     "value_outliers_zscore",
+    "value_histogram_fixed_buckets",
+    "event_transition_matrix",
     # dimension maintenance
     "scd1_customer_upsert",
     "scd2_customer_upsert",

@@ -178,32 +178,44 @@ def gopher_rules(
     it judged — pipelines tune thresholds by inspecting rule marginals,
     not just the conjunction.
 
-    Pure Column expressions over one narrow pass (split → HOF aggregate);
-    no shuffle, no UDF. Thresholds default to the fixture corpus's scale;
-    production corpora pass the paper's values (50/100k words, 3-10
-    chars).
+    Pure Column expressions over one narrow pass, STAGED as three
+    projections so each expensive subtree is evaluated once per row:
+    HOFs (split/aggregate/filter) are interpreted, outside whole-stage
+    codegen's subexpression elimination, so a flat select that mentions
+    the token array k times tokenizes k times (measured 2× on this
+    operator); a projection boundary materializes it, and CollapseProject
+    keeps the stage because the expressions are not cheap. No shuffle,
+    no UDF. Thresholds default to the fixture corpus's scale; production
+    corpora pass the paper's values (50/100k words, 3-10 chars).
     """
-    toks = tokens(F.col(text_col))
-    word_count = F.size(toks)
+    with_toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    raw = with_toks.select(
+        F.col(id_col),
+        F.size(toks).alias("word_count"),
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+        .alias("__char_sum"),
+        F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+        .alias("stop_hits"),
+    )
     # Empty/whitespace-only docs: mean word length is NULL (not the 0.0
     # aggregate seed), matching SQL's list_sum over an empty list — the
     # length-band rule is then NULL and ``keep`` is still FALSE via the
     # word-count rule (FALSE AND NULL = FALSE in both engines).
-    mean_wl = F.when(
-        word_count > 0,
-        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
-        / word_count.cast("double"),
-    )
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return df.select(
+    word_count = F.col("word_count")
+    mean_wl = F.round(
+        F.when(word_count > 0,
+               F.col("__char_sum") / word_count.cast("double")), 4)
+    stop_hits = F.col("stop_hits")
+    return raw.select(
         F.col(id_col),
-        word_count.alias("word_count"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        stop_hits.alias("stop_hits"),
+        word_count,
+        mean_wl.alias("mean_word_len"),
+        stop_hits,
         ((word_count >= min_words) & (word_count <= max_words))
         .alias("rule_words"),
-        ((F.round(mean_wl, 4) >= min_mean_word_len)
-         & (F.round(mean_wl, 4) <= max_mean_word_len)).alias("rule_word_len"),
+        ((mean_wl >= min_mean_word_len)
+         & (mean_wl <= max_mean_word_len)).alias("rule_word_len"),
         (stop_hits >= min_stop_hits).alias("rule_stopwords"),
     ).withColumn(
         "keep",

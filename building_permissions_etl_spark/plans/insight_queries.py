@@ -292,3 +292,64 @@ def contribute(register) -> None:
         ORDER BY event_id
         """,
     )
+
+
+    _contribute_extra(register)
+
+
+def _contribute_extra(register) -> None:
+    # ---- fixed-width value histogram -----------------------------------
+    # Bucket arithmetic written identically for both engines (no
+    # width_bucket dependence): 10 × 50-unit buckets over [0, 500), open
+    # top. One partial-agg shuffle of (type, bucket) pairs.
+    def value_histogram(spark, sf):
+        ev = load_table(spark, "events", sf)
+        bucket = F.least(F.lit(9), F.floor(F.col("value") / 50).cast("int"))
+        return (
+            ev.groupBy("event_type", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type", "bucket")
+        )
+
+    register(
+        "value_histogram_fixed_buckets",
+        value_histogram,
+        """
+        SELECT event_type,
+               CAST(least(9, CAST(floor(value / 50) AS INT)) AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
+
+    # ---- event transition matrix (behavioral 2-grams) ------------------
+    # lag over (user, time) gives each event its predecessor type; the
+    # count of (prev, next) pairs is the first-order Markov transition
+    # table. One window shuffle on user_id, then a small pair aggregate.
+    def transitions(spark, sf):
+        ev = load_table(spark, "events", sf)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        ).filter(F.col("prev_type").isNotNull())
+        return (
+            pairs.groupBy("prev_type", "next_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("prev_type", "next_type")
+        )
+
+    register(
+        "event_transition_matrix",
+        transitions,
+        """
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type,
+                 event_type AS next_type
+          FROM events
+        ) WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
