@@ -420,50 +420,46 @@ def resample_to_mix(
     ``floor(10000 · w_g · T / n_g)`` applied to the portable hash bucket
     of the id. Groups not in ``weights`` are dropped.
 
-    Scale shape: one partial-agg shuffle for the per-group counts (a
-    few-row frame), broadcast back; the keep decision is then a narrow
-    map-side filter — no row-level shuffle of the corpus itself.
+    Scale shape: ONE aggregate action computes the per-group counts (a
+    few-row frame, collected for validation anyway); the feasible total
+    and per-group thresholds derive from those rows driver-side and
+    enter the plan as literals, so the keep decision is a narrow
+    map-side filter — no row-level shuffle of the corpus, no re-derived
+    aggregate subplans.
     """
+    import math
+
     from building_permissions_etl_spark.functions.portable import portable_hash64
 
     if not weights or any(w <= 0 for w in weights.values()):
         raise ValueError("weights must be non-empty and positive")
-    wmap = F.create_map(
-        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
-    )
     in_scope = df.filter(F.col(group_col).isin(*weights.keys()))
     counts = in_scope.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     # A weighted group with ZERO rows makes the true feasible total 0 —
-    # the min over present groups would silently ignore it and emit a
-    # full-size corpus with the wrong mixture (a typo'd source name must
-    # fail loudly). One bounded action: counts has ≤ len(weights) rows.
-    present = {r[group_col] for r in counts.collect()}
-    missing = sorted(set(weights) - present)
+    # silently ignoring it would emit a full-size corpus with the wrong
+    # mixture (a typo'd source name must fail loudly). One bounded
+    # action: counts has ≤ len(weights) rows, and the same rows yield
+    # the thresholds below.
+    n_by_group = {r[group_col]: r["__n"] for r in counts.collect()}
+    missing = sorted(set(weights) - set(n_by_group))
     if missing:
         raise ValueError(
             f"weight groups with no rows in the input: {missing}; "
             f"the target mixture is infeasible without upsampling"
         )
-    feasible = counts.agg(
-        F.min(F.col("__n").cast("double") / wmap[F.col(group_col)]).alias("__t")
-    )
-    thr = (
-        counts.join(F.broadcast(feasible))
-        .select(
-            F.col(group_col).alias("__g"),
-            F.least(
-                F.lit(10000.0),
-                F.floor(F.lit(10000.0) * wmap[F.col(group_col)] * F.col("__t")
-                        / F.col("__n").cast("double")).cast("double"),
-            ).alias("__thr"),
-        )
+    # Feasible total and per-group thresholds as plan LITERALS (IEEE op
+    # order identical to the SQL oracle's distributed replay).
+    t = min(n / w for g in weights for n, w in [(n_by_group[g], weights[g])])
+    thr_by_group = {
+        g: min(10000.0, float(math.floor(10000.0 * weights[g] * t
+                                         / n_by_group[g])))
+        for g in weights
+    }
+    thr_map = F.create_map(
+        *[F.lit(x) for g, v in sorted(thr_by_group.items()) for x in (g, v)]
     )
     bucket = F.pmod(
         portable_hash64(F.coalesce(F.col(id_col).cast("string"), F.lit(""))),
         F.lit(10000),
     )
-    return (
-        in_scope.join(F.broadcast(thr), F.col(group_col) == F.col("__g"))
-        .filter(bucket.cast("double") < F.col("__thr"))
-        .drop("__g", "__thr")
-    )
+    return in_scope.filter(bucket.cast("double") < thr_map[F.col(group_col)])

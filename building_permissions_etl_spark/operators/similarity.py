@@ -495,7 +495,13 @@ def quantize_scale(vec: Column) -> Column:
 def quantize_int8(vec: Column, scale: Column) -> Column:
     """Round-half-up to integers in [-127, 127]. ``floor(x/s + 0.5)`` is
     used (not ``round``) because its IEEE evaluation is identical in
-    every engine — half-even vs half-up ``round`` variants differ."""
+    every engine — half-even vs half-up ``round`` variants differ.
+
+    ``scale`` must be a CHEAP column (a materialized projection column,
+    not the inline ``quantize_scale`` subtree): it is referenced inside
+    the per-element lambda, and higher-order functions are interpreted
+    outside codegen subexpression elimination — an inline scale subtree
+    would re-run its array_max for every element (O(d²) per row)."""
     return F.transform(
         vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("long")
     )
@@ -526,11 +532,17 @@ def topk_quantized(
         raise ValueError(f"query_id {query_id!r} matches multiple rows")
 
     def quantized(prefix: str, frame: DataFrame) -> DataFrame:
-        scale = quantize_scale(F.col(vec_col))
-        return frame.select(
+        # scale staged through a projection so the lambda reads a
+        # materialized column (see quantize_int8's contract)
+        staged = frame.select(
             F.col(id_col).alias(f"{prefix}_id"),
-            scale.alias(f"{prefix}_scale"),
-            quantize_int8(F.col(vec_col), scale).alias(f"{prefix}_q"),
+            quantize_scale(F.col(vec_col)).alias(f"{prefix}_scale"),
+            F.col(vec_col).alias(f"{prefix}_v"),
+        )
+        return staged.select(
+            f"{prefix}_id", f"{prefix}_scale",
+            quantize_int8(F.col(f"{prefix}_v"),
+                          F.col(f"{prefix}_scale")).alias(f"{prefix}_q"),
         )
 
     docs = quantized("d", df.filter(F.col(id_col) != query_id))
@@ -559,11 +571,14 @@ def build_quantized_index(
     100 TB this column pair is written NEXT TO the float embedding at
     ingest (4× less scan I/O); here it is computed once per session and
     cached, mirroring the LSH/IVF index lifecycle."""
-    scale = quantize_scale(F.col(vec_col))
-    out = df.select(
+    staged = df.select(
         F.col(id_col).alias("__qid"),
-        scale.alias("__qscale"),
-        quantize_int8(F.col(vec_col), scale).alias("__qvec"),
+        quantize_scale(F.col(vec_col)).alias("__qscale"),
+        F.col(vec_col).alias("__v"),
+    )
+    out = staged.select(
+        "__qid", "__qscale",
+        quantize_int8(F.col("__v"), F.col("__qscale")).alias("__qvec"),
     )
     out.persist()
     out.count()  # materialize so every query is probe-only

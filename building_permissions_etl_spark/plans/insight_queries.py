@@ -209,9 +209,13 @@ def contribute(register) -> None:
     # keep the fixture output compact; the shape is user-count invariant.
     def gapfill(spark, sf):
         ev = load_table(spark, "events", sf).filter(F.col("user_id") < 10)
+        # arg-max key is (ts, event_id): a bare max_by(value, ts) breaks
+        # same-timestamp ties arbitrarily in each engine, which would
+        # flake the oracle on a fixture with duplicate (user, ts) pairs
         daily = (
             ev.groupBy("user_id", F.to_date("ts").alias("day"))
-            .agg(F.round(F.max_by("value", "ts"), 6).alias("close_value"))
+            .agg(F.round(F.max_by("value", F.struct("ts", "event_id")), 6)
+                 .alias("close_value"))
         )
         span = ev.groupBy("user_id").agg(
             F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1"))
@@ -239,9 +243,15 @@ def contribute(register) -> None:
         WITH ev AS (
           SELECT * FROM events WHERE user_id < 10
         ), daily AS (
-          SELECT user_id, CAST(ts AS DATE) AS day,
-                 round(max_by(value, ts), 6) AS close_value
-          FROM ev GROUP BY 1, 2
+          -- arg-max via window (DuckDB's max_by has no composite key):
+          -- same (ts, event_id)-last semantics as the Spark struct key
+          SELECT user_id, day, round(value, 6) AS close_value
+          FROM (
+            SELECT user_id, CAST(ts AS DATE) AS day, value,
+                   row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ev
+          ) WHERE rn = 1
         ), span AS (
           SELECT user_id, CAST(min(ts) AS DATE) AS d0,
                  CAST(max(ts) AS DATE) AS d1

@@ -384,16 +384,21 @@ def contribute(register) -> None:
     # non-trivial at every sf. The threshold derives from the SAME
     # per-part aggregate (Spark reuses the shuffle exchange, so lineitem
     # is scanned and shuffled once; the 1-row bound broadcasts back).
+    # The threshold comparison runs on integer CENTS of the rounded
+    # part values: an exact integer sum is order-independent, so both
+    # engines derive bit-identical thresholds — an unrounded double sum
+    # could flip membership of a borderline part between engines.
     def part_value_concentration(spark, sf):
         li = load_table(spark, "lineitem", sf)
         per_part = li.groupBy("l_partkey").agg(
             F.round(F.sum(_rev()), 2).alias("part_value"))
+        cents = F.round(F.col("part_value") * 100).cast("long")
         thr = per_part.agg(
-            (F.lit(1.5) * F.sum("part_value") / F.count(F.lit(1)))
-            .alias("threshold"))
+            (F.lit(1.5) * F.sum(cents).cast("double") / F.count(F.lit(1)))
+            .alias("thr_cents"))
         return (
             per_part.join(F.broadcast(thr))
-            .filter(F.col("part_value") > F.col("threshold"))
+            .filter(cents.cast("double") > F.col("thr_cents"))
             .select("l_partkey", "part_value")
             .orderBy(F.col("part_value").desc(), "l_partkey")
         )
@@ -403,12 +408,15 @@ def contribute(register) -> None:
         part_value_concentration,
         f"""
         WITH per_part AS (
-          SELECT l_partkey, round(sum({_REV_SQL}), 2) AS part_value
+          SELECT l_partkey, round(sum({_REV_SQL}), 2) AS part_value,
+                 CAST(round(round(sum({_REV_SQL}), 2) * 100) AS BIGINT)
+                   AS cents
           FROM lineitem GROUP BY 1
         )
         SELECT l_partkey, part_value FROM per_part
-        WHERE part_value >
-              (SELECT 1.5 * sum(part_value) / count(*) FROM per_part)
+        WHERE CAST(cents AS DOUBLE) >
+              (SELECT 1.5 * CAST(sum(cents) AS DOUBLE) / count(*)
+               FROM per_part)
         ORDER BY part_value DESC, l_partkey
         """,
     )
@@ -751,15 +759,20 @@ def contribute(register) -> None:
     # ---- Q22 (adapted): dormant high-balance customers -----------------
     # Scalar subquery bound → broadcast 1-row aggregate; NOT EXISTS
     # (recent orders) → left-anti join on the filtered order keys.
+    # Same integer-cents device as part_value_concentration: the average
+    # bound derives from an exact integer sum so both engines compare
+    # against a bit-identical threshold.
     def dormant_customers(spark, sf):
         cust = load_table(spark, "customer", sf)
+        cents = F.round(F.col("c_acctbal") * 100).cast("long")
         bound = cust.filter(F.col("c_acctbal") > 0).agg(
-            F.avg("c_acctbal").alias("avg_bal"))
+            (F.sum(cents).cast("double") / F.count(F.lit(1)))
+            .alias("avg_cents"))
         orders = load_table(spark, "orders", sf).filter(
             F.col("o_orderdate") >= _ts("1999-01-01")).select("o_custkey")
         return (
             cust.join(F.broadcast(bound))
-            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .filter(cents.cast("double") > F.col("avg_cents"))
             .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("numcust"),
@@ -774,8 +787,10 @@ def contribute(register) -> None:
         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
                round(sum(c_acctbal), 2) AS totacctbal
         FROM customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                           WHERE c_acctbal > 0)
+        WHERE CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) >
+              (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                           AS DOUBLE) / count(*)
+               FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                           AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY 1 ORDER BY 1

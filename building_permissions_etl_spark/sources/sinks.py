@@ -234,8 +234,6 @@ def write_training_shards(
     order-insensitive xxhash64 checksum (sum of per-row hashes mod 2^63)
     a consumer can re-verify after download.
     """
-    from pyspark.sql import functions as F
-
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     shard = F.pmod(F.xxhash64(F.col(shard_col).cast("string")),
@@ -251,8 +249,13 @@ def write_training_shards(
     # Checksum accumulates in decimal(38,0): a long sum of xxhash64
     # values overflows (and ANSI mode rightly errors); 38 digits hold
     # 2^63 · rows for any realistic shard.
+    # NULL children leave xxhash64's running state untouched, so ('x',
+    # NULL) and (NULL, 'x') would hash identically — encode NULLs as an
+    # explicit sentinel per column so column-position corruption is
+    # detectable.
     row_hash = F.pmod(
-        F.xxhash64(*[F.col(c).cast("string") for c in df.columns]),
+        F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                     for c in df.columns]),
         F.lit(2 ** 62),
     ).cast("decimal(38,0)")
     return (

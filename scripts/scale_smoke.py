@@ -40,7 +40,14 @@ def synthesize(spark, n_copies: int, out: str) -> None:
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-    shift = li.agg(F.max("l_orderkey")).first()[0] + 1
+    od_for_shift = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    # shift spans BOTH tables' key domains: orders with no lineitems can
+    # carry the max orderkey, and a lineitem-only shift would make the
+    # duplicated orders' key ranges overlap (silent join fan-out)
+    shift = max(
+        li.agg(F.max("l_orderkey")).first()[0],
+        od_for_shift.agg(F.max("o_orderkey")).first()[0],
+    ) + 1
     big = li
     for i in range(1, n_copies):
         big = big.unionByName(li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * shift)))
