@@ -173,6 +173,7 @@ EXTENSION_HEADLINE = [
     # dimension maintenance
     "scd1_customer_upsert",
     "scd2_customer_upsert",
+    "stream_scd1_upsert",
     "native_session_window",
     "stream_session_window",
 ]

@@ -34,7 +34,10 @@ def _current(spark, sf):
 
 
 def _updates(spark, sf):
-    cust = load_table(spark, "customer", sf)
+    return _updates_from(load_table(spark, "customer", sf))
+
+
+def _updates_from(cust):
     changed = cust.filter(F.col("c_custkey") % 7 == 0).select(
         "c_custkey",
         F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
@@ -138,6 +141,72 @@ def contribute(register) -> None:
     register(
         "scd1_customer_upsert",
         scd1,
+        f"""
+        WITH cur AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+          FROM customer
+        ),
+        upd AS (SELECT *, TRUE AS in_batch FROM ({_UPD_SQL}))
+        SELECT * FROM (
+          SELECT cur.c_custkey, cur.c_name, cur.c_nationkey,
+                 CASE WHEN coalesce(in_batch, FALSE) THEN upd.c_acctbal
+                      ELSE cur.c_acctbal END AS c_acctbal,
+                 CASE WHEN coalesce(in_batch, FALSE) THEN upd.c_mktsegment
+                      ELSE cur.c_mktsegment END AS c_mktsegment
+          FROM cur LEFT JOIN upd ON cur.c_custkey = upd.c_custkey
+          UNION ALL
+          SELECT upd.c_custkey, NULL, NULL, upd.c_acctbal, upd.c_mktsegment
+          FROM upd WHERE upd.c_custkey NOT IN (SELECT c_custkey FROM cur)
+        )
+        WHERE {_SUBSET}
+        ORDER BY c_custkey
+        """,
+    )
+
+    # ---- SCD1 fed by the REAL streaming engine -------------------------
+    # Dimension maintenance as a stream consumer: the customer "update
+    # feed" arrives through a file-source stream and each micro-batch is
+    # folded into the dimension state with scd1_upsert inside
+    # foreachBatch — the standard streaming-MERGE deployment shape
+    # (foreachBatch + MERGE INTO on a table format). Because batch keys
+    # are unique and the per-key update value is batch-independent,
+    # sequential folding reaches the SAME final state however the
+    # engine splits the feed into micro-batches — which is what lets
+    # this stream query share the batch scd1 oracle verbatim.
+    def scd1_stream(spark, sf):
+        import os
+
+        cur_schema = spark.read.parquet(
+            os.path.join(sf, "customer.parquet")).schema
+        feed = (
+            spark.readStream.schema(cur_schema)
+            .option("pathGlobFilter", "customer.parquet")
+            .parquet(sf)
+        )
+        state = {"df": _current(spark, sf).drop("valid_from", "valid_to")}
+
+        def fold(batch_df, batch_id):
+            updates = _updates_from(batch_df)
+            merged = SCD.scd1_upsert(
+                state["df"], updates, "c_custkey", _TRACKED)
+            # cut lineage per batch: folding builds a plan-on-plan chain
+            # that Catalyst would re-analyze superlinearly across batches
+            state["df"] = merged.localCheckpoint()
+
+        q = (feed.writeStream.foreachBatch(fold)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return (
+            state["df"].filter(F.expr(_SUBSET))
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                    "c_mktsegment")
+            .orderBy("c_custkey")
+        )
+
+    register(
+        "stream_scd1_upsert",
+        scd1_stream,
         f"""
         WITH cur AS (
           SELECT c_custkey, c_name, c_nationkey,
