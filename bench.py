@@ -170,6 +170,7 @@ EXTENSION_HEADLINE = [
     "value_outliers_zscore",
     "value_histogram_fixed_buckets",
     "event_transition_matrix",
+    "recursive_key_chain",
     # dimension maintenance
     "scd1_customer_upsert",
     "scd2_customer_upsert",

@@ -305,6 +305,7 @@ def contribute(register) -> None:
 
 
     _contribute_extra(register)
+    _contribute_recursive(register)
 
 
 def _contribute_extra(register) -> None:
@@ -363,3 +364,29 @@ def _contribute_extra(register) -> None:
         GROUP BY 1, 2 ORDER BY 1, 2
         """,
     )
+
+
+# Shared SQL (identical text on both engines — Spark 4.x gained WITH
+# RECURSIVE): halving-chain transitive closure. Each key walks
+# k → floor(k/2) → … → 0; `steps` is the walk length (⌊log2 k⌋+1).
+# Arithmetic is spelled engine-portably: floor(x / 2.0) + CAST, because
+# bare int/int division differs (Spark truncates, DuckDB yields double).
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE chain(c_custkey, ancestor, depth) AS (
+  SELECT c_custkey, c_custkey AS ancestor, 0 AS depth
+  FROM customer WHERE c_custkey < 512
+  UNION ALL
+  SELECT c_custkey, CAST(floor(ancestor / 2.0) AS BIGINT), depth + 1
+  FROM chain WHERE ancestor > 0
+)
+SELECT c_custkey, CAST(max(depth) AS INT) AS steps
+FROM chain GROUP BY 1 ORDER BY 1
+"""
+
+
+def _contribute_recursive(register) -> None:
+    def recursive_chain(spark, sf):
+        register_views(spark, sf)
+        return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+    register("recursive_key_chain", recursive_chain, _RECURSIVE_CHAIN_SQL)
