@@ -171,6 +171,7 @@ EXTENSION_HEADLINE = [
     "value_histogram_fixed_buckets",
     "event_transition_matrix",
     "recursive_key_chain",
+    "variant_props_rollup",
     # dimension maintenance
     "scd1_customer_upsert",
     "scd2_customer_upsert",

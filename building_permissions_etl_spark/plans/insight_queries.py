@@ -306,6 +306,7 @@ def contribute(register) -> None:
 
     _contribute_extra(register)
     _contribute_recursive(register)
+    _contribute_variant(register)
 
 
 def _contribute_extra(register) -> None:
@@ -390,3 +391,40 @@ def _contribute_recursive(register) -> None:
         return spark.sql(_RECURSIVE_CHAIN_SQL)
 
     register("recursive_key_chain", recursive_chain, _RECURSIVE_CHAIN_SQL)
+
+
+def _contribute_variant(register) -> None:
+    # Spark 4 VARIANT: props parses ONCE into a variant column (binary
+    # semi-structured encoding — at 100 TB far cheaper to re-query than
+    # JSON text), then typed try_variant_get paths project fields; the
+    # missing-path probe shows the NULL (not error) contract. DuckDB
+    # twin runs the same shape over its JSON type.
+    def variant_props(spark, sf):
+        ev = load_table(spark, "events", sf)
+        v = ev.select("event_type", F.parse_json("props").alias("v"))
+        k = F.try_variant_get(F.col("v"), "$.k", "long")
+        missing = F.try_variant_get(F.col("v"), "$.absent_field", "string")
+        return (
+            v.groupBy("event_type", (k - F.pmod(k, F.lit(10))).alias("k_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count(missing).alias("n_absent_nonnull"))
+            .orderBy("event_type", "k_bucket")
+        )
+
+    register(
+        "variant_props_rollup",
+        variant_props,
+        """
+        SELECT event_type,
+               k - (k % 10) AS k_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(absent) AS BIGINT) AS n_absent_nonnull
+        FROM (
+          SELECT event_type,
+                 CAST(json_extract(CAST(props AS JSON), '$.k') AS BIGINT) AS k,
+                 json_extract_string(CAST(props AS JSON), '$.absent_field')
+                   AS absent
+          FROM events
+        ) GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
