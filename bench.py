@@ -155,6 +155,7 @@ EXTENSION_HEADLINE = [
     "last_shipper_per_order",
     "min_cost_supplier_per_part",
     "dormant_high_balance_customers",
+    "dominant_part_suppliers",
     # training-curation family
     "train_split_census",
     "mixture_resample_counts",

@@ -796,3 +796,63 @@ def contribute(register) -> None:
         GROUP BY 1 ORDER BY 1
         """,
     )
+
+    _contribute_q20(register)
+
+
+def _contribute_q20(register) -> None:
+    # ---- Q20 (adapted): dominant suppliers of green parts --------------
+    # Classic Q20 nests IN-subqueries three deep (suppliers ⊃ partsupp ⊃
+    # lineitem-quantity threshold). Without partsupp the same chain is:
+    # suppliers whose shipped quantity of some 'green'-named part
+    # exceeds 30% of that part's total shipped quantity. The correlated
+    # per-part total is a WINDOW over the same (part, supplier)
+    # aggregate — the fact shuffles once on partkey; the supplier dim
+    # broadcasts; DISTINCT collapses multi-part qualifiers.
+    def dominant_suppliers(spark, sf):
+        part = load_table(spark, "part", sf).filter(
+            F.col("p_name").contains("green")).select("p_partkey")
+        ps_qty = (
+            load_table(spark, "lineitem", sf)
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("ps_qty"))
+        )
+        w = Window.partitionBy("l_partkey")
+        dominant = (
+            ps_qty.withColumn("part_total", F.sum("ps_qty").over(w))
+            .filter(F.col("ps_qty") > 0.3 * F.col("part_total"))
+            .select("l_suppkey").distinct()
+        )
+        sup = load_table(spark, "supplier", sf)
+        nat = load_table(spark, "nation", sf).select("n_nationkey", "n_name")
+        return (
+            dominant.join(F.broadcast(sup),
+                          F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name")
+            .orderBy("s_suppkey")
+        )
+
+    register(
+        "dominant_part_suppliers",
+        dominant_suppliers,
+        """
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM (
+            SELECT l_partkey, l_suppkey,
+                   round(sum(l_quantity), 2) AS ps_qty,
+                   sum(round(sum(l_quantity), 2))
+                     OVER (PARTITION BY l_partkey) AS part_total
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%green%')
+            GROUP BY 1, 2
+          ) WHERE ps_qty > 0.3 * part_total
+        )
+        ORDER BY s_suppkey
+        """,
+    )
