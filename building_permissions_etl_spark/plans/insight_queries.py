@@ -404,8 +404,10 @@ def _contribute_variant(register) -> None:
         v = ev.select("event_type", F.parse_json("props").alias("v"))
         k = F.try_variant_get(F.col("v"), "$.k", "long")
         missing = F.try_variant_get(F.col("v"), "$.absent_field", "string")
+        # truncated %, not pmod: both engines' % keeps the dividend's
+        # sign, so the pair stays portable for negative k too
         return (
-            v.groupBy("event_type", (k - F.pmod(k, F.lit(10))).alias("k_bucket"))
+            v.groupBy("event_type", (k - (k % F.lit(10))).alias("k_bucket"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.count(missing).alias("n_absent_nonnull"))
             .orderBy("event_type", "k_bucket")

@@ -68,6 +68,31 @@ _UPD_SQL = """
 
 _SUBSET = "(c_custkey % 7 = 0 OR c_custkey % 11 = 0 OR c_custkey >= 1000000)"
 
+# ONE oracle serves both the batch and the streaming SCD1 queries (the
+# stream folds to the identical final state) — a shared constant so
+# the two cannot silently drift.
+_SCD1_ORACLE_SQL = f"""
+        WITH cur AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+          FROM customer
+        ),
+        upd AS (SELECT *, TRUE AS in_batch FROM ({_UPD_SQL}))
+        SELECT * FROM (
+          SELECT cur.c_custkey, cur.c_name, cur.c_nationkey,
+                 CASE WHEN coalesce(in_batch, FALSE) THEN upd.c_acctbal
+                      ELSE cur.c_acctbal END AS c_acctbal,
+                 CASE WHEN coalesce(in_batch, FALSE) THEN upd.c_mktsegment
+                      ELSE cur.c_mktsegment END AS c_mktsegment
+          FROM cur LEFT JOIN upd ON cur.c_custkey = upd.c_custkey
+          UNION ALL
+          SELECT upd.c_custkey, NULL, NULL, upd.c_acctbal, upd.c_mktsegment
+          FROM upd WHERE upd.c_custkey NOT IN (SELECT c_custkey FROM cur)
+        )
+        WHERE {_SUBSET}
+        ORDER BY c_custkey
+        """
+
 
 def contribute(register) -> None:
     # ---- SCD2: versioned history --------------------------------------
@@ -141,27 +166,7 @@ def contribute(register) -> None:
     register(
         "scd1_customer_upsert",
         scd1,
-        f"""
-        WITH cur AS (
-          SELECT c_custkey, c_name, c_nationkey,
-                 round(c_acctbal, 2) AS c_acctbal, c_mktsegment
-          FROM customer
-        ),
-        upd AS (SELECT *, TRUE AS in_batch FROM ({_UPD_SQL}))
-        SELECT * FROM (
-          SELECT cur.c_custkey, cur.c_name, cur.c_nationkey,
-                 CASE WHEN coalesce(in_batch, FALSE) THEN upd.c_acctbal
-                      ELSE cur.c_acctbal END AS c_acctbal,
-                 CASE WHEN coalesce(in_batch, FALSE) THEN upd.c_mktsegment
-                      ELSE cur.c_mktsegment END AS c_mktsegment
-          FROM cur LEFT JOIN upd ON cur.c_custkey = upd.c_custkey
-          UNION ALL
-          SELECT upd.c_custkey, NULL, NULL, upd.c_acctbal, upd.c_mktsegment
-          FROM upd WHERE upd.c_custkey NOT IN (SELECT c_custkey FROM cur)
-        )
-        WHERE {_SUBSET}
-        ORDER BY c_custkey
-        """,
+        _SCD1_ORACLE_SQL,
     )
 
     # ---- SCD1 fed by the REAL streaming engine -------------------------
@@ -175,10 +180,7 @@ def contribute(register) -> None:
     # engine splits the feed into micro-batches — which is what lets
     # this stream query share the batch scd1 oracle verbatim.
     def scd1_stream(spark, sf):
-        import os
-
-        cur_schema = spark.read.parquet(
-            os.path.join(sf, "customer.parquet")).schema
+        cur_schema = load_table(spark, "customer", sf).schema
         feed = (
             spark.readStream.schema(cur_schema)
             .option("pathGlobFilter", "customer.parquet")
@@ -207,25 +209,5 @@ def contribute(register) -> None:
     register(
         "stream_scd1_upsert",
         scd1_stream,
-        f"""
-        WITH cur AS (
-          SELECT c_custkey, c_name, c_nationkey,
-                 round(c_acctbal, 2) AS c_acctbal, c_mktsegment
-          FROM customer
-        ),
-        upd AS (SELECT *, TRUE AS in_batch FROM ({_UPD_SQL}))
-        SELECT * FROM (
-          SELECT cur.c_custkey, cur.c_name, cur.c_nationkey,
-                 CASE WHEN coalesce(in_batch, FALSE) THEN upd.c_acctbal
-                      ELSE cur.c_acctbal END AS c_acctbal,
-                 CASE WHEN coalesce(in_batch, FALSE) THEN upd.c_mktsegment
-                      ELSE cur.c_mktsegment END AS c_mktsegment
-          FROM cur LEFT JOIN upd ON cur.c_custkey = upd.c_custkey
-          UNION ALL
-          SELECT upd.c_custkey, NULL, NULL, upd.c_acctbal, upd.c_mktsegment
-          FROM upd WHERE upd.c_custkey NOT IN (SELECT c_custkey FROM cur)
-        )
-        WHERE {_SUBSET}
-        ORDER BY c_custkey
-        """,
+        _SCD1_ORACLE_SQL,
     )

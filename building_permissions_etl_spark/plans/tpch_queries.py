@@ -804,24 +804,33 @@ def _contribute_q20(register) -> None:
     # ---- Q20 (adapted): dominant suppliers of green parts --------------
     # Classic Q20 nests IN-subqueries three deep (suppliers ⊃ partsupp ⊃
     # lineitem-quantity threshold). Without partsupp the same chain is:
-    # suppliers whose shipped quantity of some 'green'-named part
-    # exceeds 30% of that part's total shipped quantity. The correlated
+    # suppliers whose shipped quantity of some red-named part exceeds
+    # 15% of that part's total shipped quantity ('red'/0.15 chosen so
+    # the predicate selects a non-trivial supplier set at every fixture
+    # scale — a vacuously-empty result would let the oracle pass while
+    # pinning nothing). The correlated
     # per-part total is a WINDOW over the same (part, supplier)
     # aggregate — the fact shuffles once on partkey; the supplier dim
     # broadcasts; DISTINCT collapses multi-part qualifiers.
     def dominant_suppliers(spark, sf):
         part = load_table(spark, "part", sf).filter(
-            F.col("p_name").contains("green")).select("p_partkey")
+            F.col("p_name").contains("red")).select("p_partkey")
         ps_qty = (
             load_table(spark, "lineitem", sf)
             .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
             .groupBy("l_partkey", "l_suppkey")
             .agg(F.round(F.sum("l_quantity"), 2).alias("ps_qty"))
         )
+        # integer-cents share comparison (same device as
+        # part_value_concentration): the window total sums exact longs,
+        # so both engines derive a bit-identical threshold
+        cents = F.round(F.col("ps_qty") * 100).cast("long")
         w = Window.partitionBy("l_partkey")
         dominant = (
-            ps_qty.withColumn("part_total", F.sum("ps_qty").over(w))
-            .filter(F.col("ps_qty") > 0.3 * F.col("part_total"))
+            ps_qty.withColumn("__c", cents)
+            .withColumn("part_total_c", F.sum("__c").over(w))
+            .filter(F.col("__c").cast("double")
+                    > 0.15 * F.col("part_total_c").cast("double"))
             .select("l_suppkey").distinct()
         )
         sup = load_table(spark, "supplier", sf)
@@ -844,14 +853,16 @@ def _contribute_q20(register) -> None:
         WHERE s_suppkey IN (
           SELECT l_suppkey FROM (
             SELECT l_partkey, l_suppkey,
-                   round(sum(l_quantity), 2) AS ps_qty,
-                   sum(round(sum(l_quantity), 2))
-                     OVER (PARTITION BY l_partkey) AS part_total
+                   CAST(round(round(sum(l_quantity), 2) * 100) AS BIGINT)
+                     AS c,
+                   sum(CAST(round(round(sum(l_quantity), 2) * 100)
+                            AS BIGINT))
+                     OVER (PARTITION BY l_partkey) AS part_total_c
             FROM lineitem
             WHERE l_partkey IN (SELECT p_partkey FROM part
-                                WHERE p_name LIKE '%green%')
+                                WHERE p_name LIKE '%red%')
             GROUP BY 1, 2
-          ) WHERE ps_qty > 0.3 * part_total
+          ) WHERE CAST(c AS DOUBLE) > 0.15 * CAST(part_total_c AS DOUBLE)
         )
         ORDER BY s_suppkey
         """,
