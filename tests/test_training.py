@@ -139,3 +139,18 @@ def test_query_quantized_matches_oneshot(spark):
             S.query_quantized(idx, query_id=10**9)
     finally:
         idx.unpersist()
+
+
+def test_quantize_zero_vector_is_all_zeros(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] * 8)],
+        "vec_id long, embedding array<float>")
+    idx = S.build_quantized_index(df, "embedding", "vec_id")
+    try:
+        rows = {r["__qid"]: r for r in idx.collect()}
+        # zero vector: 1e-12 scale floor, elements quantize to 0 (no NaN)
+        assert list(rows[0]["__qvec"]) == [0] * 8
+        out = S.query_quantized(idx, query_id=0, k=1).collect()
+        assert out[0]["score"] == 0.0
+    finally:
+        idx.unpersist()
