@@ -90,11 +90,20 @@ for name in sorted(qs):
         traceback.print_exc(limit=2)
 
 # 3. probes
-# determinism: run one query twice
-name = "flagship_aggregate" if "flagship_aggregate" in qs else sorted(qs)[0]
-r1 = rows_to_set([tuple(r) for r in qs[name](spark, SF).collect()], qs[name](spark, SF).columns)
-r2 = rows_to_set([tuple(r) for r in qs[name](spark, SF).collect()], qs[name](spark, SF).columns)
-print("determinism probe:", "OK" if r1 == r2 else "FAIL")
+# determinism: run a family-spanning sample twice (agg/pivot, sketch
+# banding, trained-index probe, stateful window, hash resampling)
+_DET_SAMPLE = [n for n in (
+    "flagship_monthly_pivot", "dedup_minhash_lsh", "similarity_topk_ivf",
+    "event_sessionization", "mixture_resample_counts",
+) if n in qs] or [sorted(qs)[0]]
+det_ok = True
+for name in _DET_SAMPLE:
+    r1 = rows_to_set([tuple(r) for r in qs[name](spark, SF).collect()], qs[name](spark, SF).columns)
+    r2 = rows_to_set([tuple(r) for r in qs[name](spark, SF).collect()], qs[name](spark, SF).columns)
+    if r1 != r2:
+        det_ok = False
+        print(f"determinism probe FAIL: {name}")
+print("determinism probe:", "OK" if det_ok else "FAIL", f"({len(_DET_SAMPLE)} queries)")
 
 # bad sf_dir
 try:
