@@ -173,6 +173,7 @@ EXTENSION_HEADLINE = [
     "event_transition_matrix",
     "recursive_key_chain",
     "variant_props_rollup",
+    "order_lines_with_ordinality",
     # dimension maintenance
     "scd1_customer_upsert",
     "scd2_customer_upsert",

@@ -307,6 +307,7 @@ def contribute(register) -> None:
     _contribute_extra(register)
     _contribute_recursive(register)
     _contribute_variant(register)
+    _contribute_ordinality(register)
 
 
 def _contribute_extra(register) -> None:
@@ -428,5 +429,58 @@ def _contribute_variant(register) -> None:
                    AS absent
           FROM events
         ) GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
+
+
+def _contribute_ordinality(register) -> None:
+    # Array-of-struct assembly + positional explode: lineitems pack into
+    # a per-order array ORDERED BY linenumber (sort_array on a struct
+    # whose first field is the sort key — deterministic regardless of
+    # aggregation order), then posexplode re-derives each element's
+    # ordinal. `pos + 1 = l_linenumber` holds by construction, so the
+    # query also acts as a self-check of the array ordering; output is
+    # ordinals vs stored linenumbers for a key slice. DuckDB twin uses
+    # unnest ... WITH ORDINALITY over list(... ORDER BY ...).
+    def ordinality(spark, sf):
+        li = load_table(spark, "lineitem", sf).filter(
+            F.col("l_orderkey") % 1000 == 0)
+        packed = (
+            li.groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_list(
+                F.struct("l_linenumber", "l_partkey"))).alias("lines"))
+        )
+        return (
+            packed.select(
+                "l_orderkey",
+                F.posexplode("lines").alias("pos", "line"),
+            )
+            .select(
+                "l_orderkey",
+                (F.col("pos") + 1).cast("int").alias("ordinal"),
+                F.col("line.l_linenumber").cast("int").alias("l_linenumber"),
+                F.col("line.l_partkey").alias("l_partkey"),
+            )
+            .orderBy("l_orderkey", "ordinal")
+        )
+
+    register(
+        "order_lines_with_ordinality",
+        ordinality,
+        """
+        -- DuckDB 1.0 lacks WITH ORDINALITY; index the ordered list by a
+        -- generated subscript instead
+        SELECT l_orderkey,
+               CAST(i AS INT) AS ordinal,
+               CAST(lines[i].l_linenumber AS INT) AS l_linenumber,
+               lines[i].l_partkey AS l_partkey
+        FROM (
+          SELECT l_orderkey,
+                 list({'l_linenumber': l_linenumber, 'l_partkey': l_partkey}
+                      ORDER BY l_linenumber, l_partkey) AS lines
+          FROM lineitem WHERE l_orderkey % 1000 = 0
+          GROUP BY 1
+        ), unnest(range(1, len(lines) + 1)) AS t(i)
+        ORDER BY l_orderkey, ordinal
         """,
     )
