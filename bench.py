@@ -159,6 +159,8 @@ EXTENSION_HEADLINE = [
     # training-curation family
     "train_split_census",
     "mixture_resample_counts",
+    "mixture_temperature_resample",
+    "chunk_documents_32",
     "gopher_rule_filter",
     "similarity_topk_quantized",
     # behavioral-analytics family

@@ -463,3 +463,97 @@ def resample_to_mix(
         F.lit(10000),
     )
     return in_scope.filter(bucket.cast("double") < thr_map[F.col(group_col)])
+
+
+def resample_temperature(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    groups: list[str] | tuple[str, ...],
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual
+    alpha-sampling rule, XLM-R §3.1 / mBERT exponent smoothing): target
+    share of group g ∝ n_g^alpha, so low-resource groups are boosted
+    toward (but not past) parity as alpha → 0, and alpha = 1 keeps the
+    natural distribution.
+
+    Weights derive from the SAME one-action per-group counts as
+    ``resample_to_mix`` and feed its largest-feasible threshold rule —
+    deterministic portable-hash membership, map-side keep filter.
+    """
+    import math
+
+    from building_permissions_etl_spark.functions.portable import portable_hash64
+
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not groups:
+        raise ValueError("groups must be non-empty")
+    in_scope = df.filter(F.col(group_col).isin(*groups))
+    counts = in_scope.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_by_group = {r[group_col]: r["__n"] for r in counts.collect()}
+    missing = sorted(set(groups) - set(n_by_group))
+    if missing:
+        raise ValueError(f"groups with no rows in the input: {missing}")
+    # w_g = n_g^alpha / Σ n^alpha, then the resample_to_mix feasibility
+    # rule with the same IEEE op order as the SQL oracle replay.
+    powed = {g: float(n_by_group[g]) ** alpha for g in groups}
+    z = sum(powed[g] for g in sorted(groups))
+    t = min(n_by_group[g] / (powed[g] / z) for g in sorted(groups))
+    thr_by_group = {
+        g: min(10000.0,
+               float(math.floor(10000.0 * (powed[g] / z) * t / n_by_group[g])))
+        for g in groups
+    }
+    thr_map = F.create_map(
+        *[F.lit(x) for g, v in sorted(thr_by_group.items()) for x in (g, v)]
+    )
+    bucket = F.pmod(
+        portable_hash64(F.coalesce(F.col(id_col).cast("string"), F.lit(""))),
+        F.lit(10000),
+    )
+    return in_scope.filter(bucket.cast("double") < thr_map[F.col(group_col)])
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int = 64,
+) -> DataFrame:
+    """Split each document into fixed-budget token chunks, one output
+    row per chunk — the context-window chunking every pretraining loader
+    applies to long documents (the complement of sequence PACKING, which
+    concatenates short ones).
+
+    Pure Column expressions: tokenize once (staged projection — HOF CSE
+    rule), build chunk slices with transform-over-sequence, posexplode
+    for the chunk index. Chunk text rejoins with single spaces (the
+    tokenizer's inverse up to whitespace runs, which lower+split already
+    collapsed). A doc shorter than ``budget`` yields exactly one chunk;
+    empty/whitespace docs yield ZERO rows (nothing to train on).
+
+    Scale shape: narrow map-side transform, no shuffle; output rows =
+    ceil(tokens/budget) per doc, bounded by corpus token count.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    n_chunks = F.ceil(n.cast("double") / budget).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("__toks"), i * budget + 1, budget),
+    )
+    return (
+        staged.filter(n > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__c"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("__c").alias("n_tokens"),
+            F.array_join("__c", " ").alias("chunk_text"),
+        )
+    )

@@ -168,3 +168,79 @@ def contribute(register) -> None:
         ORDER BY score DESC, id LIMIT 10
         """,
     )
+
+    _contribute_round2(register)
+
+
+def _contribute_round2(register) -> None:
+    # ---- temperature (alpha) mixture resampling ------------------------
+    # Target share ∝ n^alpha over five sources; the oracle replays the
+    # weight derivation (sqrt for alpha=0.5), feasibility min, and floor
+    # thresholds with the identical IEEE op order, then draws the same
+    # portable-hash membership.
+    _TGROUPS = ["src0", "src1", "src2", "src3", "src4"]
+
+    def temperature(spark, sf):
+        docs = load_table(spark, "documents", sf)
+        kept = C.resample_temperature(docs, "source", "doc_id",
+                                      _TGROUPS, alpha=0.5)
+        return (
+            kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+            .orderBy("source")
+        )
+
+    _in = ", ".join(f"'{g}'" for g in _TGROUPS)
+    register(
+        "mixture_temperature_resample",
+        temperature,
+        f"""
+        WITH in_scope AS (
+          SELECT * FROM documents WHERE source IN ({_in})
+        ), counts AS (
+          SELECT source, CAST(count(*) AS DOUBLE) AS n
+          FROM in_scope GROUP BY 1
+        ), z AS (
+          SELECT sum(sqrt(n)) AS z FROM counts
+        ), weighted AS (
+          SELECT source, n, sqrt(n) / z AS w FROM counts, z
+        ), feasible AS (
+          SELECT min(n / w) AS t FROM weighted
+        ), thr AS (
+          SELECT source,
+                 least(10000.0,
+                       CAST(floor(10000.0 * w * t / n) AS DOUBLE)) AS thr
+          FROM weighted, feasible
+        )
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+        FROM in_scope d JOIN thr ON d.source = thr.source
+        WHERE CAST({_BUCKET_SQL} AS DOUBLE) < thr
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    # ---- fixed-budget document chunking --------------------------------
+    def chunking(spark, sf):
+        docs = load_table(spark, "documents", sf)
+        return (
+            C.chunk_documents(docs, "text", "doc_id", budget=32)
+            .orderBy("doc_id", "chunk_idx")
+        )
+
+    register(
+        "chunk_documents_32",
+        chunking,
+        f"""
+        SELECT doc_id,
+               CAST(i - 1 AS INT) AS chunk_idx,
+               CAST(len(t[(i - 1) * 32 + 1 : (i - 1) * 32 + 32]) AS INT)
+                 AS n_tokens,
+               array_to_string(t[(i - 1) * 32 + 1 : (i - 1) * 32 + 32], ' ')
+                 AS chunk_text
+        FROM (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), unnest(range(1, CAST(ceil(len(t) / 32.0) AS BIGINT) + 1)) AS u(i)
+        WHERE len(t) > 0
+        ORDER BY doc_id, chunk_idx
+        """,
+    )

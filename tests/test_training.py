@@ -154,3 +154,58 @@ def test_quantize_zero_vector_is_all_zeros(spark):
         assert out[0]["score"] == 0.0
     finally:
         idx.unpersist()
+
+
+def test_resample_temperature_boosts_low_resource(spark):
+    # skew the corpus: src0 gets 4x the docs of src1; alpha=0.5 must keep
+    # src1's share ABOVE its natural share (boost) while never upsampling
+    base = load_table(spark, "documents", SF).select("doc_id", "source")
+    skewed = base.filter(F.col("source") == "src0").union(
+        base.filter(F.col("source") == "src0")
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    ).union(base.filter(F.col("source").isin("src0", "src1")))
+    kept = C.resample_temperature(skewed, "source", "doc_id",
+                                  ["src0", "src1"], alpha=0.5)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    orig = {r["source"]: r["n"] for r in
+            skewed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    nat_share = orig["src1"] / (orig["src0"] + orig["src1"])
+    kept_share = counts["src1"] / (counts["src0"] + counts["src1"])
+    assert kept_share > nat_share
+    assert counts["src1"] <= orig["src1"]  # never upsampled
+
+
+def test_resample_temperature_validates(spark):
+    docs = load_table(spark, "documents", SF)
+    with pytest.raises(ValueError, match="alpha"):
+        C.resample_temperature(docs, "source", "doc_id", ["src0"], alpha=0.0)
+    with pytest.raises(ValueError, match="no rows"):
+        C.resample_temperature(docs, "source", "doc_id", ["src_absent"])
+
+
+def test_chunk_documents_partition_law(spark):
+    docs = load_table(spark, "documents", SF)
+    chunks = C.chunk_documents(docs, "text", "doc_id", budget=32)
+    # chunk token counts per doc must sum to the doc's token count, with
+    # every chunk full except possibly the last
+    from building_permissions_etl_spark.operators.dedup import tokens as _t
+    per_doc = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", F.size(_t(F.col("text"))).alias("n")).collect()}
+    got = {}
+    for r in chunks.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"]))
+    for doc_id, parts in got.items():
+        parts.sort()
+        assert sum(n for _, n in parts) == per_doc[doc_id]
+        assert all(n == 32 for _, n in parts[:-1])
+        assert [i for i, _ in parts] == list(range(len(parts)))
+
+
+def test_chunk_documents_empty_doc_yields_no_rows(spark):
+    df = spark.createDataFrame([(1, "  "), (2, "a b c")],
+                               "doc_id long, text string")
+    out = C.chunk_documents(df, "text", "doc_id", budget=2).collect()
+    assert {r["doc_id"] for r in out} == {2}
+    with pytest.raises(ValueError, match="budget"):
+        C.chunk_documents(df, "text", "doc_id", budget=0)
