@@ -26,10 +26,11 @@ the per-query verdict history of CORRECTNESS_r01-r03:
 
 With this window, r01∪r02∪r03∪r04 gives every query REGISTERED AT THE
 START OF ROUND 4 at least one driver verdict, closing the three-query
-evidence gap VERDICT r03 flagged. The 39 queries added later in round 4
+evidence gap VERDICT r03 flagged. The 42 queries added later in round 4
 (tpch_queries, training_queries, insight_queries, scd_queries, the
 session-window pair, the streaming SCD fold, the recursive CTE,
-the VARIANT rollup, and the Q20 chain)
+the VARIANT rollup, the Q20 chain, the ordinality round-trip, and the
+temperature-resampling/chunking pair)
 registered after this window was pinned and have no driver verdict
 yet — they are the front of the round-5 rotation.
 Local tri-scale parity (scripts/oracle_check.py at sf0.001/0.01/0.1)
