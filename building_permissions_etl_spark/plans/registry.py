@@ -9,32 +9,27 @@ the driver records a rows-only check for those.
 
 Registration ORDER is a driver contract: the grading driver verifies only
 the FIRST 50 registry entries per round (CORRECTNESS_r01 capped there).
-``_DRIVER_WINDOW`` pins which 50 land in the round-4 window, chosen from
-the per-query verdict history of CORRECTNESS_r01-r03:
+``_DRIVER_WINDOW`` pins which 50 land in the round-5 window, chosen from
+the per-query verdict history of CORRECTNESS_r01-r04:
 
-  1. the seven queries with NO driver verdict in any round — five registered
-     after their round's window was pinned (embedding_norm_stats,
-     quality_classifier_score, props_key_histogram, dedup_ngram_inverted,
-     pack_sequences_global) plus the two new this round
-     (dedup_cluster_survivors_star, crs_transform_grid);
-  2. approx_count_distinct_dates, whose only driver record is a r01 FAIL
-     (fixed since; green in every local sweep — needs a driver verdict);
-  3. every query whose single green verdict came from one round only
-     (38 of them, r02-only or r03-only), for re-confirmation;
-  4. four of the r01+r02-green queries rotated out in round 3, oldest
-     evidence first.
+  1. the 42 queries with NO driver verdict in any round — all registered
+     in round 4 after that round's window was pinned: the 18-query
+     TPC-H-style family (tpch_queries), the training-curation family
+     (train/mixture/temperature splits, Gopher rules, quantized ANN,
+     fixed-budget chunking), the 12-query behavioural-insight family,
+     the SCD1/SCD2 merges + streaming SCD fold, and the native/streaming
+     session-window pair;
+  2. the three queries whose single green verdict is r03-only
+     (event_sessionization, range_join_clicks_errors,
+     stream_window_counts), for re-confirmation;
+  3. five of the queries whose evidence is oldest (green r01+r02 only,
+     never re-verified since) — the remaining five rotate into round 6.
 
-With this window, r01∪r02∪r03∪r04 gives every query REGISTERED AT THE
-START OF ROUND 4 at least one driver verdict, closing the three-query
-evidence gap VERDICT r03 flagged. The 42 queries added later in round 4
-(tpch_queries, training_queries, insight_queries, scd_queries, the
-session-window pair, the streaming SCD fold, the recursive CTE,
-the VARIANT rollup, the Q20 chain, the ordinality round-trip, and the
-temperature-resampling/chunking pair)
-registered after this window was pinned and have no driver verdict
-yet — they are the front of the round-5 rotation.
-Local tri-scale parity (scripts/oracle_check.py at sf0.001/0.01/0.1)
-covers ALL queries every round regardless of window.
+With this window, r01∪…∪r05 gives EVERY oracle-backed registry query at
+least one driver verdict (approx_count_distinct_dates stays the single
+documented rows-only entry). Local tri-scale parity
+(scripts/oracle_check.py at sf0.001/0.01/0.1) covers ALL queries every
+round regardless of window.
 """
 
 from __future__ import annotations
@@ -48,61 +43,62 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 # The 50 entries the driver will verify this round (see module docstring).
 _DRIVER_WINDOW = [
-    # -- 1. no driver verdict in any round --
-    "embedding_norm_stats",
-    "quality_classifier_score",
-    "props_key_histogram",
-    "dedup_ngram_inverted",
-    "pack_sequences_global",
-    "dedup_cluster_survivors_star",
-    "crs_transform_grid",
-    # -- 2. only driver record is a r01 FAIL (since fixed) --
-    "approx_count_distinct_dates",
-    # -- 3. single-round green (r03 only) --
-    "tfidf_top_terms",
-    "bm25_topk",
-    "unigram_logprob",
-    "chunk_dup_fraction",
-    "decontaminate_containment",
-    "local_supplier_volume",
-    "stream_dedup_keys",
-    "stream_stream_join",
-    "customer_value_distribution",
-    "asof_join_next_error",
-    "event_gap_stats",
-    "pricing_summary",
-    "bigram_logprob",
-    # -- 3. single-round green (r02 only) --
-    "upper_bound_filter",
-    "not_in_set_filter",
-    "prefix_filter_drilldown",
-    "semi_join_known_keys",
-    "anti_join_unknown_keys",
-    "unpivot_cells_long",
-    "region_rollup_with_default",
-    "scalar_function_showcase",
-    "roman_numeral_codec",
-    "union_schema_align",
-    "projection_rename",
-    "topk_per_group",
-    "doc_length_quantiles",
-    "shipping_priority_topk",
-    "cube_order_counts",
-    "daily_active_users",
-    "intersect_active_customers",
-    "except_finished_only_customers",
-    "sql_revenue_by_status",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_cluster_survivors",
-    "embedding_dedup_survivors",
-    "similarity_topk_bruteforce",
-    # -- 4. oldest two-round evidence (r01+r02), re-confirmed --
-    "flagship_merge_shape",
-    "pivot_counts_90d",
-    "marginal_counts",
-    "outer_merge_windows",
+    # -- 1. no driver verdict in any round: TPC-H-style family --
+    "min_cost_supplier_per_part",
+    "order_priority_checking",
+    "forecast_revenue",
+    "volume_shipping",
+    "national_market_share",
+    "product_profit_by_nation",
+    "returned_items_report",
+    "part_value_concentration",
+    "priority_shipping_split",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "supplier_part_variety",
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "brand_range_revenue",
+    "last_shipper_per_order",
+    "dormant_high_balance_customers",
+    "dominant_part_suppliers",
+    # -- 1. training-curation family --
+    "train_split_census",
+    "mixture_resample_counts",
+    "mixture_temperature_resample",
+    "gopher_rule_filter",
+    "similarity_topk_quantized",
+    "chunk_documents_32",
+    # -- 1. behavioural-insight family --
+    "grouping_sets_order_stats",
+    "lineitem_stats_by_flag",
+    "price_regression_by_flag",
+    "event_funnel_conversion",
+    "monthly_cohort_retention",
+    "gapfill_daily_forward_fill",
+    "value_outliers_zscore",
+    "value_histogram_fixed_buckets",
+    "event_transition_matrix",
+    "recursive_key_chain",
+    "variant_props_rollup",
+    "order_lines_with_ordinality",
+    # -- 1. SCD family + session windows --
+    "scd1_customer_upsert",
+    "scd2_customer_upsert",
+    "stream_scd1_upsert",
+    "native_session_window",
+    "stream_session_window",
+    # -- 2. single green verdict is r03-only; re-confirm --
+    "event_sessionization",
+    "range_join_clicks_errors",
+    "stream_window_counts",
+    # -- 3. oldest evidence (green r01+r02 only) --
+    "range_filter_halfopen",
+    "audit_metrics",
+    "days_lookback_window",
+    "dim_completion_zero_rows",
+    "value_counts_priority",
 ]
 
 

@@ -23,22 +23,42 @@ def test_rows_only_set_is_exactly_the_documented_one():
 
 def test_driver_window_is_oracle_backed_and_complete():
     """The first 50 registry entries (the slice the driver verifies) must
-    match _DRIVER_WINDOW exactly, be oracle-backed (the single allowed
-    exception is the HLL rows-only query, in the window because its only
-    driver record is a since-fixed r01 fail), and contain every query
-    that had no driver verdict in rounds 1-3."""
+    match _DRIVER_WINDOW exactly, be fully oracle-backed (round 5 window
+    contains no rows-only query), and contain every query that had no
+    driver verdict in rounds 1-4 — the 42 round-4 continuation queries."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
     o = set(oracle_sql())
     assert len(_DRIVER_WINDOW) == 50
     assert names[:50] == _DRIVER_WINDOW
-    rows_only_allowed = {"approx_count_distinct_dates"}
-    assert set(names[:50]) - o <= rows_only_allowed, set(names[:50]) - o
+    assert set(names[:50]) <= o, set(names[:50]) - o
     never_driver_verified = {
-        "embedding_norm_stats", "quality_classifier_score",
-        "props_key_histogram", "dedup_ngram_inverted",
-        "pack_sequences_global", "dedup_cluster_survivors_star",
-        "crs_transform_grid", "approx_count_distinct_dates",
+        # TPC-H-style continuation family
+        "min_cost_supplier_per_part", "order_priority_checking",
+        "forecast_revenue", "volume_shipping", "national_market_share",
+        "product_profit_by_nation", "returned_items_report",
+        "part_value_concentration", "priority_shipping_split",
+        "customer_order_distribution", "promo_revenue_share",
+        "top_supplier_revenue", "supplier_part_variety",
+        "small_quantity_revenue", "large_volume_customers",
+        "brand_range_revenue", "last_shipper_per_order",
+        "dormant_high_balance_customers", "dominant_part_suppliers",
+        # training curation
+        "train_split_census", "mixture_resample_counts",
+        "mixture_temperature_resample", "gopher_rule_filter",
+        "similarity_topk_quantized", "chunk_documents_32",
+        # behavioural insight
+        "grouping_sets_order_stats", "lineitem_stats_by_flag",
+        "price_regression_by_flag", "event_funnel_conversion",
+        "monthly_cohort_retention", "gapfill_daily_forward_fill",
+        "value_outliers_zscore", "value_histogram_fixed_buckets",
+        "event_transition_matrix", "recursive_key_chain",
+        "variant_props_rollup", "order_lines_with_ordinality",
+        # SCD + session windows
+        "scd1_customer_upsert", "scd2_customer_upsert",
+        "stream_scd1_upsert", "native_session_window",
+        "stream_session_window",
     }
+    assert len(never_driver_verified) == 42
     assert never_driver_verified <= set(names[:50])
