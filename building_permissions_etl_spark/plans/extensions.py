@@ -133,7 +133,12 @@ def contribute(register) -> None:
     # Block key = lang × length-bucket: near-dups have near-equal length,
     # and the bucket bounds the O(n²/blocks) self-join (~8× fewer pairs
     # than lang alone at sf0.1). At 100 TB the block key would be an LSH
-    # band; this is the exact-verify shape.
+    # band; this is the exact-verify shape. PARITY-ONLY TWIN: this entry
+    # deliberately pins the quadratic array_intersect form so the driver
+    # value-checks that specific physical shape; the production-shaped
+    # registrations are dedup_ngram_inverted (df-cutoff inverted index)
+    # and the survivors queries below, which route through
+    # ngram_jaccard_pairs_auto.
     def ngram_jaccard(spark, sf):
         docs = load_table(spark, "documents", sf).withColumn(
             "block", F.concat_ws(
@@ -271,7 +276,12 @@ def contribute(register) -> None:
                 "_", F.coalesce("lang", F.lit("~null~")),
                 F.expr("n_chars div 50"))
             )
-            pairs = D.ngram_jaccard_pairs(
+            # auto pair-gen: quadratic while the measured max block
+            # occupancy stays tight, inverted index past 500 — the
+            # registered production shape must not pin the quadratic
+            # (identical rows either way for min_jaccard>0, so the
+            # recursive-closure oracle is shape-independent).
+            pairs = D.ngram_jaccard_pairs_auto(
                 docs, "text", "doc_id", block_col="block", n=3, min_jaccard=0.05
             )
             return (

@@ -409,3 +409,32 @@ def test_ngram_auto_forces_inverted_when_max_df_set(spark):
         df, "text", "doc_id", "block").collect()))
     assert auto == inv
     assert auto != quad  # the cutoff genuinely changes the answer here
+
+
+def test_ngram_auto_engages_inverted_on_oversized_block(spark):
+    """The occupancy pre-pass must switch the PHYSICAL shape when any
+    block exceeds switch_block_size: the inverted index explodes shingles
+    to postings (a Generate node in the plan), the quadratic never does.
+    This is the routing the registered survivors queries rely on — an
+    unbounded lang block at raw-corpus scale must not hit the quadratic
+    (SCALE.md §10's 83 s case)."""
+    from building_permissions_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs_auto,
+    )
+
+    rows = [(i, f"token{i} alpha beta gamma delta epsilon zeta")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("block", F.lit("b"))
+
+    # block of 30 > switch 20 → inverted shape (explode → Generate)
+    inv_plan = ngram_jaccard_pairs_auto(
+        df, "text", "doc_id", "block", switch_block_size=20
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" in inv_plan
+
+    # same data under switch 100 → quadratic (no posting explode)
+    quad_plan = ngram_jaccard_pairs_auto(
+        df, "text", "doc_id", "block", switch_block_size=100
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" not in quad_plan
