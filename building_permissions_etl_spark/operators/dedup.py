@@ -34,6 +34,51 @@ from building_permissions_etl_spark.operators.scale import fan_out
 # default), where long wrap-around is an error, not a feature.
 MERSENNE_P = (1 << 31) - 1
 
+# Stale checkpoint-release handles from prior iterative-operator calls
+# whose RETURNED frame was itself a checkpoint (releasable only after the
+# caller has consumed it — i.e. by the time the next operator call runs).
+# Bounds cross-query residue to at most one checkpoint generation.
+_STALE_CHECKPOINT_RELEASES: list = []
+
+
+def _release_stale_checkpoints() -> None:
+    while _STALE_CHECKPOINT_RELEASES:
+        _STALE_CHECKPOINT_RELEASES.pop()()
+
+
+def _local_checkpoint_tracked(df: DataFrame):
+    """Eager localCheckpoint returning ``(ck_df, release)``.
+
+    ``df.localCheckpoint`` persists at the RDD level — the blocks are
+    invisible to the CacheManager, so no DataFrame-API call can ever free
+    them and back-to-back iterative queries accumulate residue until the
+    context dies (observed: a default 1 GiB local driver OOMs running the
+    full registry sweep). ``release()`` reaches the checkpoint RDD through
+    the analyzed LogicalRDD and unpersists its blocks directly.
+
+    A released checkpoint's data is GONE (lineage is truncated), so call
+    ``release()`` only once a newer generation is fully materialized.
+    That adds no new failure mode: recompute-after-block-loss was already
+    impossible for a local checkpoint (executor loss is fatal by
+    contract), and materialized caches spill to disk rather than drop.
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jrdd = ck._jdf.queryExecution().analyzed().rdd()
+    except Exception:   # non-classic backend: fall back to GC residue
+        jrdd = None
+    released = [False]
+
+    def release() -> None:
+        if released[0] or jrdd is None:
+            return
+        released[0] = True
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
+    return ck, release
+
 
 def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs — a simple LCG expansion of the seed so
@@ -627,8 +672,13 @@ def connected_components(
     round-1 form leaked up to ``max_iters`` cached frames). Every 5
     rounds the labels are localCheckpoint'ed so the join lineage cannot
     grow unboundedly (recompute-from-scratch on executor loss would be
-    O(rounds²) otherwise). The edge cache is released before returning.
+    O(rounds²) otherwise). The edge cache is released before returning,
+    and checkpoint RDD blocks are freed as soon as they are superseded
+    (``_local_checkpoint_tracked``) — residue per call is at most the
+    single checkpoint the returned frame may still depend on, freed at
+    the start of the next iterative-operator call.
     """
+    _release_stale_checkpoints()
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
@@ -639,6 +689,8 @@ def connected_components(
         .withColumn("label", F.col("id"))
     )
     prev_cached = None
+    ck_release = None           # release handle of the live checkpoint
+    labels_is_ckpt = False      # does `labels` ITSELF hold checkpoint blocks?
     try:
         for i in range(max_iters):
             nbr_min = (
@@ -667,15 +719,28 @@ def connected_components(
             if prev_cached is not None:
                 prev_cached.unpersist()
             prev_cached = new_labels
-            labels = new_labels
+            labels, labels_is_ckpt = new_labels, False
             if changed == 0:
                 break
             if (i + 1) % 5 == 0:
-                labels = labels.localCheckpoint(eager=True)
+                labels, new_release = _local_checkpoint_tracked(labels)
+                labels_is_ckpt = True
+                if ck_release is not None:
+                    ck_release()    # superseded by the generation just cut
+                ck_release = new_release
                 prev_cached.unpersist()
                 prev_cached = None
     finally:
         sym.unpersist()
+        if ck_release is not None:
+            if labels_is_ckpt:
+                # the returned frame IS the checkpoint — releasable only
+                # after the caller consumes it; defer to the next call
+                _STALE_CHECKPOINT_RELEASES.append(ck_release)
+            else:
+                # returned labels are a fully-materialized plain cache;
+                # the checkpoint behind their lineage is dead weight
+                ck_release()
     return labels
 
 
@@ -712,11 +777,15 @@ def connected_components_star(
     traversals revisit shared subtrees, so an uncut plan's analysis
     cost is exponential in rounds (measured: heap OOM at ~7 rounds on a
     300-node chain; depth ≤ 3 keeps the tree ≤ 5³ node-visits).
-    Checkpoint blocks themselves are NOT unpersistable through the
-    DataFrame API (RDD-level persist, invisible to the CacheManager) and
-    remain until context GC — one bounded residue per 3 rounds, same
-    trade the propagation form makes.
+    Checkpoint blocks are NOT unpersistable through the DataFrame API
+    (RDD-level persist, invisible to the CacheManager), so each
+    generation's blocks are freed directly through the RDD handle the
+    moment a newer generation is materialized
+    (``_local_checkpoint_tracked``); after the final labels are cached
+    and counted, the last checkpoint is freed too — this operator leaves
+    ZERO checkpoint residue.
     """
+    _release_stale_checkpoints()
     raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     ids = raw.select(F.explode(F.array("u", "v")).alias("id")).distinct().cache()
     # big→small canonical orientation; self-loops carry no connectivity
@@ -737,6 +806,7 @@ def connected_components_star(
 
     sig = _signature(edges)
     edges_is_ckpt = False
+    ck_release = None
     try:
         for i in range(max_iters):
             if sig[0] == 0:
@@ -766,11 +836,15 @@ def connected_components_star(
             new_sig = _signature(small)  # materializes the cache
             if not edges_is_ckpt:
                 edges.unpersist()
+            elif ck_release is not None:
+                ck_release()    # this round's cache supersedes the ckpt
+                ck_release = None
             edges, edges_is_ckpt = small, False
             if (i + 1) % 3 == 0:
                 # cut lineage before the plan tree deepens past 3 rounds;
                 # the plain cache is then redundant with the checkpoint
-                edges, edges_is_ckpt = small.localCheckpoint(eager=True), True
+                edges, ck_release = _local_checkpoint_tracked(small)
+                edges_is_ckpt = True
                 small.unpersist()
             if new_sig == sig:
                 break
@@ -781,13 +855,19 @@ def connected_components_star(
         )
         labels = children.union(roots).cache()
         labels.count()
+        # labels are now fully materialized in their own (disk-spilling)
+        # cache — the last edge generation, checkpoint or not, is dead
+        # weight and releasable.
+        if ck_release is not None:
+            ck_release()
+            ck_release = None
     finally:
-        # the final generation stays persisted when it is a checkpoint:
-        # labels' recompute path runs through its truncated lineage. A
-        # plain-cache final generation is droppable — labels recompute
-        # through intact lineage if their own cache is ever evicted.
+        if ck_release is not None:
+            # exception path with a live checkpoint that may still back
+            # `edges`; defer the release to the next operator call
+            _STALE_CHECKPOINT_RELEASES.append(ck_release)
         if not edges_is_ckpt:
-            edges.unpersist()
+            edges.unpersist()   # no-op when the body already released it
         ids.unpersist()
     return labels
 
@@ -844,4 +924,44 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos") >= min_cosine)
         .orderBy("id_a", "id_b")
+    )
+
+
+def dedup_survivors_by(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_by,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    algorithm: str = "propagation",
+) -> DataFrame:
+    """Keep the BEST row per near-dup cluster by an explicit ordering —
+    the survivor policy real corpus dedup wants (keep the longest /
+    highest-quality duplicate), vs ``dedup_survivors``'s min-id rule.
+
+    ``order_by`` is a list of Column expressions over ``df`` (e.g.
+    ``[F.col("n_chars").desc()]``); ``id_col`` ascending is always
+    appended so ties break deterministically. Rows in no pair are their
+    own singleton cluster and always survive.
+
+    Shape: components labels join back onto the corpus (one shuffle on
+    id), then ONE window shuffle on the cluster label picks row_number 1
+    — partial nothing, but the label space is ≈ corpus-sized with tiny
+    partitions, so no skew; a 100 TB corpus pays exactly two exchanges
+    beyond the pair generation.
+    """
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(
+            f"algorithm must be 'propagation' or 'star', got {algorithm!r}"
+        )
+    cc = connected_components if algorithm == "propagation" else connected_components_star
+    comp = cc(pairs, id_a, id_b).withColumnRenamed("id", "__cc_id")
+    labeled = df.join(comp, df[id_col] == F.col("__cc_id"), "left")
+    label = F.coalesce(F.col("label"), df[id_col])
+    w = Window.partitionBy(label).orderBy(*order_by, F.col(id_col).asc())
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__cc_id", "label", "__rn")
     )

@@ -242,14 +242,16 @@ def test_connected_components_releases_caches(spark):
     assert {(r.id, r.label) for r in labels.collect()} == {(i, 0) for i in range(4)}
     labels.unpersist()
 
-    # 12-node path (diameter 11, ~12 rounds): labels + <= 2 checkpoints,
-    # far below the 12+ frames the leaky form would retain
+    # 12-node path (diameter 11, ~12 rounds, 2 checkpoint rounds): every
+    # superseded checkpoint's RDD blocks are freed through the tracked
+    # release handle, and the final one too once the converged labels
+    # are a plain cache — growth is exactly the returned labels frame
     edges12 = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], "id_a long, id_b long"
     )
     before = jsc.getPersistentRDDs().size()
     labels12 = connected_components(edges12, max_iters=20)
-    assert jsc.getPersistentRDDs().size() - before <= 3
+    assert jsc.getPersistentRDDs().size() - before <= 1
     assert {(r.id, r.label) for r in labels12.collect()} == {(i, 0) for i in range(12)}
     labels12.unpersist()
 
@@ -338,11 +340,12 @@ def test_star_components_match_propagation_on_random_graphs(spark):
 
 
 def test_star_components_release_caches(spark):
-    """Same cache discipline as the propagation form: net persisted-RDD
-    growth after return is the returned labels plus at most the
-    checkpoint residues (one per 3 rounds), never one frame per round.
-    (Checkpoint blocks are RDD-level persists the DataFrame API cannot
-    drop; they free on context GC.)"""
+    """Zero checkpoint residue: every generation's localCheckpoint RDD
+    blocks are freed through the tracked release handle (the DataFrame
+    API alone cannot drop them — they are RDD-level persists invisible
+    to the CacheManager), so net persisted-RDD growth after return is
+    EXACTLY the returned labels frame. This is what lets a default-heap
+    driver run the full registry sweep back-to-back."""
     from building_permissions_etl_spark.operators.dedup import (
         connected_components_star,
     )
@@ -353,9 +356,7 @@ def test_star_components_release_caches(spark):
     )
     before = jsc.getPersistentRDDs().size()
     labels = connected_components_star(edges)
-    # 100-node chain: <= ~9 star rounds → labels + <= 3 checkpoints,
-    # never the one-frame-per-round leak this test exists to catch
-    assert jsc.getPersistentRDDs().size() - before <= 4
+    assert jsc.getPersistentRDDs().size() - before <= 1
     assert {(r.id, r.label) for r in labels.collect()} == {
         (i, 0) for i in range(100)
     }
