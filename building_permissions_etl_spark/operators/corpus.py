@@ -497,8 +497,17 @@ def resample_temperature(
     if missing:
         raise ValueError(f"groups with no rows in the input: {missing}")
     # w_g = n_g^alpha / Σ n^alpha, then the resample_to_mix feasibility
-    # rule with the same IEEE op order as the SQL oracle replay.
-    powed = {g: float(n_by_group[g]) ** alpha for g in groups}
+    # rule with the same IEEE op order as the SQL oracle replay. For
+    # alpha = 0.5 use sqrt, NOT x**0.5: IEEE 754 requires sqrt to be
+    # correctly rounded (so every conforming libm agrees to the last
+    # ulp) but makes no such promise for pow — a one-ulp pow divergence
+    # between engines can flip a floor()'d threshold on knife-edge
+    # counts. z is summed in sorted-group order; the oracle replays the
+    # same order via an ORDER BY'd list aggregation.
+    if alpha == 0.5:
+        powed = {g: math.sqrt(float(n_by_group[g])) for g in groups}
+    else:
+        powed = {g: float(n_by_group[g]) ** alpha for g in groups}
     z = sum(powed[g] for g in sorted(groups))
     t = min(n_by_group[g] / (powed[g] / z) for g in sorted(groups))
     thr_by_group = {
@@ -556,4 +565,35 @@ def chunk_documents(
             F.size("__c").alias("n_tokens"),
             F.array_join("__c", " ").alias("chunk_text"),
         )
+    )
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_by,
+    id_col: str,
+    fraction: float = 0.5,
+) -> DataFrame:
+    """Curriculum cut: keep the top ``fraction`` of each group under an
+    explicit quality ordering (e.g. longest / highest-scored documents
+    per language) — the data-selection step quality-ranked pretraining
+    mixes apply per source.
+
+    Membership is rank-based and deterministic: ``row_number`` under
+    (``order_by``, ``id_col`` asc) ≤ ``ceil(fraction · group_size)`` —
+    0.5 is an exact binary double, so the threshold arithmetic is
+    engine-portable. One window shuffle on the group key computes both
+    the rank and the group size; no second aggregation pass, no
+    driver-side group census.
+    """
+    if not 0 < fraction <= 1:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    w = Window.partitionBy(group_col).orderBy(*order_by, F.col(id_col).asc())
+    wc = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(float(fraction))))
+        .drop("__rn", "__n")
     )

@@ -126,7 +126,27 @@ def scd2_upsert(
     """
     upd = updates.select(key, *tracked)
     _reject_duplicate_keys(upd, key)
-    eff = F.lit(effective_ts).cast(dict(current.dtypes)[valid_from])
+    vf_type = dict(current.dtypes)[valid_from]
+    eff = F.lit(effective_ts).cast(vf_type)
+    # Validate the literal DRIVER-SIDE before building the plan: in a
+    # non-ANSI session an unparseable timestamp string casts to NULL
+    # silently, which would close old versions with valid_to = NULL and
+    # leave the key with two open versions. A malformed effective_ts
+    # must fail loudly regardless of session ANSI mode.
+    if effective_ts is None:
+        raise ValueError("effective_ts must not be None")
+    try:
+        probe = current.sparkSession.range(1).select(eff.alias("v")).first()
+    except Exception as ex:  # ANSI session: the bad cast throws instead
+        raise ValueError(
+            f"effective_ts {effective_ts!r} does not cast to the "
+            f"{valid_from} column type {vf_type!r}: {ex}"
+        ) from ex
+    if probe["v"] is None:
+        raise ValueError(
+            f"effective_ts {effective_ts!r} does not cast to the "
+            f"{valid_from} column type {vf_type!r} (cast yields NULL)"
+        )
     attr_cols = [c for c in current.columns
                  if c not in (key, valid_from, valid_to)]
 
@@ -189,3 +209,44 @@ def scd2_upsert(
     ).unionByName(unchanged_open).unionByName(closed_old).unionByName(
         opened_new).unionByName(brand_new)
     return out
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_versions: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks the ONE dim
+    version whose validity interval covers the fact's timestamp
+    (``valid_from <= ts < valid_to``, open version = NULL ``valid_to``)
+    — how every fact table reads an SCD2 dimension.
+
+    Scale shape: ONE broadcast left-outer join with the interval test in
+    the join condition — the equi-key carries the hash lookup (broadcast
+    when the dim is dim-sized: versions multiply a dimension by a small
+    factor, so it stays broadcastable at 100 TB facts), the window
+    predicate filters the handful of versions per key in place. Never a
+    theta-join, never a per-fact sort, no second pass for misses. A
+    well-formed SCD2 history has non-overlapping intervals per key, so
+    at most one version matches and fact grain is preserved; facts dated
+    before the key's first version (or with no dim key at all) surface
+    with NULL dim columns under ``how='left'``.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    ts = F.col(f"f.{ts_col}")
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"d.{key}"))
+        & (ts >= F.col(f"d.{valid_from}"))
+        & (F.col(f"d.{valid_to}").isNull() | (ts < F.col(f"d.{valid_to}")))
+    )
+    dim_cols = [c for c in dim_versions.columns if c != key]
+    return (
+        facts.alias("f")
+        .join(F.broadcast(dim_versions.alias("d")), on=cond, how=how)
+        .select("f.*", *[F.col(f"d.{c}").alias(c) for c in dim_cols])
+    )

@@ -175,8 +175,10 @@ def contribute(register) -> None:
 def _contribute_round2(register) -> None:
     # ---- temperature (alpha) mixture resampling ------------------------
     # Target share ∝ n^alpha over five sources; the oracle replays the
-    # weight derivation (sqrt for alpha=0.5), feasibility min, and floor
-    # thresholds with the identical IEEE op order, then draws the same
+    # weight derivation (sqrt for alpha=0.5 — correctly rounded per
+    # IEEE 754, so bit-identical across engines, unlike pow), the
+    # sorted-order z summation, feasibility min, and floor thresholds
+    # with the identical IEEE op order, then draws the same
     # portable-hash membership.
     _TGROUPS = ["src0", "src1", "src2", "src3", "src4"]
 
@@ -201,7 +203,11 @@ def _contribute_round2(register) -> None:
           SELECT source, CAST(count(*) AS DOUBLE) AS n
           FROM in_scope GROUP BY 1
         ), z AS (
-          SELECT sum(sqrt(n)) AS z FROM counts
+          -- sequential sum in sorted-source order: matches the engine's
+          -- driver-side summation order exactly (a parallel/arbitrary-
+          -- order sum(sqrt(n)) could differ in the last ulp and flip a
+          -- floor()'d threshold on knife-edge counts)
+          SELECT list_sum(list(sqrt(n) ORDER BY source)) AS z FROM counts
         ), weighted AS (
           SELECT source, n, sqrt(n) / z AS w FROM counts, z
         ), feasible AS (

@@ -233,9 +233,22 @@ def write_training_shards(
     Returns the manifest as a DataFrame: per-shard row count and an
     order-insensitive xxhash64 checksum (sum of per-row hashes mod 2^63)
     a consumer can re-verify after download.
+
+    ``mode`` must be ``"overwrite"``: the manifest is computed by
+    re-reading the whole output path, so an append would fold earlier
+    exports into the counts/checksums AND write a second file per shard
+    directory, silently breaking both the manifest contract and the
+    one-file-per-shard guarantee. Incremental export is a re-shard of
+    the unioned corpus, not an append.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if mode != "overwrite":
+        raise ValueError(
+            "write_training_shards only supports mode='overwrite': an "
+            "append would corrupt the re-read manifest and violate the "
+            f"one-file-per-shard contract (got mode={mode!r})"
+        )
     shard = F.pmod(F.xxhash64(F.col(shard_col).cast("string")),
                    F.lit(n_shards)).cast("int")
     (

@@ -124,3 +124,19 @@ def test_scd_rejects_duplicate_batch_keys(spark):
     with _pytest.raises(ValueError, match="duplicate"):
         SCD.scd1_upsert(cur.drop("valid_from", "valid_to"), upd,
                         "k", ["bal", "seg"])
+
+
+def test_scd2_rejects_malformed_effective_ts(spark):
+    """A non-ANSI session silently casts an unparseable timestamp string
+    to NULL, which would close versions with valid_to = NULL and leave a
+    key with two open versions — the merge must fail loudly driver-side
+    instead, regardless of session ANSI mode."""
+    import pytest
+
+    cur = _dim(spark, [(1, "a", 1.0, "x", _T0, None)])
+    upd = _upd(spark, [(1, 2.0, "y")])
+    with pytest.raises(ValueError, match="effective_ts"):
+        SCD.scd2_upsert(cur, upd, "k", ["bal", "seg"],
+                        "not-a-timestamp")
+    with pytest.raises(ValueError, match="effective_ts"):
+        SCD.scd2_upsert(cur, upd, "k", ["bal", "seg"], None)

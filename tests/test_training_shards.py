@@ -52,3 +52,12 @@ def test_rejects_bad_shard_count(spark, tmp_path):
     docs = load_table(spark, "documents", SF)
     with pytest.raises(ValueError, match="n_shards"):
         write_training_shards(docs, str(tmp_path / "x"), "doc_id", 0)
+
+
+def test_rejects_append_mode(spark, tmp_path):
+    """Append would fold earlier exports into the re-read manifest and
+    write a second file per shard dir — the sink must refuse loudly."""
+    docs = load_table(spark, "documents", SF)
+    with pytest.raises(ValueError, match="overwrite"):
+        write_training_shards(docs, str(tmp_path / "x"), "doc_id", 2,
+                              mode="append")
