@@ -131,6 +131,27 @@ def _pil_image_features(payload: bytes) -> list[float]:
     return [int((c / total) * 1e6) / 1e6 for c in buckets]
 
 
+def _librosa_audio_features(payload: bytes) -> list[float]:
+    """Real audio decode (only reachable when librosa imports): load to a
+    mono waveform at native rate, mean-squared energy over N_FEATURES
+    equal time slices, normalized, truncated at 6 decimals — the same
+    output contract as the stub so swapping codecs never changes schema
+    or downstream plans."""
+    from io import BytesIO
+
+    import librosa
+    import numpy as np
+
+    y, _sr = librosa.load(BytesIO(payload), sr=None, mono=True)
+    y = np.asarray(y, dtype="float64")
+    if y.size == 0:
+        return [0.0] * N_FEATURES
+    splits = np.array_split(y * y, N_FEATURES)
+    buckets = [float(s.mean()) if s.size else 0.0 for s in splits]
+    total = sum(buckets) or 1.0
+    return [int((b / total) * 1e6) / 1e6 for b in buckets]
+
+
 def decode_asset(
     payload: bytes, kind: str, fake: bool | None = None
 ) -> list[float]:
@@ -145,9 +166,8 @@ def decode_asset(
     codec and raises ``NotImplementedError`` when it isn't installed —
     the honest error for callers that must not fall back silently."""
     # a kind is usable only when its library imports AND a decoder is
-    # wired for it — librosa being importable must not flip audio decode
-    # from "stub works" to "raises" (there is no audio decoder here yet)
-    wired = {"image": _pil_image_features}
+    # wired for it
+    wired = {"image": _pil_image_features, "audio": _librosa_audio_features}
     usable = {k: wired[k] for k in available_codecs() if k in wired}
     if fake is True or (fake is None and kind not in usable):
         return _fake_features(payload)

@@ -192,3 +192,37 @@ def test_auto_mode_never_crashes_on_null_or_corrupt_payload(spark):
         extract_features(
             df.filter("asset_id = 2"), fake=False, decoder=strict_decoder
         ).collect()
+
+
+def test_decode_auto_uses_audio_codec_when_importable(monkeypatch):
+    """With a librosa stand-in importable, auto mode must route audio
+    through the wired energy-histogram featureizer (same N_FEATURES /
+    truncate-at-6-decimals contract as the stub) instead of the byte
+    stub; fake=True still pins the stub."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from building_permissions_etl_spark.operators import multimodal as M
+
+    lib = types.ModuleType("librosa")
+    # 2*N_FEATURES samples, energy concentrated in the first half
+    wave = np.array([2.0] * M.N_FEATURES + [1.0] * M.N_FEATURES)
+    lib.load = lambda b, sr=None, mono=True: (wave, 16000)
+    monkeypatch.setitem(sys.modules, "librosa", lib)
+
+    assert M.available_codecs().get("audio") == "librosa"
+    got = M.decode_asset(b"pretend-wav-bytes", "audio")   # auto
+    assert len(got) == M.N_FEATURES
+    # squared energy 4 vs 1 per slice → first half buckets 3x the rest
+    hi, lo = got[0], got[-1]
+    assert hi > lo > 0
+    assert abs(hi / lo - 4.0) < 1e-5
+    assert sum(got) <= 1.0 + 1e-9                         # normalized
+    assert all(x == int(x * 1e6) / 1e6 for x in got)      # truncated
+    # pinned stub still bypasses the codec
+    assert M.decode_asset(b"pretend-wav-bytes", "audio", fake=True) != got
+    # empty waveform → zeros, not a crash
+    lib.load = lambda b, sr=None, mono=True: (np.array([]), 16000)
+    assert M.decode_asset(b"x", "audio") == [0.0] * M.N_FEATURES
