@@ -43,6 +43,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from building_permissions_etl_spark.functions.vectors import cosine, dot
 
@@ -381,6 +382,61 @@ def build_lsh_index(
     return indexed
 
 
+def write_lsh_index(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> None:
+    """Materialize the LSH index as a parquet table PARTITIONED BY
+    ``__bucket`` — the 100 TB layout the in-memory ``build_lsh_index``
+    stands in for. ``query_lsh`` over the read-back table prunes at
+    PLANNING time: its driver-enumerated ``isin`` probe list lands in
+    the scan's PartitionFilters, so only the ≤ C(n_planes, radius)
+    probed bucket directories are listed and read — the other
+    2^n_planes − probes buckets are never touched
+    (tests/test_plan_shape.py asserts the PartitionFilters)."""
+    planes = _hyperplanes(n_planes, dim, seed)
+    (
+        df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+        .withColumn("__n_planes", F.lit(n_planes))
+        .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    )
+
+
+def read_lsh_index(spark, path: str) -> DataFrame:
+    """Load a ``write_lsh_index`` table; drop-in for the in-memory index
+    in ``query_lsh`` (the ``__n_planes`` geometry stamp rides along)."""
+    return spark.read.parquet(path)
+
+
+def write_ivf_index_portable(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = PORTABLE_IVF_SEED,
+) -> list[list[float]]:
+    """Materialize the portable-IVF index as a parquet table PARTITIONED
+    BY ``__cell`` (the 100 TB layout). Returns the centroids — pass them
+    with the read-back table to ``query_ivf_portable``, whose ``isin``
+    cell probe then prunes to n_probe of n_cells partitions at planning
+    time instead of scanning the corpus."""
+    cents = _hyperplanes(n_cells, dim, seed)
+    scores = _centroid_scores(F.col(vec_col), cents)
+    (
+        df.withColumn(
+            "__cell",
+            (F.array_position(scores, F.array_max(scores)) - 1).cast("int"),
+        )
+        .write.mode("overwrite").partitionBy("__cell").parquet(path)
+    )
+    return cents
+
+
 def probe_buckets(bucket: int, n_planes: int, radius: int) -> list[int]:
     """All bucket ids within ``radius`` bit flips of ``bucket`` — the
     multi-probe set, enumerated driver-side (C(n_planes, ≤radius) ids,
@@ -615,4 +671,55 @@ def query_quantized(
         )
         .orderBy(F.desc("score"), F.col("id"))
         .limit(k)
+    )
+
+
+def topk_bruteforce_batch(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids: list[int],
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query ids in one corpus scan —
+    the shape offline retrieval jobs want (M queries against 100 TB of
+    embeddings must not scan the corpus M times).
+
+    The M query vectors are broadcast as a one-sided hash build; each
+    corpus row scores all M in place (M·dim fused multiply-adds inside
+    one whole-stage-codegen pipeline), and a per-query window keeps
+    rank ≤ k. Scores are rounded before ranking so the (query, score
+    desc, id asc) order is reproducible across engines; self-matches are
+    excluded. One corpus scan, one shuffle on query_id (M partitions of
+    ≤ corpus rows each — for corpus-scale M switch to the LSH/IVF index
+    paths instead).
+    """
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    if len(set(query_ids)) != len(query_ids):
+        raise ValueError("query_ids must be distinct")
+    queries = df.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    n_q = queries.count()   # bounded: ≤ len(query_ids) rows
+    if n_q != len(query_ids):
+        raise ValueError(
+            f"{len(query_ids) - n_q} of the query_ids are missing from the corpus"
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("id").asc()
+    )
+    return (
+        df.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col("query_id"),
+            F.col(id_col).alias("id"),
+            F.round(cosine(F.col(vec_col), F.col("__qv")), round_to).alias("score"),
+        )
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .drop("__rnk")
+        .orderBy("query_id", F.desc("score"), "id")
     )

@@ -147,3 +147,68 @@ def test_mixture_resample_keep_filter_is_mapside(spark):
     pre_agg_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     for keys in pre_agg_exchanges:
         assert "doc_id" not in keys, plan
+
+
+def test_lsh_index_table_probe_prunes_partitions(spark, tmp_path):
+    """An LSH index persisted as a __bucket-partitioned table must give
+    query_lsh's driver-enumerated isin probe PLANNING-time pruning: the
+    scan's PartitionFilters carry the probe IN-list, so only the probed
+    bucket directories are read — not the corpus. Results must equal the
+    in-memory index's exactly."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.operators.similarity import (
+        build_lsh_index,
+        query_lsh,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(emb, "embedding", path)
+    table = read_lsh_index(spark, path)
+
+    q = query_lsh(table, "embedding", "vec_id", query_id=3, k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*__bucket[^\]]*IN", plan)
+    assert m, plan
+
+    mem = build_lsh_index(emb, "embedding", "vec_id")
+    try:
+        expect = [tuple(r) for r in
+                  query_lsh(mem, "embedding", "vec_id", query_id=3, k=5).collect()]
+    finally:
+        mem.unpersist()
+    assert [tuple(r) for r in q.collect()] == expect
+
+
+def test_ivf_index_table_probe_prunes_partitions(spark, tmp_path):
+    """Same planning-time pruning contract for the portable-IVF layout:
+    the __cell-partitioned table's scan must show the n_probe IN-list in
+    PartitionFilters and match the in-memory index's results."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.operators.similarity import (
+        build_ivf_index_portable,
+        query_ivf_portable,
+        write_ivf_index_portable,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    path = str(tmp_path / "ivf_index")
+    cents = write_ivf_index_portable(emb, "embedding", path)
+    table = spark.read.parquet(path)
+
+    q = query_ivf_portable(table, cents, "embedding", "vec_id",
+                           query_id=3, k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*__cell[^\]]*IN", plan)
+    assert m, plan
+
+    mem, cents2 = build_ivf_index_portable(emb, "embedding")
+    try:
+        assert cents2 == cents
+        expect = [tuple(r) for r in query_ivf_portable(
+            mem, cents2, "embedding", "vec_id", query_id=3, k=5).collect()]
+    finally:
+        mem.unpersist()
+    assert [tuple(r) for r in q.collect()] == expect
