@@ -70,8 +70,23 @@ def synthesize(spark, n_copies: int, out: str) -> None:
         dbig = dbig.unionByName(docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * dshift)))
     dbig.repartition(16).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
+    # events duplicated with shifted user AND event ids: each copy is a
+    # fresh population of users with the same temporal shape, so the
+    # per-user windows (sessions, transitions) get N× the partitions
+    # while per-partition work stays constant — the realistic way a
+    # behavioral table grows
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    ushift = ev.agg(F.max("user_id")).first()[0] + 1
+    eshift = ev.agg(F.max("event_id")).first()[0] + 1
+    ebig = ev
+    for i in range(1, n_copies):
+        ebig = ebig.unionByName(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * ushift))
+              .withColumn("event_id", F.col("event_id") + F.lit(i * eshift)))
+    ebig.repartition(16).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
     for t in ["customer", "supplier", "nation", "region", "part",
-              "events", "embeddings"]:
+              "embeddings"]:
         shutil.copy(f"/root/testdata/sf0.1/{t}.parquet", f"{out}/{t}.parquet")
 
 
@@ -149,6 +164,33 @@ def main() -> None:
                  "customer_order_distribution", "last_shipper_per_order",
                  "volume_shipping"):
         timed(f"tpch:{name}", tq[name](spark, out))
+
+    # Continuation families (round-4 additions), the 5 slowest: session
+    # windows + transition matrix + VARIANT rollup ride the N× events
+    # table (N× users, same per-user depth → one window/agg shuffle that
+    # should scale ~linearly), cohort retention rides the N× orders.
+    from building_permissions_etl_spark.plans import (insight_queries,
+                                                      streaming_queries)
+
+    cq = {}
+    stage = lambda name, fn, sql: cq.__setitem__(name, fn)  # noqa: E731
+    insight_queries.contribute(stage)
+    streaming_queries.contribute(stage)
+    for name in ("native_session_window", "monthly_cohort_retention",
+                 "variant_props_rollup", "event_transition_matrix"):
+        timed(f"continuation:{name}", cq[name](spark, out))
+
+    # recursive_key_chain's work scales with the number of chain STARTS,
+    # not table bytes — probe 10× the key cap instead of 10× the rows
+    # (each chain is O(log key) deep, so 10× keys ⇒ ~10× total work).
+    from building_permissions_etl_spark.catalog import register_views
+    register_views(spark, out)
+    for cap in (512, 5120):
+        sql = insight_queries._RECURSIVE_CHAIN_SQL.replace("512", str(cap))
+        t0 = time.time()
+        spark.sql(sql).write.format("noop").mode("overwrite").save()
+        print(f"continuation:recursive_key_chain cap={cap}: "
+              f"{round(time.time() - t0, 2)} s")
 
     _planted_long_doc_repetition(spark)
     _planted_long_chain_components(spark)
