@@ -182,6 +182,11 @@ EXTENSION_HEADLINE = [
     "stream_scd1_upsert",
     "native_session_window",
     "stream_session_window",
+    "scd2_point_in_time_join",
+    "rolling_7d_order_stats",
+    "dedup_survivors_longest",
+    "ann_batch_topk",
+    "curriculum_top_half",
 ]
 
 

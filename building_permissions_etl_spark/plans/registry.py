@@ -124,6 +124,7 @@ def _populate() -> None:
         scd_queries,
         tpch_queries,
         training_queries,
+        round5_queries,
     )
 
     staged: dict[str, tuple] = {}
@@ -144,6 +145,7 @@ def _populate() -> None:
     training_queries.contribute(stage)
     insight_queries.contribute(stage)
     scd_queries.contribute(stage)
+    round5_queries.contribute(stage)
 
     # driver window first (KeyError here = window names drifted from the
     # contributors), then everything else in contribution order. Built

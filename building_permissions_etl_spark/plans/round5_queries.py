@@ -1,0 +1,270 @@
+"""Round-5 continuation queries: temporal dimension reads, interval-frame
+rolling windows, quality-policy dedup survivors, batched ANN, and the
+per-group curriculum cut.
+
+These extend the warehouse surface past the reference's static-dimension
+joins (reference dags/aggregates_python_helpers.py keeps one version per
+dim row): a fact table reading an SCD2 dimension needs a point-in-time
+join, corpus dedup wants a keep-the-best survivor policy rather than
+min-id, and offline retrieval scores many queries per corpus scan.
+Registered after the round-5 driver window — they take their driver
+verdicts in the next rotation; until then the tri-scale local sweep and
+pytest cover them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.operators import corpus as C
+from building_permissions_etl_spark.operators import dedup as D
+from building_permissions_etl_spark.operators import scd as SCD
+from building_permissions_etl_spark.operators import similarity as S
+from building_permissions_etl_spark.plans.extensions import _SHINGLES3, _cos
+
+
+def _customer_versions(spark, sf):
+    """Deterministic two-version SCD2 history synthesized from the
+    customer dim: version 1 runs from 1992-06-01 to a per-key split
+    date (custkey-dependent, spanning the fact date range), version 2
+    is open-ended with a marked segment. Pure column arithmetic — the
+    oracle rebuilds the identical history in SQL."""
+    cust = load_table(spark, "customer", sf)
+    split = F.expr(
+        "timestamp'1992-06-01' + make_dt_interval(cast(c_custkey % 1461 as int))"
+    )
+    base = F.lit("1992-06-01").cast("timestamp")
+    v1 = cust.select(
+        F.col("c_custkey").alias("o_custkey"),
+        base.alias("valid_from"),
+        split.alias("valid_to"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    v2 = cust.select(
+        F.col("c_custkey").alias("o_custkey"),
+        split.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.concat(F.lit("V2-"), F.col("c_mktsegment")).alias("segment"),
+    )
+    return v1.unionByName(v2)
+
+
+def contribute(register) -> None:
+    # ---- point-in-time SCD2 dimension read -----------------------------
+    # Each order picks the customer-segment version valid at its order
+    # date; orders before the key's first version surface as NULL segment
+    # (the left leg of the temporal join). One broadcast outer join.
+    def pit(spark, sf):
+        orders = load_table(spark, "orders", sf).select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        dim = _customer_versions(spark, sf)
+        joined = SCD.point_in_time_join(
+            orders, dim, key="o_custkey", ts_col="o_orderdate"
+        )
+        return (
+            joined.groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("segment")
+        )
+
+    register(
+        "scd2_point_in_time_join",
+        pit,
+        """
+        WITH dim AS (
+          SELECT c_custkey,
+                 TIMESTAMP '1992-06-01' AS valid_from,
+                 TIMESTAMP '1992-06-01'
+                   + to_days(CAST(c_custkey % 1461 AS INT)) AS valid_to,
+                 c_mktsegment AS segment
+          FROM customer
+          UNION ALL
+          SELECT c_custkey,
+                 TIMESTAMP '1992-06-01'
+                   + to_days(CAST(c_custkey % 1461 AS INT)),
+                 NULL, 'V2-' || c_mktsegment
+          FROM customer
+        )
+        SELECT d.segment, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o LEFT JOIN dim d
+          ON o.o_custkey = d.c_custkey
+         AND o.o_orderdate >= d.valid_from
+         AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    # ---- rolling 7-day interval-frame window ---------------------------
+    # Value-based RANGE frame (not ROWS): every order counts the orders
+    # its customer placed in the preceding 7 days inclusive. Ordering is
+    # the integer day number so the frame arithmetic is engine-exact;
+    # max() is order-insensitive, so no float-reassociation risk.
+    def rolling(spark, sf):
+        od = load_table(spark, "orders", sf)
+        day = F.unix_date(F.col("o_orderdate").cast("date"))
+        w = (
+            Window.partitionBy("o_custkey").orderBy(day)
+            .rangeBetween(-7, 0)
+        )
+        return od.select(
+            "o_orderkey",
+            F.count(F.lit(1)).over(w).alias("n_7d"),
+            F.round(F.max("o_totalprice").over(w), 2).alias("max_price_7d"),
+        ).orderBy("o_orderkey")
+
+    register(
+        "rolling_7d_order_stats",
+        rolling,
+        """
+        SELECT o_orderkey,
+               CAST(count(*) OVER w AS BIGINT) AS n_7d,
+               round(max(o_totalprice) OVER w, 2) AS max_price_7d
+        FROM orders
+        WINDOW w AS (
+          PARTITION BY o_custkey
+          ORDER BY date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE))
+          RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
+        )
+        ORDER BY o_orderkey
+        """,
+    )
+
+    # ---- quality-policy dedup survivors --------------------------------
+    # Same pair graph as dedup_cluster_survivors (auto pair-gen, same
+    # blocks) but the survivor is the LONGEST doc per cluster (tie → min
+    # id) — the keep-the-best policy real corpus dedup applies. The
+    # oracle reuses the recursive-closure clustering and picks per-label
+    # argmax by (n_chars desc, doc_id).
+    def survivors_longest(spark, sf):
+        docs = load_table(spark, "documents", sf).withColumn(
+            "block", F.concat_ws(
+                "_", F.coalesce("lang", F.lit("~null~")),
+                F.expr("n_chars div 50"))
+        )
+        pairs = D.ngram_jaccard_pairs_auto(
+            docs, "text", "doc_id", block_col="block", n=3, min_jaccard=0.05
+        )
+        surv = D.dedup_survivors_by(
+            docs, pairs, "doc_id", [F.col("n_chars").desc()]
+        )
+        return surv.select("doc_id").orderBy("doc_id")
+
+    register(
+        "dedup_survivors_longest",
+        survivors_longest,
+        f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, lang, n_chars // 50 AS lb, {_SHINGLES3} AS ng
+          FROM documents
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM t a JOIN t b
+            ON coalesce(a.lang, '~null~') = coalesce(b.lang, '~null~')
+           AND a.lb = b.lb AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+                / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)))
+                >= 0.05
+        ),
+        sym AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.src, s.d FROM reach r JOIN sym s ON r.dst = s.s
+        ),
+        labels AS (
+          SELECT src AS id, least(src, min(dst)) AS label
+          FROM reach GROUP BY src
+        ),
+        best AS (
+          SELECT id FROM (
+            SELECT l.id,
+                   row_number() OVER (PARTITION BY l.label
+                                      ORDER BY d.n_chars DESC, l.id) AS rn
+            FROM labels l JOIN documents d ON d.doc_id = l.id
+          ) WHERE rn = 1
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM labels)
+           OR doc_id IN (SELECT id FROM best)
+        ORDER BY doc_id
+        """,
+    )
+
+    # ---- batched exact ANN ---------------------------------------------
+    # Top-5 neighbors for eight query vectors in ONE corpus scan: the
+    # query build is broadcast, scores round before ranking on both
+    # engines, per-query window keeps rank <= k.
+    _QIDS = list(range(8))
+
+    def batch_topk(spark, sf):
+        emb = load_table(spark, "embeddings", sf)
+        return S.topk_bruteforce_batch(
+            emb, "embedding", "vec_id", _QIDS, k=5
+        )
+
+    _in = ", ".join(str(q) for q in _QIDS)
+    register(
+        "ann_batch_topk",
+        batch_topk,
+        f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id IN ({_in})
+        ), scored AS (
+          SELECT q.query_id, e.vec_id AS id,
+                 round({_cos('e.embedding', 'q.qv')}, 6) AS score
+          FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, id, score FROM (
+          SELECT query_id, id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, id) AS rn
+          FROM scored
+        ) WHERE rn <= 5
+        ORDER BY query_id, score DESC, id
+        """,
+    )
+
+    # ---- per-group curriculum cut --------------------------------------
+    # Keep the longest half of each language (rank-based membership:
+    # row_number under (n_chars desc, doc_id) <= ceil(n/2)), report the
+    # per-language census of the kept set.
+    def curriculum(spark, sf):
+        docs = load_table(spark, "documents", sf)
+        kept = C.top_fraction_per_group(
+            docs, "lang", [F.col("n_chars").desc()], "doc_id", 0.5
+        )
+        return (
+            kept.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.min("n_chars").cast("bigint").alias("min_chars"),
+            )
+            .orderBy("lang")
+        )
+
+    register(
+        "curriculum_top_half",
+        curriculum,
+        """
+        WITH r AS (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(min(n_chars) AS BIGINT) AS min_chars
+        FROM r WHERE rn <= ceil(n * 0.5)
+        GROUP BY 1 ORDER BY 1
+        """,
+    )

@@ -21,6 +21,7 @@ MODULES = [
     ("training_queries", "Training-data curation: splits, mixing, Gopher rules, int8 ANN"),
     ("insight_queries", "Behavioral analytics: grouping sets, stats/regression, funnel, cohort, gap-fill"),
     ("scd_queries", "Dimension maintenance: SCD1 overwrite and SCD2 versioned merge"),
+    ("round5_queries", "Temporal PIT join, interval-frame windows, quality survivors, batched ANN, curriculum cut"),
 ]
 
 
