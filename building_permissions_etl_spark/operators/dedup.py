@@ -560,44 +560,62 @@ def ngram_jaccard_pairs_inverted(
     ``max_df`` drops shingles occurring in more than ``max_df`` documents
     of a block BEFORE pairing. The hot set is found with a partial-agg
     groupBy (shuffle carries (block, shingle, count) — bytes per shingle)
-    and removed with a broadcast anti-join, so hot postings are never
-    shuffled at all — a window-count formulation would funnel every hot
-    shingle's postings through one partition first, which is exactly the
-    skew this operator exists to avoid. With a cutoff the semantics are
-    exact Jaccard over the df-filtered shingle universe (a shingle in
+    and removed from the shingle ARRAYS with a broadcast
+    ``array_except`` before the explode, so hot postings never exist at
+    all — a window-count formulation would funnel every hot shingle's
+    postings through one partition first, which is exactly the skew this
+    operator exists to avoid. With a cutoff the semantics are exact
+    Jaccard over the df-filtered shingle universe (a shingle in
     thousands of documents is boilerplate, not signal); with
     ``max_df=None`` results are identical to ``ngram_jaccard_pairs``
     whenever ``min_jaccard > 0`` (pairs sharing zero shingles are the
     only delta, and both variants filter them out).
+
+    Plan shape (re-profiled round 5): each posting carries its doc's
+    post-filter set size, so |A| and |B| ride THROUGH the pair join and
+    come out of the same aggregate as |A∩B| (``min`` over a constant) —
+    the former separate per-doc size aggregate re-expanded the whole
+    shingle subtree twice more and added two joins onto the pair table.
+    One explode feeds the hot-set count; one explode feeds the pair
+    join, whose two sides are plan-identical (ReusedExchange, one
+    shuffle computed).
     """
     sets = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
         word_shingles(F.col(text_col), n).alias("ng"),
     )
-    postings = sets.select("id", "block", F.explode("ng").alias("sh"))
     if max_df:
-        hot = (
-            postings.groupBy("block", "sh")
+        hot_lists = (
+            sets.select("id", "block", F.explode("ng").alias("sh"))
+            .groupBy("block", "sh")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") > max_df)
-            .drop("__df")
+            .groupBy("block")
+            .agg(F.collect_list("sh").alias("__hot"))
         )
-        postings = postings.join(F.broadcast(hot), ["block", "sh"], "left_anti")
-    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        sets = sets.join(F.broadcast(hot_lists), "block", "left").select(
+            "id", "block",
+            F.when(F.col("__hot").isNull(), F.col("ng"))
+            .otherwise(F.array_except("ng", "__hot")).alias("ng"),
+        )
+    postings = sets.select(
+        "id", "block", F.size("ng").alias("sz"), F.explode("ng").alias("sh")
+    )
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
         a.join(b, (F.col("a.block") == F.col("b.block"))
                & (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__i"))
+        .agg(
+            F.count(F.lit(1)).alias("__i"),
+            F.min("a.sz").alias("__sza"),
+            F.min("b.sz").alias("__szb"),
+        )
     )
-    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"))
-    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"))
     return (
-        inter.join(sz_a, "id_a").join(sz_b, "id_b")
-        .select(
+        inter.select(
             "id_a", "id_b",
             (F.col("__i").cast("double")
              / (F.col("__sza") + F.col("__szb") - F.col("__i")).cast("double")
