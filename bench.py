@@ -187,6 +187,8 @@ EXTENSION_HEADLINE = [
     "dedup_survivors_longest",
     "ann_batch_topk",
     "curriculum_top_half",
+    "paragraph_dedup_reassembly",
+    "quality_funnel_report",
 ]
 
 

@@ -597,3 +597,62 @@ def top_fraction_per_group(
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(float(fraction))))
         .drop("__rn", "__n")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int = 16,
+) -> DataFrame:
+    """Paragraph-level exact dedup across the corpus (the C4/Dolma rule:
+    repeated boilerplate paragraphs are removed everywhere but their
+    first occurrence, and documents are REASSEMBLED from their surviving
+    paragraphs in original order).
+
+    Paragraph unit = the fixed-budget token chunks of
+    ``chunk_documents`` (a real pipeline splits on newlines; the unit is
+    a parameter of the chunker, not of this rule). First occurrence is
+    ordered by (doc_id, chunk_idx) — deterministic across runs and
+    partitionings. Returns (id, n_paragraphs, n_kept, clean_text); a
+    fully-deduplicated document survives with n_kept = 0 and empty text
+    (it still exists — dropping is the caller's thresholding decision).
+
+    Scale shape: the first-occurrence window shuffles on
+    (xxhash64(paragraph), paragraph) — 8-byte partitioning key, the text
+    rides only inside its own bucket (same discipline as
+    ``dedup_exact``); reassembly is one groupBy on the doc id with an
+    in-group sort. No self-joins, nothing quadratic.
+    """
+    chunks = chunk_documents(df, text_col, id_col, budget)
+    w = Window.partitionBy(
+        F.xxhash64("chunk_text"), F.col("chunk_text")
+    ).orderBy(id_col, "chunk_idx")
+    kept = (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paragraphs")
+    )
+    reasm = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("__clean"),
+    )
+    return (
+        totals.join(reasm, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_paragraphs"),
+            F.coalesce("__n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("__clean", F.lit("")).alias("clean_text"),
+        )
+    )

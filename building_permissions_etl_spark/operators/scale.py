@@ -45,6 +45,13 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         n_files = 0
     if n_files >= target:
         return df
-    if n_files == 0 and df.rdd.getNumPartitions() >= target:
-        return df
+    if n_files == 0:
+        try:
+            # JVM-side internal RDD: physical planning only — skips the
+            # Python-serializer conversion layer df.rdd would stack on
+            n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+        except Exception:
+            n_parts = df.rdd.getNumPartitions()
+        if n_parts >= target:
+            return df
     return df.repartition(target)

@@ -268,3 +268,101 @@ def contribute(register) -> None:
         GROUP BY 1 ORDER BY 1
         """,
     )
+
+    # ---- paragraph-level corpus dedup + reassembly ---------------------
+    # C4/Dolma boilerplate rule over 16-token paragraph units: repeated
+    # paragraphs keep only their first (doc_id, chunk_idx) occurrence;
+    # documents reassemble from survivors in original order.
+    def para_dedup(spark, sf):
+        docs = load_table(spark, "documents", sf)
+        return C.paragraph_dedup(docs, "text", "doc_id", budget=16) \
+            .orderBy("doc_id")
+
+    from building_permissions_etl_spark.plans.extensions import _TOKS
+
+    register(
+        "paragraph_dedup_reassembly",
+        para_dedup,
+        f"""
+        WITH c AS (
+          SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+                 array_to_string(t[(i - 1) * 16 + 1 : (i - 1) * 16 + 16], ' ')
+                   AS chunk_text
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+               unnest(range(1, CAST(ceil(len(t) / 16.0) AS BIGINT) + 1)) AS u(i)
+          WHERE len(t) > 0
+        ), kept AS (
+          SELECT doc_id, chunk_idx, chunk_text FROM (
+            SELECT c.*, row_number() OVER (PARTITION BY chunk_text
+                                           ORDER BY doc_id, chunk_idx) AS rn
+            FROM c
+          ) WHERE rn = 1
+        ), reasm AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                 string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+          FROM kept GROUP BY 1
+        )
+        SELECT t.doc_id, t.n_paragraphs,
+               coalesce(r.n_kept, 0) AS n_kept,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs
+              FROM c GROUP BY 1) t
+        LEFT JOIN reasm r USING (doc_id)
+        ORDER BY doc_id
+        """,
+    )
+
+    # ---- quality-filter funnel report ----------------------------------
+    # The attrition report every curation pipeline prints: marginal pass
+    # counts per Gopher rule plus the sequential survivor counts, in ONE
+    # aggregate pass over the staged rule flags.
+    def funnel(spark, sf):
+        from building_permissions_etl_spark.operators import textstats as T
+
+        g = T.gopher_rules(load_table(spark, "documents", sf),
+                           "text", "doc_id")
+        b = lambda c: F.coalesce(F.col(c), F.lit(False)).cast("int")  # noqa: E731
+        return g.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(b("rule_words")).alias("pass_words"),
+            F.sum(b("rule_word_len")).alias("pass_word_len"),
+            F.sum(b("rule_stopwords")).alias("pass_stopwords"),
+            F.sum(b("rule_words") * b("rule_word_len")).alias("after_words_len"),
+            F.sum(b("keep")).alias("n_kept"),
+        )
+
+    register(
+        "quality_funnel_report",
+        funnel,
+        f"""
+        WITH g AS (
+          SELECT (word_count BETWEEN 30 AND 90) AS rule_words,
+                 (mean_word_len BETWEEN 3.5 AND 5.0) AS rule_word_len,
+                 (stop_hits >= 2) AS rule_stopwords
+          FROM (
+            SELECT CAST(len(t) AS INT) AS word_count,
+                   round(list_sum(list_transform(t,
+                         x -> CAST(len(x) AS DOUBLE)))
+                         / greatest(len(t), 1), 4) AS mean_word_len,
+                   CAST(len(list_filter(t, x -> x IN ('a', 'the'))) AS INT)
+                     AS stop_hits
+            FROM (SELECT {_TOKS} AS t FROM documents)
+          )
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(coalesce(rule_words, FALSE) AS INT)) AS BIGINT)
+                 AS pass_words,
+               CAST(sum(CAST(coalesce(rule_word_len, FALSE) AS INT)) AS BIGINT)
+                 AS pass_word_len,
+               CAST(sum(CAST(coalesce(rule_stopwords, FALSE) AS INT)) AS BIGINT)
+                 AS pass_stopwords,
+               CAST(sum(CAST(coalesce(rule_words, FALSE) AS INT)
+                        * CAST(coalesce(rule_word_len, FALSE) AS INT))
+                    AS BIGINT) AS after_words_len,
+               CAST(sum(CAST((coalesce(rule_words, FALSE)
+                              AND coalesce(rule_word_len, FALSE)
+                              AND coalesce(rule_stopwords, FALSE)) AS INT))
+                    AS BIGINT) AS n_kept
+        FROM g
+        """,
+    )

@@ -124,3 +124,40 @@ def test_batch_topk_validation_and_shape(spark):
         topk_bruteforce_batch(emb, "embedding", "vec_id", [1, 1], k=3)
     with pytest.raises(ValueError, match="missing"):
         topk_bruteforce_batch(emb, "embedding", "vec_id", [0, 10**9], k=3)
+
+
+def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
+    from building_permissions_etl_spark.operators.corpus import paragraph_dedup
+
+    # budget=2 → paragraphs are 2-token chunks; doc 2 repeats doc 1's
+    # first paragraph, doc 3 is entirely doc 1's content
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),          # chunks: "aa bb", "cc dd"
+            (2, "aa bb ee ff"),          # "aa bb" dupes doc 1 → dropped
+            (3, "cc dd"),                # fully duplicated → empty
+            (4, ""),                     # empty doc → no chunks → absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_paragraphs"], r["n_kept"], r["clean_text"])
+           for r in paragraph_dedup(df, "text", "doc_id", budget=2).collect()}
+    assert got == {
+        1: (2, 2, "aa bb cc dd"),
+        2: (2, 1, "ee ff"),
+        3: (1, 0, ""),
+    }
+
+
+def test_paragraph_dedup_preserves_order_within_doc(spark):
+    from building_permissions_etl_spark.operators.corpus import paragraph_dedup
+
+    # doc 10's middle paragraph is a dup of doc 9; survivors must stay
+    # in original order, not sorted by text
+    df = spark.createDataFrame(
+        [(9, "zz yy"), (10, "bb aa zz yy cc dd")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clean_text"]
+           for r in paragraph_dedup(df, "text", "doc_id", budget=2).collect()}
+    assert got == {9: "zz yy", 10: "bb aa cc dd"}
