@@ -189,6 +189,7 @@ EXTENSION_HEADLINE = [
     "curriculum_top_half",
     "paragraph_dedup_reassembly",
     "quality_funnel_report",
+    "asset_dedup_by_content",
 ]
 
 

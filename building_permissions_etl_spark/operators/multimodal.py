@@ -27,6 +27,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from building_permissions_etl_spark.operators.scale import fan_out
 from pyspark.sql.types import (
@@ -336,3 +337,28 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 64,
         StructField("frame_bytes", BinaryType(), True),
     ])
     return fan_out(assets).mapInPandas(batches, schema=schema)
+
+
+def dedup_assets_exact(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Exact content dedup over a binary asset column: keep the
+    lowest-id asset per identical payload — how image/audio corpora
+    dedup at scale (hash the bytes, never decode).
+
+    Shuffle discipline: the window partitions on
+    (xxhash64(payload), md5(payload)) — two fixed-width keys, so the
+    exchange never compares multi-MB payloads and a 64+128-bit combined
+    collision is negligible. Payload bytes ride only inside their own
+    hash bucket. NULL payloads form their own group (kept once).
+    """
+    w = Window.partitionBy(
+        F.xxhash64(F.col(payload_col)), F.md5(F.col(payload_col))
+    ).orderBy(F.col(id_col))
+    return (
+        assets.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

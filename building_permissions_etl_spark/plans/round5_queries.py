@@ -312,6 +312,56 @@ def contribute(register) -> None:
         """,
     )
 
+    # ---- binary-asset content dedup ------------------------------------
+    # Image/audio corpora dedup by CONTENT HASH of the bytes, never by
+    # decoding: survivors = lowest asset_id per identical payload, the
+    # window keyed on (xxhash64, md5) so the exchange stays fixed-width.
+    # The oracle hashes the text the synthetic payload encodes (md5 over
+    # a VARCHAR hashes its utf-8 bytes — the same bytes).
+    def asset_dedup(spark, sf):
+        from building_permissions_etl_spark.operators import multimodal as M
+
+        assets = M.assets_from_documents(load_table(spark, "documents", sf))
+        totals = assets.groupBy("kind").agg(
+            F.count(F.lit(1)).alias("n_assets"))
+        surv = (
+            M.dedup_assets_exact(assets).groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n_survivors"))
+        )
+        return (
+            totals.join(surv, "kind", "left")
+            .select(
+                "kind", "n_assets",
+                F.coalesce("n_survivors", F.lit(0)).alias("n_survivors"),
+            )
+            .orderBy("kind")
+        )
+
+    register(
+        "asset_dedup_by_content",
+        asset_dedup,
+        """
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 md5(text) AS h
+          FROM documents
+        ), s AS (
+          SELECT kind, CAST(count(*) AS BIGINT) AS n_survivors FROM (
+            SELECT kind,
+                   row_number() OVER (PARTITION BY h ORDER BY asset_id) AS rn
+            FROM a
+          ) WHERE rn = 1 GROUP BY 1
+        )
+        SELECT t.kind, t.n_assets, coalesce(s.n_survivors, 0) AS n_survivors
+        FROM (SELECT kind, CAST(count(*) AS BIGINT) AS n_assets
+              FROM a GROUP BY 1) t
+        LEFT JOIN s ON s.kind = t.kind
+        ORDER BY t.kind
+        """,
+    )
+
     # ---- quality-filter funnel report ----------------------------------
     # The attrition report every curation pipeline prints: marginal pass
     # counts per Gopher rule plus the sequential survivor counts, in ONE

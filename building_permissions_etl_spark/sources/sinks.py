@@ -280,3 +280,45 @@ def write_training_shards(
         )
         .orderBy("shard")
     )
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Export a curated corpus as hash-sharded JSON-Lines — the other
+    interchange format training loaders consume (one JSON object per
+    line, fixed shard count, stable membership).
+
+    Same deterministic sharding contract as ``write_training_shards``
+    (``pmod(xxhash64(shard_col), n_shards)``; membership survives
+    retries, cluster sizes, and AQE re-planning), but the payload is a
+    single JSON-encoded text column written through the text sink, so
+    any JSONL consumer can stream it without parquet tooling. The JSON
+    encoding (``to_json`` of the row struct) happens JVM-side inside
+    codegen — no Python in the path.
+
+    Returns the manifest (shard, n_rows) re-read from the output.
+    Overwrite-only, like the parquet shard sink and for the same
+    reason: the manifest is computed from the written path.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.pmod(F.xxhash64(F.col(shard_col).cast("string")),
+                   F.lit(n_shards)).cast("int")
+    (
+        df.select(F.to_json(F.struct(*df.columns)).alias("value"),
+                  shard.alias("__shard"))
+        .repartition(n_shards, "__shard")
+        .write.mode("overwrite")
+        .partitionBy("__shard")
+        .text(path)
+    )
+    return (
+        df.sparkSession.read.text(path)   # partition discovery adds __shard
+        .groupBy(F.col("__shard").cast("int").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("shard")
+    )

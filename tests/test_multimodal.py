@@ -226,3 +226,19 @@ def test_decode_auto_uses_audio_codec_when_importable(monkeypatch):
     # empty waveform → zeros, not a crash
     lib.load = lambda b, sr=None, mono=True: (np.array([]), 16000)
     assert M.decode_asset(b"x", "audio") == [0.0] * M.N_FEATURES
+
+
+def test_dedup_assets_exact_by_content(spark):
+    from building_permissions_etl_spark.operators.multimodal import (
+        dedup_assets_exact,
+    )
+
+    rows = [
+        (1, bytearray(b"aaa")), (2, bytearray(b"bbb")),
+        (3, bytearray(b"aaa")),                     # dup of 1
+        (4, None), (5, None),                       # NULL payload group
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    surv = sorted(r["asset_id"]
+                  for r in dedup_assets_exact(df).collect())
+    assert surv == [1, 2, 4]

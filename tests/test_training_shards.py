@@ -61,3 +61,30 @@ def test_rejects_append_mode(spark, tmp_path):
     with pytest.raises(ValueError, match="overwrite"):
         write_training_shards(docs, str(tmp_path / "x"), "doc_id", 2,
                               mode="append")
+
+
+def test_jsonl_shards_roundtrip_and_manifest(spark, tmp_path):
+    """JSONL export: stable hash sharding, valid JSON lines that
+    round-trip through spark.read.json, manifest counts match."""
+    from pyspark.sql import functions as F
+
+    from building_permissions_etl_spark.sources.sinks import write_jsonl_shards
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text", "lang")
+    out = str(tmp_path / "jsonl")
+    m = {r["shard"]: r["n_rows"]
+         for r in write_jsonl_shards(docs, out, "doc_id", 4).collect()}
+    assert sum(m.values()) == docs.count()
+    assert set(m) <= set(range(4))
+    # every line parses back to the original rows
+    back = spark.read.json(out + "/__shard=*")
+    assert back.count() == docs.count()
+    orig = {r["doc_id"]: (r["text"], r["lang"]) for r in docs.collect()}
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
+    assert got == orig
+    # deterministic membership across re-export
+    m2 = {r["shard"]: r["n_rows"]
+          for r in write_jsonl_shards(docs, out, "doc_id", 4).collect()}
+    assert m2 == m
+    with pytest.raises(ValueError, match="n_shards"):
+        write_jsonl_shards(docs, str(tmp_path / "x"), "doc_id", 0)
