@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.catalog import load_table, register_views
 from building_permissions_etl_spark.operators import corpus as C
 from building_permissions_etl_spark.operators import dedup as D
 from building_permissions_etl_spark.operators import scd as SCD
@@ -416,3 +416,30 @@ def contribute(register) -> None:
         FROM g
         """,
     )
+
+    _contribute_lateral(register)
+
+
+# Shared SQL (identical text on both engines, like the recursive CTE):
+# correlated LATERAL subquery with ORDER BY + LIMIT — per-nation top-2
+# customers. Spark decorrelates the lateral limit into a ranked window
+# over one customer scan (no nested-loop re-execution per outer row);
+# DuckDB executes the same text natively, so the decorrelation itself is
+# value-checked.
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+def _contribute_lateral(register) -> None:
+    def lateral_q(spark, sf):
+        register_views(spark, sf)
+        return spark.sql(_LATERAL_SQL)
+
+    register("lateral_top2_per_nation", lateral_q, _LATERAL_SQL)
