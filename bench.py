@@ -190,6 +190,7 @@ EXTENSION_HEADLINE = [
     "paragraph_dedup_reassembly",
     "quality_funnel_report",
     "asset_dedup_by_content",
+    "lateral_top2_per_nation",
 ]
 
 
