@@ -191,6 +191,8 @@ EXTENSION_HEADLINE = [
     "quality_funnel_report",
     "asset_dedup_by_content",
     "lateral_top2_per_nation",
+    "changelog_snapshot",
+    "not_in_null_aware",
 ]
 
 

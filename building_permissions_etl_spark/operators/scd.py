@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _any_tracked_differs(tracked: Sequence[str]) -> Column:
@@ -249,4 +250,33 @@ def point_in_time_join(
         facts.alias("f")
         .join(F.broadcast(dim_versions.alias("d")), on=cond, how=how)
         .select("f.*", *[F.col(f"d.{c}").alias(c) for c in dim_cols])
+    )
+
+
+def compact_changelog(
+    log: DataFrame,
+    key: str,
+    ts_col: str,
+    op_col: str = "op",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Compact a CDC changelog (I/U/D rows) to the latest snapshot: one
+    row per key carrying its most recent non-delete payload; a key whose
+    latest op is a delete is a tombstone and drops out — the batch
+    compaction every changelog-fed table (Debezium/Kafka → warehouse)
+    runs.
+
+    Latest = max ``ts_col`` per key, ties broken by ``tiebreak`` columns
+    descending (pass the changelog's sequence/offset column to make
+    compaction deterministic when one timestamp carries several ops).
+    One window shuffle on the key; nothing else. At 100 TB this is the
+    standard pattern in front of a MERGE: compact the log first so the
+    merge sees one row per key.
+    """
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+        .drop("__rn", op_col)
     )

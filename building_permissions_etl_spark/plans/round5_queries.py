@@ -417,7 +417,49 @@ def contribute(register) -> None:
         """,
     )
 
+    # ---- CDC changelog compaction --------------------------------------
+    # A deterministic I/U/D changelog synthesized from orders (op and
+    # sequence derived from the key; several ops per key), compacted to
+    # the latest non-delete snapshot. The oracle replays the same
+    # last-writer-wins window.
+    def changelog(spark, sf):
+        od = load_table(spark, "orders", sf)
+        log = od.select(
+            (F.col("o_orderkey") % 1000).alias("k"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderkey").alias("seq"),
+            F.when(F.col("o_orderkey") % 17 == 0, "D")
+            .when(F.col("o_orderkey") % 3 == 0, "U")
+            .otherwise("I").alias("op"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        snap = SCD.compact_changelog(log, "k", "ts", "op", tiebreak=["seq"])
+        return snap.orderBy("k")
+
+    register(
+        "changelog_snapshot",
+        changelog,
+        """
+        WITH log AS (
+          SELECT o_orderkey % 1000 AS k, o_orderdate AS ts,
+                 o_orderkey AS seq,
+                 CASE WHEN o_orderkey % 17 = 0 THEN 'D'
+                      WHEN o_orderkey % 3 = 0 THEN 'U'
+                      ELSE 'I' END AS op,
+                 o_orderstatus AS status
+          FROM orders
+        )
+        SELECT k, ts, seq, status FROM (
+          SELECT log.*, row_number() OVER (PARTITION BY k
+                                           ORDER BY ts DESC, seq DESC) AS rn
+          FROM log
+        ) WHERE rn = 1 AND op <> 'D'
+        ORDER BY k
+        """,
+    )
+
     _contribute_lateral(register)
+    _contribute_null_aware(register)
 
 
 # Shared SQL (identical text on both engines, like the recursive CTE):
@@ -443,3 +485,33 @@ def _contribute_lateral(register) -> None:
         return spark.sql(_LATERAL_SQL)
 
     register("lateral_top2_per_nation", lateral_q, _LATERAL_SQL)
+
+
+# Shared SQL: ANSI NOT IN over a subquery CONTAINING NULLs — the
+# null-aware anti-join. A NULL in the IN-list makes `x NOT IN (...)`
+# NULL (never true) for every non-matching x, so only rows matching
+# nothing AND a null-free list survive; engines that compile this to a
+# plain anti join silently return extra rows. Spark plans a
+# NullAwareAntiJoin / broadcast null-aware anti; DuckDB executes the
+# same text with ANSI semantics — the hash compare proves the
+# three-valued logic end to end. The negative-balance customers supply
+# the NULLs only for odd nations, so both branches are exercised.
+_NULL_AWARE_SQL = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders o
+WHERE o.o_custkey NOT IN (
+  SELECT CASE WHEN c.c_acctbal < 0 AND c.c_nationkey % 2 = 1 THEN NULL
+              ELSE c.c_custkey END
+  FROM customer c
+  WHERE c.c_nationkey = 3
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _contribute_null_aware(register) -> None:
+    def null_aware(spark, sf):
+        register_views(spark, sf)
+        return spark.sql(_NULL_AWARE_SQL)
+
+    register("not_in_null_aware", null_aware, _NULL_AWARE_SQL)

@@ -140,3 +140,28 @@ def test_scd2_rejects_malformed_effective_ts(spark):
                         "not-a-timestamp")
     with pytest.raises(ValueError, match="effective_ts"):
         SCD.scd2_upsert(cur, upd, "k", ["bal", "seg"], None)
+
+
+def test_compact_changelog_last_writer_wins_and_tombstones(spark):
+    _T = datetime.datetime
+    rows = [
+        # key 1: I then U → latest U wins
+        (1, _T(2020, 1, 1), 1, "I", "a"),
+        (1, _T(2020, 1, 2), 2, "U", "b"),
+        # key 2: latest op is a delete → tombstoned out
+        (2, _T(2020, 1, 1), 3, "I", "x"),
+        (2, _T(2020, 1, 5), 4, "D", None),
+        # key 3: same-ts ops → seq tiebreak picks the higher
+        (3, _T(2020, 1, 1), 5, "I", "p"),
+        (3, _T(2020, 1, 1), 6, "U", "q"),
+        # key 4: deleted then re-inserted later → alive
+        (4, _T(2020, 1, 1), 7, "D", None),
+        (4, _T(2020, 1, 2), 8, "I", "z"),
+    ]
+    log = spark.createDataFrame(
+        rows, "k long, ts timestamp, seq long, op string, payload string"
+    )
+    got = {r["k"]: (r["seq"], r["payload"])
+           for r in SCD.compact_changelog(log, "k", "ts", "op",
+                                          tiebreak=["seq"]).collect()}
+    assert got == {1: (2, "b"), 3: (6, "q"), 4: (8, "z")}
