@@ -193,6 +193,7 @@ EXTENSION_HEADLINE = [
     "lateral_top2_per_nation",
     "changelog_snapshot",
     "not_in_null_aware",
+    "incremental_agg_merge",
 ]
 
 

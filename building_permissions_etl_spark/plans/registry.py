@@ -25,9 +25,16 @@ the per-query verdict history of CORRECTNESS_r01-r04:
   3. five of the queries whose evidence is oldest (green r01+r02 only,
      never re-verified since) — the remaining five rotate into round 6.
 
-With this window, r01∪…∪r05 gives EVERY oracle-backed registry query at
-least one driver verdict (approx_count_distinct_dates stays the single
-documented rows-only entry). Local tri-scale parity
+With this window, r01∪…∪r05 gives EVERY oracle-backed registry query
+REGISTERED BEFORE ROUND 5 at least one driver verdict
+(approx_count_distinct_dates stays the single documented rows-only
+entry). The queries added during round 5 (`plans/round5_queries.py`:
+temporal PIT join, rolling RANGE frame, quality-policy survivors,
+batched ANN, curriculum cut, paragraph dedup, quality funnel, asset
+content dedup, shared-SQL LATERAL / null-aware NOT IN, changelog
+compaction, incremental agg merge) registered after this window was
+pinned — they are the front of the round-6 rotation, together with the
+five remaining oldest (r01+r02-only) entries. Local tri-scale parity
 (scripts/oracle_check.py at sf0.001/0.01/0.1) covers ALL queries every
 round regardless of window.
 """

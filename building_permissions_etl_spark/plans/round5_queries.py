@@ -458,6 +458,44 @@ def contribute(register) -> None:
         """,
     )
 
+    # ---- incremental aggregate maintenance -----------------------------
+    # The additive-agg refresh pattern: yesterday's aggregate table plus
+    # today's delta re-aggregate to the same result as a full recompute
+    # (counts and integer-cent sums compose; the oracle IS the full
+    # recompute, so the algebra itself is value-checked). At 100 TB the
+    # base is the stored agg table — only the delta is scanned.
+    def incr_agg(spark, sf):
+        od = load_table(spark, "orders", sf)
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        cut = F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+
+        def agg(frame):
+            return frame.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).alias("sum_cents"),
+            )
+
+        base, delta = agg(od.filter(cut)), agg(od.filter(~cut))
+        return (
+            base.unionByName(delta)
+            .groupBy("o_orderstatus")
+            .agg(F.sum("n_orders").alias("n_orders"),
+                 F.sum("sum_cents").alias("sum_cents"))
+            .orderBy("o_orderstatus")
+        )
+
+    register(
+        "incremental_agg_merge",
+        incr_agg,
+        """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders GROUP BY 1 ORDER BY 1
+        """,
+    )
+
     _contribute_lateral(register)
     _contribute_null_aware(register)
 
