@@ -439,3 +439,33 @@ def test_ngram_auto_engages_inverted_on_oversized_block(spark):
         df, "text", "doc_id", "block", switch_block_size=100
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "Generate" not in quad_plan
+
+
+def test_checkpoint_deferred_release_frees_on_next_call(spark):
+    """When the loop exhausts max_iters exactly on a checkpoint round,
+    the returned labels ARE the checkpoint — its blocks must survive
+    until the caller has consumed them, then be freed by the NEXT
+    iterative-operator call (the stale-release registry)."""
+    from building_permissions_etl_spark.operators.dedup import (
+        _STALE_CHECKPOINT_RELEASES,
+        connected_components,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    # 40-node chain, max_iters=5: round 5 is a checkpoint round and the
+    # chain has not converged -> loop exhausts with labels = checkpoint
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    labels = connected_components(edges, max_iters=5)
+    assert len(_STALE_CHECKPOINT_RELEASES) == 1   # deferred, not leaked
+    labels.collect()                              # caller consumes
+    labels.unpersist()
+
+    before = jsc.getPersistentRDDs().size()
+    # next call releases the stale checkpoint before doing its own work
+    small = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    l2 = connected_components(small, max_iters=5)
+    assert not _STALE_CHECKPOINT_RELEASES
+    assert jsc.getPersistentRDDs().size() <= before + 1
+    l2.unpersist()
