@@ -101,8 +101,8 @@ def _fake_features(payload: bytes) -> list[float]:
 
 def available_codecs() -> dict[str, str]:
     """Which real media decoders this interpreter can load: import-probe
-    for PIL (images) and librosa (audio). Bounded driver/executor-side
-    check, no side effects beyond the imports."""
+    for PIL (images), librosa (audio), and av/PyAV (video). Bounded
+    driver/executor-side check, no side effects beyond the imports."""
     codecs: dict[str, str] = {}
     try:
         import PIL.Image  # noqa: F401
@@ -112,6 +112,11 @@ def available_codecs() -> dict[str, str]:
     try:
         import librosa  # noqa: F401
         codecs["audio"] = "librosa"
+    except ImportError:
+        pass
+    try:
+        import av  # noqa: F401
+        codecs["video"] = "av"
     except ImportError:
         pass
     return codecs
@@ -153,6 +158,30 @@ def _librosa_audio_features(payload: bytes) -> list[float]:
     return [int((b / total) * 1e6) / 1e6 for b in buckets]
 
 
+def _av_video_features(payload: bytes) -> list[float]:
+    """Real video decode (only reachable when PyAV imports): sample up
+    to N_FEATURES frames evenly across the stream, mean luma per sampled
+    frame, normalized, truncated at 6 decimals — the same output
+    contract as the stub/image/audio featureizers, so the codec swap
+    never changes schema or downstream plans."""
+    from io import BytesIO
+
+    import av
+    import numpy as np
+
+    with av.open(BytesIO(payload)) as container:
+        frames = [
+            np.asarray(f.to_ndarray(format="gray"), dtype="float64").mean()
+            for f in container.decode(video=0)
+        ]
+    if not frames:
+        return [0.0] * N_FEATURES
+    idx = np.linspace(0, len(frames) - 1, N_FEATURES).astype(int)
+    buckets = [float(frames[i]) for i in idx]
+    total = sum(buckets) or 1.0
+    return [int((b / total) * 1e6) / 1e6 for b in buckets]
+
+
 def decode_asset(
     payload: bytes, kind: str, fake: bool | None = None
 ) -> list[float]:
@@ -168,7 +197,11 @@ def decode_asset(
     the honest error for callers that must not fall back silently."""
     # a kind is usable only when its library imports AND a decoder is
     # wired for it
-    wired = {"image": _pil_image_features, "audio": _librosa_audio_features}
+    wired = {
+        "image": _pil_image_features,
+        "audio": _librosa_audio_features,
+        "video": _av_video_features,
+    }
     usable = {k: wired[k] for k in available_codecs() if k in wired}
     if fake is True or (fake is None and kind not in usable):
         return _fake_features(payload)

@@ -242,3 +242,50 @@ def test_dedup_assets_exact_by_content(spark):
     surv = sorted(r["asset_id"]
                   for r in dedup_assets_exact(df).collect())
     assert surv == [1, 2, 4]
+
+
+def test_decode_auto_uses_video_codec_when_importable(monkeypatch):
+    """With a PyAV stand-in importable, auto mode must route video
+    through the frame-luma featureizer (same N_FEATURES / truncation
+    contract); fake=True still pins the stub; zero frames → zeros."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from building_permissions_etl_spark.operators import multimodal as M
+
+    class _Frame:
+        def __init__(self, v):
+            self._v = v
+
+        def to_ndarray(self, format="gray"):
+            return np.full((4, 4), self._v)
+
+    class _Container:
+        def __init__(self, vals):
+            self._vals = vals
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, video=0):
+            return iter(_Frame(v) for v in self._vals)
+
+    lib = types.ModuleType("av")
+    # 2*N_FEATURES frames ramping 1..16 → sampled lumas strictly increase
+    lib.open = lambda b: _Container(list(range(1, 2 * M.N_FEATURES + 1)))
+    monkeypatch.setitem(sys.modules, "av", lib)
+
+    assert M.available_codecs().get("video") == "av"
+    got = M.decode_asset(b"pretend-mp4-bytes", "video")   # auto
+    assert len(got) == M.N_FEATURES
+    assert got == sorted(got) and got[0] < got[-1]        # ramp preserved
+    assert sum(got) <= 1.0 + 1e-9
+    assert all(x == int(x * 1e6) / 1e6 for x in got)
+    assert M.decode_asset(b"pretend-mp4-bytes", "video", fake=True) != got
+    lib.open = lambda b: _Container([])
+    assert M.decode_asset(b"x", "video") == [0.0] * M.N_FEATURES
