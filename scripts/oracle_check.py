@@ -109,6 +109,8 @@ for name in sorted(qs):
 _DET_SAMPLE = [n for n in (
     "flagship_monthly_pivot", "dedup_minhash_lsh", "similarity_topk_ivf",
     "event_sessionization", "mixture_resample_counts",
+    # round-5 families: corpus-wide dedup window + temporal join
+    "paragraph_dedup_reassembly", "scd2_point_in_time_join",
 ) if n in qs] or [sorted(qs)[0]]
 det_ok = True
 for name in _DET_SAMPLE:
