@@ -194,6 +194,7 @@ EXTENSION_HEADLINE = [
     "changelog_snapshot",
     "not_in_null_aware",
     "incremental_agg_merge",
+    "last_touch_attribution",
 ]
 
 

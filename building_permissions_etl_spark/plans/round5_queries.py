@@ -496,6 +496,56 @@ def contribute(register) -> None:
         """,
     )
 
+    # ---- last-touch attribution ----------------------------------------
+    # Each purchase attributes to the user's most recent preceding click
+    # within a 30-minute window (the standard last-touch rule). One
+    # running-last window over the per-user stream — no self-join, no
+    # as-of shuffle beyond the user key; purchases with no qualifying
+    # click report as unattributed.
+    def attribution(spark, sf):
+        ev = load_table(spark, "events", sf)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        last_click = F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")),
+            ignorenulls=True,
+        ).over(w)
+        purchases = (
+            ev.withColumn("__lc", last_click)
+            .filter(F.col("event_type") == "purchase")
+            .withColumn(
+                "attributed",
+                F.col("__lc").isNotNull()
+                & ((F.unix_timestamp("ts") - F.unix_timestamp("__lc"))
+                   <= 1800),
+            )
+        )
+        return (
+            purchases.groupBy("attributed")
+            .agg(F.count(F.lit(1)).alias("n_purchases"))
+            .orderBy("attributed")
+        )
+
+    register(
+        "last_touch_attribution",
+        attribution,
+        """
+        WITH t AS (
+          SELECT event_type, ts,
+                 max(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS lc
+          FROM events
+        )
+        SELECT (lc IS NOT NULL AND date_diff('second', lc, ts) <= 1800)
+                 AS attributed,
+               CAST(count(*) AS BIGINT) AS n_purchases
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
+
     _contribute_lateral(register)
     _contribute_null_aware(register)
 
