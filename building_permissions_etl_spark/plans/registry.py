@@ -32,7 +32,7 @@ entry). The queries added during round 5 (`plans/round5_queries.py`:
 temporal PIT join, rolling RANGE frame, quality-policy survivors,
 batched ANN, curriculum cut, paragraph dedup, quality funnel, asset
 content dedup, shared-SQL LATERAL / null-aware NOT IN, changelog
-compaction, incremental agg merge) registered after this window was
+compaction, incremental agg merge, last-touch attribution) registered after this window was
 pinned — they are the front of the round-6 rotation, together with the
 five remaining oldest (r01+r02-only) entries. Local tri-scale parity
 (scripts/oracle_check.py at sf0.001/0.01/0.1) covers ALL queries every
