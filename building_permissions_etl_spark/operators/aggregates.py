@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def pivot_counts(
@@ -130,3 +131,80 @@ def scalar_max(df: DataFrame, col: str) -> DataFrame:
 def top_k(df: DataFrame, key: str, k: int) -> DataFrame:
     """A9+O2/O3: top-k groups by count desc, key asc tie-break (nb:21)."""
     return value_counts(df, key).limit(k)
+
+
+def equi_depth_buckets(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    k: int,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Exact equal-depth bucketing: adds a ``bucket`` column identical to
+    ``ntile(k) OVER (ORDER BY value_col, tiebreak_col)`` — WITHOUT a
+    single-partition window over the data. The naive formulation
+    collapses the whole table onto one task; this is the same two-pass
+    range-partitioned prefix-sum ``pack_sequences_global`` uses:
+
+    Pass 1: rows are bucketed into contiguous value ranges by
+    DETERMINISTIC literal boundaries (one bounded ``approxQuantile``
+    driver action — boundary QUALITY only affects balance, never
+    correctness) and a per-range window computes LOCAL row numbers in
+    ``num_ranges``-way parallel. The range test is a chained
+    ``when`` (codegen), not an interpreted HOF. Pass 2: per-range
+    counts — ONE ROW per range — get an exclusive prefix sum plus the
+    grand total on a single partition (the only SinglePartition
+    exchange, over ~num_ranges rows), then broadcast back; each row's
+    global rank is local_rn + range offset, and the NTILE bucket is
+    closed-form integer arithmetic on (rank, n, k) matching ANSI NTILE
+    exactly (first n%k buckets take one extra row).
+
+    ``value_col`` must be numeric and non-null (NULL ordering differs
+    across engines and a NULL would land in the last range); ties get a
+    total order via ``tiebreak_col``, and rows equal on ``value_col``
+    always share a range, so cross-range order is exact.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    bnds = sorted(set(df.stat.approxQuantile(value_col, probs, 0.001)))
+    v = F.col(value_col)
+    rid = F.lit(len(bnds)).cast("int")
+    for i, b in reversed(list(enumerate(bnds))):
+        rid = F.when(v < F.lit(b), F.lit(i).cast("int")).otherwise(rid)
+    staged = df.withColumn("__rid", rid)
+    w_local = Window.partitionBy("__rid").orderBy(
+        v.asc(), F.col(tiebreak_col).asc()
+    )
+    ranked = staged.withColumn("__lrn", F.row_number().over(w_local).cast("bigint"))
+    w_pre = Window.orderBy("__rid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("__rid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        staged.groupBy("__rid").agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__rid",
+            F.coalesce(F.sum("__cnt").over(w_pre), F.lit(0)).alias("__off"),
+            F.sum("__cnt").over(w_all).alias("__n"),
+        )
+    )
+    out = (
+        ranked.join(F.broadcast(offsets), "__rid")
+        .withColumn("__r", F.col("__lrn") + F.col("__off"))
+        .withColumn("__base", F.expr(f"__n div {k}"))
+        .withColumn("__rem", F.expr(f"__n % {k}"))
+        .withColumn(
+            "bucket",
+            F.when(
+                F.col("__r") <= F.col("__rem") * (F.col("__base") + 1),
+                F.expr("(__r + __base) div (__base + 1)"),
+            ).otherwise(
+                F.col("__rem")
+                + F.expr("(__r - __rem * (__base + 1) + __base - 1) div __base")
+            ),
+        )
+    )
+    return out.drop("__rid", "__lrn", "__off", "__n", "__r", "__base", "__rem")

@@ -34,16 +34,28 @@ from building_permissions_etl_spark.operators.scale import fan_out
 # default), where long wrap-around is an error, not a feature.
 MERSENNE_P = (1 << 31) - 1
 
-# Stale checkpoint-release handles from prior iterative-operator calls
-# whose RETURNED frame was itself a checkpoint (releasable only after the
-# caller has consumed it — i.e. by the time the next operator call runs).
-# Bounds cross-query residue to at most one checkpoint generation.
-_STALE_CHECKPOINT_RELEASES: list = []
+def _eager_final_release_ok(df: DataFrame) -> bool:
+    """May the LAST checkpoint generation be freed before returning,
+    when the returned frame's recompute path runs through it?
 
+    On a local master: yes — executor loss is process death by contract,
+    so a returned MEMORY_AND_DISK cache whose only recompute source is
+    the freed checkpoint adds no new failure mode (the cache spills to
+    disk rather than dropping blocks).
 
-def _release_stale_checkpoints() -> None:
-    while _STALE_CHECKPOINT_RELEASES:
-        _STALE_CHECKPOINT_RELEASES.pop()()
+    On a real cluster: no — an executor failure can drop cache blocks
+    whose ONLY recompute path is the freed checkpoint, turning a
+    recoverable recompute into a missing-block error. There the final
+    generation is left alive instead: bounded residue of ONE checkpoint
+    per operator call, freed when the context dies. (Mid-loop releases
+    of SUPERSEDED generations are unconditional — by then a newer
+    self-contained checkpoint is fully materialized, so nothing's
+    recompute path runs through the freed blocks.)
+    """
+    try:
+        return df.sparkSession.sparkContext.master.startswith("local")
+    except Exception:
+        return False
 
 
 def _local_checkpoint_tracked(df: DataFrame):
@@ -692,11 +704,13 @@ def connected_components(
     grow unboundedly (recompute-from-scratch on executor loss would be
     O(rounds²) otherwise). The edge cache is released before returning,
     and checkpoint RDD blocks are freed as soon as they are superseded
-    (``_local_checkpoint_tracked``) — residue per call is at most the
-    single checkpoint the returned frame may still depend on, freed at
-    the start of the next iterative-operator call.
+    (``_local_checkpoint_tracked``). Checkpoint handling is per-result:
+    a checkpoint-backed final frame is re-homed into a plain cache so
+    its generation can be freed before returning — no module state, no
+    deferral keyed on unrelated future calls. On a local master the
+    call leaves ZERO checkpoint residue; on a cluster master the final
+    generation stays alive (see ``_eager_final_release_ok`` for why).
     """
-    _release_stale_checkpoints()
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
@@ -748,17 +762,28 @@ def connected_components(
                 ck_release = new_release
                 prev_cached.unpersist()
                 prev_cached = None
+    except BaseException:
+        # nothing is returned on this path, so a live checkpoint has no
+        # possible consumer — free it immediately
+        if ck_release is not None:
+            ck_release()
+        raise
     finally:
         sym.unpersist()
-        if ck_release is not None:
-            if labels_is_ckpt:
-                # the returned frame IS the checkpoint — releasable only
-                # after the caller consumes it; defer to the next call
-                _STALE_CHECKPOINT_RELEASES.append(ck_release)
-            else:
-                # returned labels are a fully-materialized plain cache;
-                # the checkpoint behind their lineage is dead weight
-                ck_release()
+    if ck_release is not None:
+        if labels_is_ckpt:
+            # the returned frame itself holds checkpoint blocks (only
+            # reachable via max_iters exhausting on a checkpoint round):
+            # re-home it into a plain CacheManager-visible cache so the
+            # checkpoint generation is releasable per-result, now
+            labels = labels.cache()
+            labels.count()
+        # returned labels are a fully-materialized plain cache; the
+        # checkpoint behind their lineage is dead weight — free it when
+        # safe (always on local; on a cluster it stays as the recompute
+        # path, bounded to one generation)
+        if _eager_final_release_ok(labels):
+            ck_release()
     return labels
 
 
@@ -800,10 +825,13 @@ def connected_components_star(
     generation's blocks are freed directly through the RDD handle the
     moment a newer generation is materialized
     (``_local_checkpoint_tracked``); after the final labels are cached
-    and counted, the last checkpoint is freed too — this operator leaves
-    ZERO checkpoint residue.
+    and counted, the last checkpoint is freed too — on a local master
+    this operator leaves ZERO checkpoint residue (on a cluster master
+    the final generation stays alive as the cached labels' recompute
+    path; see ``_eager_final_release_ok``). Exception paths free the
+    live checkpoint immediately — nothing is returned, so it can have
+    no consumer.
     """
-    _release_stale_checkpoints()
     raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     ids = raw.select(F.explode(F.array("u", "v")).alias("id")).distinct().cache()
     # big→small canonical orientation; self-loops carry no connectivity
@@ -875,15 +903,18 @@ def connected_components_star(
         labels.count()
         # labels are now fully materialized in their own (disk-spilling)
         # cache — the last edge generation, checkpoint or not, is dead
-        # weight and releasable.
+        # weight and releasable (eagerly on local; on a cluster master
+        # it stays as the cached labels' recompute path, bounded to one
+        # generation — see _eager_final_release_ok).
         if ck_release is not None:
-            ck_release()
+            if _eager_final_release_ok(labels):
+                ck_release()
             ck_release = None
     finally:
         if ck_release is not None:
-            # exception path with a live checkpoint that may still back
-            # `edges`; defer the release to the next operator call
-            _STALE_CHECKPOINT_RELEASES.append(ck_release)
+            # exception path: nothing is returned, so the live
+            # checkpoint has no possible consumer — free it immediately
+            ck_release()
         if not edges_is_ckpt:
             edges.unpersist()   # no-op when the body already released it
         ids.unpersist()
@@ -983,3 +1014,38 @@ def dedup_survivors_by(
         .filter(F.col("__rn") == 1)
         .drop("__cc_id", "label", "__rn")
     )
+
+
+def dedup_incremental_batch(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental (delta-vs-corpus) exact dedup: keep only the batch
+    rows whose text is the first occurrence WITHIN the batch (lowest
+    id) and absent from the existing corpus — the nightly-ingest shape,
+    where the corpus is already deduplicated and only the new delta is
+    filtered before appending.
+
+    Scale shape: within-batch first-occurrence is ``dedup_exact``'s
+    window keyed on (xxhash64(text), text) — fixed-width 8-byte
+    exchange keys, collision-safe because the text rides inside the
+    bucket; the corpus probe is a LEFT ANTI join on the same
+    (hash, text) pair, so the 100 TB corpus side is column-pruned to
+    its text projection and shuffles on the 8-byte hash (AQE picks a
+    broadcast when the BATCH side is small enough to invert the build).
+    The corpus is scanned once and is never windowed or rewritten —
+    cost scales with |delta| + one corpus scan, not with re-deduping
+    the union.
+    """
+    h = F.xxhash64(F.col(text_col))
+    firsts = dedup_exact(batch, text_col, id_col)
+    seen = corpus.select(h.alias("__h"), F.col(text_col).alias("__t"))
+    out = firsts.join(
+        seen,
+        on=(F.xxhash64(F.col(text_col)) == F.col("__h"))
+        & (F.col(text_col) == F.col("__t")),
+        how="left_anti",
+    )
+    return out

@@ -136,3 +136,54 @@ def dim_summary_left_join(dim: DataFrame, summary: DataFrame, key: str) -> DataF
     out = dim.join(summary, on=key, how="left")
     count_cols = [c for c in summary.columns if c != key]
     return out.na.fill(0, subset=count_cols)
+
+
+def interval_overlap_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    f_start: str,
+    f_end: str,
+    i_start: str,
+    i_end: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval×interval OVERLAP join: pair a fact row with every
+    interval it intersects under half-open semantics
+    (``f_start < i_end AND i_start < f_end``) — campaign attribution,
+    maintenance-window exclusion, release-exposure tagging. Distinct
+    from the point-in-interval shape (``scd.point_in_time_join``): both
+    sides carry an extent, and one fact may legitimately match several
+    intervals.
+
+    Scale shape: ``intervals`` is dim-sized by contract (campaigns,
+    windows, releases — never a second fact table) and is broadcast, so
+    the fact side streams ONCE with no shuffle; the non-equi predicate
+    makes this a BroadcastNestedLoopJoin carrying a BroadcastExchange —
+    the declared tiny-side pattern, bounded by |intervals| work per fact
+    row. For two fact-sized interval sets, bucketize both sides to
+    coarse time buckets, equi-join on the bucket, and re-check the
+    exact predicate instead. ``how``: 'inner', or 'right' to keep
+    zero-overlap intervals (aggregation reports usually want every
+    campaign row). Column names must be disjoint (checked) — a silent
+    duplicate would break downstream by-name selection.
+    """
+    if how not in ("inner", "right"):
+        raise ValueError(f"how must be 'inner' or 'right', got {how!r}")
+    clash = sorted(set(facts.columns) & set(intervals.columns))
+    if clash:
+        raise ValueError(
+            f"fact and interval columns collide on {clash}; rename before "
+            f"joining"
+        )
+    cond = (
+        (F.col(f"f.{f_start}") < F.col(f"i.{i_end}"))
+        & (F.col(f"i.{i_start}") < F.col(f"f.{f_end}"))
+    )
+    joined = facts.alias("f").join(
+        F.broadcast(intervals.alias("i")), on=cond,
+        how="inner" if how == "inner" else "right_outer",
+    )
+    return joined.select(
+        *[F.col(f"i.{c}") for c in intervals.columns],
+        *[F.col(f"f.{c}") for c in facts.columns],
+    )

@@ -136,18 +136,33 @@ def scd2_upsert(
     # must fail loudly regardless of session ANSI mode.
     if effective_ts is None:
         raise ValueError("effective_ts must not be None")
-    try:
-        probe = current.sparkSession.range(1).select(eff.alias("v")).first()
-    except Exception as ex:  # ANSI session: the bad cast throws instead
-        raise ValueError(
-            f"effective_ts {effective_ts!r} does not cast to the "
-            f"{valid_from} column type {vf_type!r}: {ex}"
-        ) from ex
-    if probe["v"] is None:
-        raise ValueError(
-            f"effective_ts {effective_ts!r} does not cast to the "
-            f"{valid_from} column type {vf_type!r} (cast yields NULL)"
-        )
+    import datetime as _dt
+    if isinstance(effective_ts, (_dt.datetime, _dt.date)):
+        pass  # native temporal objects always cast cleanly; no probe job
+    else:
+        try:
+            probe = current.sparkSession.range(1).select(eff.alias("v")).first()
+        except Exception as ex:  # ANSI session: the bad cast throws instead
+            # Distinguish "the literal doesn't cast" from an unrelated
+            # execution failure (py4j/session/network): re-run the SAME
+            # probe with a literal known to cast to every supported
+            # valid_from type. If that also fails, the environment is
+            # broken — surface the original error unmasked.
+            try:
+                current.sparkSession.range(1).select(
+                    F.lit(None).cast(vf_type).alias("v")
+                ).first()
+            except Exception:
+                raise ex from None
+            raise ValueError(
+                f"effective_ts {effective_ts!r} does not cast to the "
+                f"{valid_from} column type {vf_type!r}: {ex}"
+            ) from ex
+        if probe["v"] is None:
+            raise ValueError(
+                f"effective_ts {effective_ts!r} does not cast to the "
+                f"{valid_from} column type {vf_type!r} (cast yields NULL)"
+            )
     attr_cols = [c for c in current.columns
                  if c not in (key, valid_from, valid_to)]
 
@@ -220,11 +235,20 @@ def point_in_time_join(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     how: str = "left",
+    dim_prefix: str = "",
 ) -> DataFrame:
     """Point-in-time (temporal) join: each fact row picks the ONE dim
     version whose validity interval covers the fact's timestamp
     (``valid_from <= ts < valid_to``, open version = NULL ``valid_to``)
     — how every fact table reads an SCD2 dimension.
+
+    Non-key dim columns surface under their own names, optionally
+    prefixed with ``dim_prefix``; a collision with a fact column name
+    raises up front (a silent duplicate column would break every
+    downstream by-name selection) — pass a prefix to disambiguate.
+    A malformed history with OVERLAPPING versions per key would multiply
+    fact rows; run ``validate_scd2_history`` on dims of uncertain
+    provenance (``scd2_upsert`` output is valid by construction).
 
     Scale shape: ONE broadcast left-outer join with the interval test in
     the join condition — the equi-key carries the hash lookup (broadcast
@@ -239,18 +263,109 @@ def point_in_time_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    dim_cols = [c for c in dim_versions.columns if c != key]
+    out_names = {c: f"{dim_prefix}{c}" for c in dim_cols}
+    clash = sorted(set(out_names.values()) & set(facts.columns))
+    if clash:
+        raise ValueError(
+            f"dim columns {clash} collide with fact columns; pass "
+            f"dim_prefix= to disambiguate"
+        )
     ts = F.col(f"f.{ts_col}")
     cond = (
         (F.col(f"f.{key}") == F.col(f"d.{key}"))
         & (ts >= F.col(f"d.{valid_from}"))
         & (F.col(f"d.{valid_to}").isNull() | (ts < F.col(f"d.{valid_to}")))
     )
-    dim_cols = [c for c in dim_versions.columns if c != key]
     return (
         facts.alias("f")
         .join(F.broadcast(dim_versions.alias("d")), on=cond, how=how)
-        .select("f.*", *[F.col(f"d.{c}").alias(c) for c in dim_cols])
+        .select("f.*", *[F.col(f"d.{c}").alias(out_names[c]) for c in dim_cols])
     )
+
+
+def validate_scd2_history(
+    df: DataFrame,
+    key: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    check_gaps: bool = False,
+) -> DataFrame:
+    """Structural validity check for an SCD2 history — the guard
+    ``point_in_time_join`` assumes: per key, versions must tile the
+    timeline without overlap and with at most one (final) open version.
+    Returns the VIOLATIONS as ``(key, valid_from, valid_to, violation)``
+    rows — empty result = valid history. Violation kinds:
+
+      * ``null_valid_from`` — a version with no start;
+      * ``non_positive_interval`` — ``valid_to <= valid_from`` (a
+        zero-length or inverted version can never match a fact, and
+        usually signals a same-timestamp double-merge);
+      * ``open_not_last`` — an open version (NULL ``valid_to``) that has
+        a successor; covers the two-open-versions corruption, which is
+        exactly what a PIT join would fan out on;
+      * ``overlap`` — the next version starts before this one ends
+        (``lead(valid_from) < valid_to``): a fact dated in the overlap
+        matches BOTH versions and silently duplicates;
+      * ``gap`` (only with ``check_gaps=True``) — the next version
+        starts after this one ends. Gaps are LEGAL in this module's
+        contract (``scd2_upsert`` re-activation of a deleted key leaves
+        one), so they are opt-in diagnostics, not errors.
+
+    One window pass per key (sorted by ``valid_from`` NULLS FIRST, then
+    ``valid_to`` NULLS LAST so open versions order after closed ones
+    starting at the same instant); each row emits zero or more
+    violations via exploding a fixed-width check array with NULL slots
+    filtered after the explode — no self-join, no second shuffle. At
+    100 TB dim scale this is one exchange on the dim key. (The interval
+    columns are selected BY NAME, never re-aliased to themselves: a
+    self-alias here trips a Catalyst RemoveRedundantAliases
+    plan-validation bug when ``df`` is a union of aliased projections,
+    e.g. ``scd2_upsert`` output.)
+    """
+    vf, vt = F.col(valid_from), F.col(valid_to)
+    w = Window.partitionBy(key).orderBy(
+        vf.asc_nulls_first(), vt.asc_nulls_last()
+    )
+    nxt_vf = F.lead(vf).over(w)
+    has_next = F.lead(F.lit(1)).over(w).isNotNull()
+    checks = [
+        F.when(vf.isNull(), F.lit("null_valid_from")),
+        F.when(vf.isNotNull() & vt.isNotNull() & (vt <= vf),
+               F.lit("non_positive_interval")),
+        F.when(vt.isNull() & has_next, F.lit("open_not_last")),
+        F.when(vt.isNotNull() & (nxt_vf < vt), F.lit("overlap")),
+    ]
+    if check_gaps:
+        checks.append(F.when(vt.isNotNull() & (nxt_vf > vt), F.lit("gap")))
+    flagged = df.select(
+        key, valid_from, valid_to, F.array(*checks).alias("__v"),
+    )
+    return flagged.select(
+        key, valid_from, valid_to,
+        F.explode(F.col("__v")).alias("violation"),
+    ).filter(F.col("violation").isNotNull())
+
+
+def assert_valid_scd2_history(
+    df: DataFrame,
+    key: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> None:
+    """Raise ``ValueError`` with a sample of violations when ``df`` is
+    not a structurally valid SCD2 history (one bounded action; see
+    ``validate_scd2_history`` for the rules — gaps are legal)."""
+    bad = validate_scd2_history(df, key, valid_from, valid_to) \
+        .limit(5).collect()
+    if bad:
+        raise ValueError(
+            "malformed SCD2 history: "
+            + "; ".join(
+                f"{r['violation']} at {key}={r[key]!r} "
+                f"[{r[valid_from]}, {r[valid_to]})" for r in bad
+            )
+        )
 
 
 def compact_changelog(
@@ -272,11 +387,25 @@ def compact_changelog(
     One window shuffle on the key; nothing else. At 100 TB this is the
     standard pattern in front of a MERGE: compact the log first so the
     merge sees one row per key.
+
+    A NULL ``op_col`` is malformed input and raises AT EXECUTION TIME
+    (``raise_error`` inside the keep predicate — no extra validation
+    action): a bare ``op != 'D'`` filter would evaluate to NULL and
+    silently tombstone the key like a delete, which is the one mistake a
+    CDC compactor must never make.
     """
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak]
     w = Window.partitionBy(key).orderBy(*order)
+    keep = F.when(
+        F.col(op_col).isNull(),
+        F.raise_error(F.concat(
+            F.lit(f"compact_changelog: NULL {op_col!r} for key "),
+            F.col(key).cast("string"),
+            F.lit(" — changelog rows must carry an I/U/D op"),
+        )),
+    ).otherwise(F.col(op_col) != F.lit("D"))
     return (
         log.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+        .filter((F.col("__rn") == 1) & keep)
         .drop("__rn", op_col)
     )

@@ -686,27 +686,33 @@ def topk_bruteforce_batch(
     the shape offline retrieval jobs want (M queries against 100 TB of
     embeddings must not scan the corpus M times).
 
-    The M query vectors are broadcast as a one-sided hash build; each
-    corpus row scores all M in place (M·dim fused multiply-adds inside
-    one whole-stage-codegen pipeline), and a per-query window keeps
-    rank ≤ k. Scores are rounded before ranking so the (query, score
-    desc, id asc) order is reproducible across engines; self-matches are
-    excluded. One corpus scan, one shuffle on query_id (M partitions of
-    ≤ corpus rows each — for corpus-scale M switch to the LSH/IVF index
-    paths instead).
+    The M query vectors are fetched ONCE driver-side (a bounded
+    pushed-`isin` read returning ≤ M rows — the same lookup any probe
+    needs) and re-broadcast as a LITERAL frame, so the scoring plan
+    contains exactly ONE scan of the corpus relation; missing-id
+    validation rides that fetch for free instead of costing its own
+    action. Each corpus row scores all M in place (M·dim fused
+    multiply-adds inside one whole-stage-codegen pipeline), and a
+    per-query window keeps rank ≤ k. Scores are rounded before ranking
+    so the (query, score desc, id asc) order is reproducible across
+    engines; self-matches are excluded. One corpus scan, one shuffle on
+    query_id (M partitions of ≤ corpus rows each — for corpus-scale M
+    switch to the LSH/IVF index paths instead).
     """
     if not query_ids:
         raise ValueError("query_ids must be non-empty")
     if len(set(query_ids)) != len(query_ids):
         raise ValueError("query_ids must be distinct")
-    queries = df.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
+    q_sel = df.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    n_q = queries.count()   # bounded: ≤ len(query_ids) rows
-    if n_q != len(query_ids):
+    q_rows = q_sel.collect()    # bounded: ≤ len(query_ids) rows
+    missing = {int(q) for q in query_ids} - {int(r["query_id"]) for r in q_rows}
+    if missing:
         raise ValueError(
-            f"{len(query_ids) - n_q} of the query_ids are missing from the corpus"
+            f"{len(missing)} of the query_ids are missing from the corpus"
         )
+    queries = df.sparkSession.createDataFrame(q_rows, schema=q_sel.schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("id").asc()
     )

@@ -441,31 +441,35 @@ def test_ngram_auto_engages_inverted_on_oversized_block(spark):
     assert "Generate" not in quad_plan
 
 
-def test_checkpoint_deferred_release_frees_on_next_call(spark):
+def test_checkpoint_released_per_result(spark):
     """When the loop exhausts max_iters exactly on a checkpoint round,
-    the returned labels ARE the checkpoint — its blocks must survive
-    until the caller has consumed them, then be freed by the NEXT
-    iterative-operator call (the stale-release registry)."""
+    the final labels are re-homed into a plain cache and the checkpoint
+    generation is freed BEFORE returning (local master) — per-result
+    handling, no ambient module state keyed on later calls. The returned
+    values must be intact and the only persisted residue is the labels
+    cache itself. Two back-to-back calls must not interfere: the first
+    result stays readable after the second call runs."""
     from building_permissions_etl_spark.operators.dedup import (
-        _STALE_CHECKPOINT_RELEASES,
         connected_components,
     )
 
     jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     # 40-node chain, max_iters=5: round 5 is a checkpoint round and the
-    # chain has not converged -> loop exhausts with labels = checkpoint
+    # chain has not converged -> loop exhausts right at a checkpoint cut
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(39)], "id_a long, id_b long"
     )
     labels = connected_components(edges, max_iters=5)
-    assert len(_STALE_CHECKPOINT_RELEASES) == 1   # deferred, not leaked
-    labels.collect()                              # caller consumes
-    labels.unpersist()
+    # residue = the returned labels cache ONLY; the checkpoint RDD and
+    # every loop-generation cache are already gone
+    assert jsc.getPersistentRDDs().size() <= before + 1
 
-    before = jsc.getPersistentRDDs().size()
-    # next call releases the stale checkpoint before doing its own work
+    # the ADVICE hazard case: a SECOND iterative call before the first
+    # result is consumed must not unpersist the first result's data
     small = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
     l2 = connected_components(small, max_iters=5)
-    assert not _STALE_CHECKPOINT_RELEASES
-    assert jsc.getPersistentRDDs().size() <= before + 1
+    assert {r["id"] for r in labels.collect()} == set(range(40))
+    assert l2.count() == 2
+    labels.unpersist()
     l2.unpersist()

@@ -212,3 +212,21 @@ def test_ivf_index_table_probe_prunes_partitions(spark, tmp_path):
     finally:
         mem.unpersist()
     assert [tuple(r) for r in q.collect()] == expect
+
+
+def test_batched_ann_scans_corpus_once(spark):
+    """topk_bruteforce_batch must cost exactly ONE scan of the corpus
+    relation in the scoring plan: the M query vectors are fetched
+    driver-side (a bounded pushed-isin read at call time) and
+    re-broadcast as a literal frame, so neither a validation action nor
+    the broadcast build re-reads the embeddings table."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.operators.similarity import (
+        topk_bruteforce_batch,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    q = topk_bruteforce_batch(emb, "embedding", "vec_id", [0, 1, 2], k=3)
+    plan = _plan(q)
+    scans = re.findall(r"Scan parquet|FileScan parquet", plan)
+    assert len(scans) == 1, plan

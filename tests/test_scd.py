@@ -165,3 +165,89 @@ def test_compact_changelog_last_writer_wins_and_tombstones(spark):
            for r in SCD.compact_changelog(log, "k", "ts", "op",
                                           tiebreak=["seq"]).collect()}
     assert got == {1: (2, "b"), 3: (6, "q"), 4: (8, "z")}
+
+
+def test_validate_scd2_history_kinds(spark):
+    _T = datetime.datetime
+    hist = _dim(spark, [
+        # key 1: valid tiled history — no violations
+        (1, "a", 1.0, "x", _T(1999, 1, 1), _T(2000, 1, 1)),
+        (1, "a", 2.0, "x", _T(2000, 1, 1), None),
+        # key 2: overlap — v2 starts before v1 ends
+        (2, "b", 1.0, "y", _T(1999, 1, 1), _T(2000, 6, 1)),
+        (2, "b", 2.0, "y", _T(2000, 1, 1), None),
+        # key 3: two open versions → the earlier one is open_not_last
+        (3, "c", 1.0, "z", _T(1999, 1, 1), None),
+        (3, "c", 2.0, "z", _T(2000, 1, 1), None),
+        # key 4: zero-length version
+        (4, "d", 1.0, "w", _T(2000, 1, 1), _T(2000, 1, 1)),
+        # key 5: gap (legal by default, flagged only with check_gaps)
+        (5, "e", 1.0, "v", _T(1999, 1, 1), _T(2000, 1, 1)),
+        (5, "e", 2.0, "v", _T(2001, 1, 1), None),
+        # key 6: NULL valid_from
+        (6, "f", 1.0, "u", None, _T(2000, 1, 1)),
+    ])
+    got = {(r["k"], r["violation"])
+           for r in SCD.validate_scd2_history(hist, "k").collect()}
+    assert got == {(2, "overlap"), (3, "open_not_last"),
+                   (4, "non_positive_interval"), (6, "null_valid_from")}
+    with_gaps = {(r["k"], r["violation"])
+                 for r in SCD.validate_scd2_history(
+                     hist, "k", check_gaps=True).collect()}
+    assert with_gaps == got | {(5, "gap")}
+
+
+def test_assert_valid_scd2_history(spark):
+    import pytest
+    _T = datetime.datetime
+    good = _dim(spark, [(1, "a", 1.0, "x", _T(1999, 1, 1), None)])
+    SCD.assert_valid_scd2_history(good, "k")   # no raise
+    bad = _dim(spark, [
+        (1, "a", 1.0, "x", _T(1999, 1, 1), None),
+        (1, "a", 2.0, "x", _T(2000, 1, 1), None),
+    ])
+    with pytest.raises(ValueError, match="open_not_last"):
+        SCD.assert_valid_scd2_history(bad, "k")
+
+
+def test_scd2_upsert_output_is_valid_history(spark):
+    """The merge's own output must pass the structural validator —
+    including the re-activation leg, whose gap is legal by contract."""
+    cur = _dim(spark, [
+        (1, "a", 10.0, "X", _T0, None),                    # changed
+        (2, "b", 20.0, "Y", _T0, None),                    # untouched
+        (3, "c", 5.0, "Z", datetime.datetime(1999, 1, 1), _T0),  # closed-only
+    ])
+    upd = _upd(spark, [(1, 11.0, "X2"), (3, 9.0, "R"), (9, 1.0, "NEW")])
+    out = SCD.scd2_upsert(cur, upd, "k", ["bal", "seg"], "2001-06-01")
+    SCD.assert_valid_scd2_history(out, "k")    # no raise
+
+
+def test_pit_join_rejects_column_collision(spark):
+    import pytest
+    _T = datetime.datetime
+    dim = _dim(spark, [(1, "a", 1.0, "x", _T(1999, 1, 1), None)])
+    facts = spark.createDataFrame(
+        [(1, _T(2000, 1, 1), "mine")], "k long, ts timestamp, seg string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        SCD.point_in_time_join(facts, dim, key="k", ts_col="ts")
+    out = SCD.point_in_time_join(facts, dim, key="k", ts_col="ts",
+                                 dim_prefix="dim_")
+    row = out.collect()[0]
+    assert row["seg"] == "mine" and row["dim_seg"] == "x"
+    assert "dim_valid_from" in out.columns
+
+
+def test_compact_changelog_null_op_raises(spark):
+    """A NULL op must raise at execution time, never silently tombstone
+    the key the way a bare `op != 'D'` filter would."""
+    import pytest
+    _T = datetime.datetime
+    log = spark.createDataFrame(
+        [(1, _T(2020, 1, 1), 1, None, "a")],
+        "k long, ts timestamp, seq long, op string, payload string",
+    )
+    snap = SCD.compact_changelog(log, "k", "ts", "op", tiebreak=["seq"])
+    with pytest.raises(Exception, match="NULL 'op'"):
+        snap.collect()
