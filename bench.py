@@ -195,6 +195,16 @@ EXTENSION_HEADLINE = [
     "not_in_null_aware",
     "incremental_agg_merge",
     "last_touch_attribution",
+    # round-6: history validation, islands, running distinct, interval
+    # overlap, FK audit, exact equi-depth, incremental dedup, GROUP BY ALL
+    "scd2_history_violations",
+    "activity_islands",
+    "running_distinct_users",
+    "campaign_overlap_orders",
+    "fk_coverage_audit",
+    "equi_depth_histogram",
+    "dedup_incremental_batch",
+    "group_by_all_revenue",
 ]
 
 

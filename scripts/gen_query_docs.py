@@ -22,7 +22,47 @@ MODULES = [
     ("insight_queries", "Behavioral analytics: grouping sets, stats/regression, funnel, cohort, gap-fill"),
     ("scd_queries", "Dimension maintenance: SCD1 overwrite and SCD2 versioned merge"),
     ("round5_queries", "Temporal PIT join, interval-frame windows, quality survivors, batched ANN, curriculum cut"),
+    ("round6_queries", "SCD2 history validation, gaps/islands, running distinct, interval overlap, FK audit, exact equi-depth, incremental dedup"),
 ]
+
+
+def _staleness_rows() -> list[str]:
+    """Newest driver-green round per registry query, from the
+    CORRECTNESS_r*.json files the grading driver writes — the table that
+    keeps _DRIVER_WINDOW rotation mechanical (VERDICT r05 item 7)."""
+    import glob
+    import json
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    newest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for q, v in json.load(open(path)).items():
+            ok = (v.get("rows_match") and v.get("schema_match")
+                  and v.get("hash_match") in (True, None))
+            if ok:
+                newest[q] = max(newest.get(q, 0), rnd)
+    from building_permissions_etl_spark.plans.registry import queries
+
+    by_round: dict[int, list[str]] = {}
+    for q in queries():
+        by_round.setdefault(newest.get(q, 0), []).append(q)
+    lines = [
+        "## Driver-verdict staleness",
+        "",
+        "Newest driver-green round per query (0 = no driver verdict yet —",
+        "front of the next rotation). Generated from CORRECTNESS_r*.json;",
+        "regenerate after each round.",
+        "",
+        "| Newest green | Count | Queries |",
+        "|---|---|---|",
+    ]
+    for rnd in sorted(by_round):
+        label = f"r{rnd:02d}" if rnd else "never"
+        qs = ", ".join(f"`{q}`" for q in sorted(by_round[rnd]))
+        lines.append(f"| {label} | {len(by_round[rnd])} | {qs} |")
+    lines.append("")
+    return lines
 
 
 def main() -> None:
@@ -62,6 +102,7 @@ def main() -> None:
         for name, has in entries:
             lines.append(f"| `{name}` | {'DuckDB oracle' if has else 'rows-only + unit tests'} |")
         lines.append("")
+    lines.extend(_staleness_rows())
     out = os.path.join(os.path.dirname(__file__), "..", "QUERIES.md")
     with open(out, "w", encoding="utf-8") as f:
         f.write("\n".join(lines))

@@ -192,6 +192,44 @@ def main() -> None:
         print(f"continuation:recursive_key_chain cap={cap}: "
               f"{round(time.time() - t0, 2)} s")
 
+    # Round-5 additions without scale rows yet (VERDICT r05 #5): the
+    # rolling RANGE frame and CDC compaction ride the N× orders table
+    # (N× keys, same per-key depth → one window exchange each), the
+    # paragraph dedup rides the N× document corpus (N× paragraphs, the
+    # dedup window keyed on 8-byte hashes).
+    from building_permissions_etl_spark.plans import (round5_queries,
+                                                      round6_queries)
+
+    r56 = {}
+    stage56 = lambda name, fn, sql: r56.__setitem__(name, fn)  # noqa: E731
+    round5_queries.contribute(stage56)
+    round6_queries.contribute(stage56)
+    for name in ("rolling_7d_order_stats", "changelog_snapshot",
+                 "paragraph_dedup_reassembly"):
+        timed(f"round5:{name}", r56[name](spark, out))
+
+    # Batched-ANN amortization in M (query count), same corpus: one scan
+    # regardless of M, so 8× the queries must cost far less than 8× the
+    # time (the per-row M·dim fused multiply-adds grow, the scan and the
+    # per-query window shuffle amortize).
+    from building_permissions_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{out}/embeddings.parquet")
+    for m in (8, 64):
+        timed(f"ann_batch_topk M={m}",
+              S.topk_bruteforce_batch(emb, "embedding", "vec_id",
+                                      list(range(m)), k=5))
+
+    # Round-6 additions on the same N× tables: islands + running
+    # distinct ride N× events (N× users, constant per-user depth),
+    # equi-depth + campaign overlap ride N× orders, incremental dedup
+    # rides the N× corpus (the batch grows N×, the anti-join stays
+    # hash-keyed).
+    for name in ("activity_islands", "running_distinct_users",
+                 "equi_depth_histogram", "campaign_overlap_orders",
+                 "dedup_incremental_batch"):
+        timed(f"round6:{name}", r56[name](spark, out))
+
     _planted_long_doc_repetition(spark)
     _planted_long_chain_components(spark)
     _crs_codegen_throughput(spark)

@@ -1,0 +1,148 @@
+"""Round-6 operator semantics beyond oracle parity: interval-overlap
+join edges, incremental dedup contracts, and exact equi-depth bucketing
+equivalence with the single-window NTILE it replaces."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from building_permissions_etl_spark.operators.aggregates import (
+    equi_depth_buckets,
+)
+from building_permissions_etl_spark.operators.dedup import (
+    dedup_incremental_batch,
+)
+from building_permissions_etl_spark.operators.joins import (
+    interval_overlap_join,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---- interval_overlap_join ----------------------------------------------
+
+def _frames(spark):
+    facts = spark.createDataFrame(
+        [(1, 0, 10), (2, 10, 20), (3, 25, 30), (4, 5, 6)],
+        "fid long, fs long, fe long",
+    )
+    ivals = spark.createDataFrame(
+        [(100, 5, 12), (200, 19, 25), (300, 50, 60)],
+        "iid long, istart long, iend long",
+    )
+    return facts, ivals
+
+
+def test_interval_overlap_semantics_half_open(spark):
+    facts, ivals = _frames(spark)
+    got = {(r["fid"], r["iid"]) for r in interval_overlap_join(
+        facts, ivals, "fs", "fe", "istart", "iend").collect()}
+    # half-open: [10,20) meets [5,12) and [19,25); [25,30) does NOT meet
+    # [19,25) (shared endpoint 25 excluded); interval 300 matches nothing
+    assert got == {(1, 100), (4, 100), (2, 100), (2, 200)}
+
+
+def test_interval_overlap_right_keeps_empty_intervals(spark):
+    facts, ivals = _frames(spark)
+    out = interval_overlap_join(
+        facts, ivals, "fs", "fe", "istart", "iend", how="right")
+    per = {r["iid"]: r["n"] for r in
+           out.groupBy("iid").agg(F.count("fid").alias("n")).collect()}
+    assert per == {100: 3, 200: 1, 300: 0}
+
+
+def test_interval_overlap_broadcasts_and_rejects_collisions(spark):
+    facts, ivals = _frames(spark)
+    plan = _plan(interval_overlap_join(
+        facts, ivals, "fs", "fe", "istart", "iend"))
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+    with pytest.raises(ValueError, match="collide"):
+        interval_overlap_join(
+            facts, facts.withColumnRenamed("fid", "gid"),
+            "fs", "fe", "fs", "fe")
+    with pytest.raises(ValueError, match="how"):
+        interval_overlap_join(facts, ivals, "fs", "fe", "istart", "iend",
+                              how="left")
+
+
+# ---- dedup_incremental_batch --------------------------------------------
+
+def test_incremental_dedup_contract(spark):
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "brand new"), (11, "seen before"),      # vs-corpus dup
+         (12, "twice in batch"), (13, "twice in batch"),  # in-batch dup
+         (14, "another new")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  dedup_incremental_batch(corpus, batch, "text",
+                                          "doc_id").collect())
+    assert kept == [10, 12, 14]   # first-in-batch wins; corpus dups drop
+
+
+def test_incremental_dedup_never_rewrites_corpus(spark):
+    """The corpus side must appear only as a pruned (hash, text) probe:
+    no window over the corpus, and corpus rows never in the output."""
+    corpus = spark.createDataFrame(
+        [(1, "a")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "b")], "doc_id long, text string")
+    out = dedup_incremental_batch(corpus, batch, "text", "doc_id")
+    assert [r["doc_id"] for r in out.collect()] == [10]
+    assert out.columns == batch.columns
+
+
+# ---- equi_depth_buckets --------------------------------------------------
+
+def _ntile_reference(df, value_col, tiebreak_col, k):
+    w = Window.orderBy(F.col(value_col).asc(), F.col(tiebreak_col).asc())
+    return df.withColumn("bucket", F.ntile(k).over(w).cast("bigint"))
+
+
+@pytest.mark.parametrize("n,k", [(103, 10), (7, 10), (40, 4), (1, 3)])
+def test_equi_depth_matches_ntile(spark, n, k):
+    """Row-identical to the single-partition NTILE window across the
+    uneven-remainder, n<k, exact-division, and single-row cases."""
+    df = spark.createDataFrame(
+        [((i * 37) % n, float((i * 17) % 23)) for i in range(n)],
+        "id long, v double",
+    )
+    got = {(r["id"], r["bucket"]) for r in
+           equi_depth_buckets(df, "v", "id", k, num_ranges=4).collect()}
+    want = {(r["id"], r["bucket"]) for r in
+            _ntile_reference(df, "v", "id", k).collect()}
+    assert got == want
+
+
+def test_equi_depth_ties_across_range_boundaries(spark):
+    """Rows equal on the value column must share a range, so global
+    ranks stay exact even when a tied value is an approxQuantile
+    boundary: heavy ties + k=5 against the NTILE reference."""
+    df = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(60)], "id long, v double")
+    got = {(r["id"], r["bucket"]) for r in
+           equi_depth_buckets(df, "v", "id", 5, num_ranges=8).collect()}
+    want = {(r["id"], r["bucket"]) for r in
+            _ntile_reference(df, "v", "id", 5).collect()}
+    assert got == want
+
+
+def test_equi_depth_single_partition_touches_only_range_rows(spark):
+    """The only SinglePartition exchange in the plan must feed the
+    per-range prefix sum (~num_ranges rows), never the data: the
+    fact-side window partitions by range id."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "id long, v double")
+    out = equi_depth_buckets(df, "v", "id", 10, num_ranges=8)
+    plan = _plan(out)
+    assert len(re.findall(r"SinglePartition", plan)) == 1, plan
+    assert re.search(r"Window.*__rid", plan), plan
+    with pytest.raises(ValueError, match="k must be"):
+        equi_depth_buckets(df, "v", "id", 0)
