@@ -205,6 +205,10 @@ EXTENSION_HEADLINE = [
     "equi_depth_histogram",
     "dedup_incremental_batch",
     "group_by_all_revenue",
+    "concurrent_purchase_errors",
+    "snapshot_diff_census",
+    "time_weighted_value",
+    "mad_outliers_by_type",
 ]
 
 

@@ -409,3 +409,40 @@ def compact_changelog(
         .filter((F.col("__rn") == 1) & keep)
         .drop("__rn", op_col)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Classify every key across two snapshots of the same table:
+    ``added`` (key only in the new snapshot), ``removed`` (only in the
+    old), ``changed`` (present in both with any compared attribute
+    differing null-safely), ``unchanged`` — the table-diff every
+    reconciliation / CDC-backfill job starts from, and the complement
+    of the SCD merges (those APPLY a known delta; this RECOVERS the
+    delta from two full states).
+
+    Returns ``(key, change_type)`` — one row per key on either side.
+    One full-outer shuffle join on the key; change detection is the
+    same null-safe column comparison ``scd2_upsert`` uses (NULL→value
+    and value→NULL are changes, NULL→NULL is not). Neither snapshot is
+    assumed dim-sized: at 100 TB this is a co-partitioned fact join,
+    and the output is keys + a tag, never the payload.
+    """
+    o = old.select(key, *compare_cols).alias("cur") \
+        .withColumn("__in_old", F.lit(True))
+    n = new.select(key, *compare_cols).alias("upd") \
+        .withColumn("__in_new", F.lit(True))
+    joined = o.join(n, on=key, how="full_outer")
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(_any_tracked_differs(compare_cols), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(F.col(key), change.alias("change_type"))

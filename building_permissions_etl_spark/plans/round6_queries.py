@@ -376,6 +376,216 @@ def contribute(register) -> None:
         """,
     )
 
+    # ---- fact×fact interval overlap (bucketized) -----------------------
+    # Errors concurrent with purchases: both sides are event-derived
+    # 5-minute intervals — fact-sized, so no broadcast; the bucketized
+    # join explodes each interval to its covered coarse buckets,
+    # equi-joins on the bucket id, and re-checks the exact half-open
+    # predicate, emitting each pair only in the bucket of its later
+    # start (duplicate-free with no distinct). The oracle is the plain
+    # theta join.
+    def concurrent(spark, sf):
+        ev = load_table(spark, "events", sf)
+        w_us = 300 * 1_000_000
+        us = F.unix_micros(F.col("ts"))
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            us.alias("ps"), (us + w_us).alias("pe"),
+            F.hour("ts").cast("bigint").alias("purchase_hour"),
+        )
+        errs = ev.filter(F.col("event_type") == "error").select(
+            us.alias("es"), (us + w_us).alias("ee"))
+        j = J.bucketized_interval_join(
+            purch, errs, "ps", "pe", "es", "ee", bucket_width=w_us)
+        return (
+            j.groupBy("purchase_hour")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("purchase_hour")
+        )
+
+    register(
+        "concurrent_purchase_errors",
+        concurrent,
+        """
+        WITH p AS (
+          SELECT epoch_us(ts) AS ps, epoch_us(ts) + 300000000 AS pe,
+                 date_part('hour', ts) AS purchase_hour
+          FROM events WHERE event_type = 'purchase'
+        ), e AS (
+          SELECT epoch_us(ts) AS es, epoch_us(ts) + 300000000 AS ee
+          FROM events WHERE event_type = 'error'
+        )
+        SELECT purchase_hour, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p JOIN e ON p.ps < e.ee AND e.es < p.pe
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    # ---- snapshot diff census ------------------------------------------
+    # Table-diff between two full states (the complement of the SCD
+    # merges, which APPLY a known delta): a synthetic "tomorrow"
+    # snapshot drops every 10th customer, shifts balances for every 7th,
+    # and appends re-keyed copies of every 5th; snapshot_diff recovers
+    # the delta as added/removed/changed/unchanged counts. The +10
+    # balance shift is exact IEEE addition, so change detection is
+    # bit-identical across engines.
+    def snap_diff(spark, sf):
+        cust = load_table(spark, "customer", sf).select(
+            "c_custkey", "c_acctbal", "c_mktsegment")
+        ck = F.col("c_custkey")
+        new = (
+            cust.filter(ck % 10 != 0)
+            .withColumn(
+                "c_acctbal",
+                F.when(ck % 7 == 0, F.col("c_acctbal") + 10)
+                .otherwise(F.col("c_acctbal")),
+            )
+            .unionByName(
+                cust.filter(ck % 5 == 0).select(
+                    (ck + 10_000_000).alias("c_custkey"),
+                    "c_acctbal", "c_mktsegment"))
+        )
+        d = SCD.snapshot_diff(cust, new, "c_custkey",
+                              ["c_acctbal", "c_mktsegment"])
+        return (
+            d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("change_type")
+        )
+
+    register(
+        "snapshot_diff_census",
+        snap_diff,
+        """
+        WITH oldsnap AS (
+          SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        ), newsnap AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10
+                      ELSE c_acctbal END AS c_acctbal,
+                 c_mktsegment
+          FROM customer WHERE c_custkey % 10 <> 0
+          UNION ALL
+          SELECT c_custkey + 10000000, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 5 = 0
+        ), d AS (
+          SELECT CASE WHEN o.c_custkey IS NULL THEN 'added'
+                      WHEN n.c_custkey IS NULL THEN 'removed'
+                      WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                        OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                        THEN 'changed'
+                      ELSE 'unchanged' END AS change_type
+          FROM oldsnap o FULL OUTER JOIN newsnap n
+            ON o.c_custkey = n.c_custkey
+        )
+        SELECT change_type, CAST(count(*) AS BIGINT) AS n
+        FROM d GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    # ---- time-weighted average -----------------------------------------
+    # Monitoring-style TWA per user: each reading holds until the next
+    # one, so its weight is the gap to the successor (last reading
+    # carries no duration). All weights and values ride as exact
+    # integers (milli-units × whole seconds) so the per-user sums are
+    # order-independent; only the final ratio is floating.
+    def twa(spark, sf):
+        ev = load_table(spark, "events", sf)
+        us = F.unix_micros(F.col("ts"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        staged = (
+            ev.select(
+                "user_id", "ts", "event_id",
+                F.round(F.col("value") * 1000).cast("bigint").alias("m"),
+                us.alias("us"),
+            )
+            .withColumn("dt_us", F.lead("us").over(w) - F.col("us"))
+            .withColumn("dt_s", F.expr("dt_us div 1000000"))
+        )
+        return (
+            staged.filter(F.col("dt_s").isNotNull() & (F.col("dt_s") > 0))
+            .groupBy("user_id")
+            .agg(
+                F.round(
+                    F.sum(F.col("m") * F.col("dt_s")).cast("double")
+                    / F.sum("dt_s").cast("double") / 1000.0, 6,
+                ).alias("twa"),
+            )
+            .orderBy("user_id")
+        )
+
+    register(
+        "time_weighted_value",
+        twa,
+        """
+        WITH t AS (
+          SELECT user_id, CAST(round(value * 1000) AS BIGINT) AS m,
+                 (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                  - epoch_us(ts)) // 1000000 AS dt_s
+          FROM events
+        )
+        SELECT user_id,
+               round(CAST(sum(m * dt_s) AS DOUBLE)
+                     / CAST(sum(dt_s) AS DOUBLE) / 1000.0, 6) AS twa
+        FROM t WHERE dt_s IS NOT NULL AND dt_s > 0
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    # ---- robust (MAD) outlier census -----------------------------------
+    # Median-absolute-deviation outliers per event type — the robust
+    # twin of value_outliers_zscore. Exact arithmetic throughout: values
+    # in integer milli-units, so the interpolated medians land on exact
+    # binary fractions (halves, then quarters) and the 3×MAD comparison
+    # cannot flip between engines. Two aggregate passes with broadcast
+    # joins back; at 100 TB swap percentile for approx_percentile and
+    # accept the sketch (documented rows-only trade).
+    def mad(spark, sf):
+        ev = load_table(spark, "events", sf)
+        staged = ev.select(
+            "event_type",
+            F.round(F.col("value") * 1000).cast("bigint").alias("m"))
+        med = staged.groupBy("event_type").agg(
+            F.percentile(F.col("m"), F.lit(0.5)).alias("med"))
+        dev = staged.join(F.broadcast(med), "event_type").select(
+            "event_type", F.abs(F.col("m") - F.col("med")).alias("dev"))
+        madt = dev.groupBy("event_type").agg(
+            F.percentile(F.col("dev"), F.lit(0.5)).alias("mad"))
+        return (
+            dev.join(F.broadcast(madt), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1)
+                      .otherwise(0)).cast("bigint").alias("n_outliers"),
+            )
+            .orderBy("event_type")
+        )
+
+    register(
+        "mad_outliers_by_type",
+        mad,
+        """
+        WITH s AS (
+          SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS m
+          FROM events
+        ), med AS (
+          SELECT event_type, quantile_cont(m, 0.5) AS med
+          FROM s GROUP BY 1
+        ), d AS (
+          SELECT s.event_type, abs(s.m - med.med) AS dev
+          FROM s JOIN med USING (event_type)
+        ), madt AS (
+          SELECT event_type, quantile_cont(dev, 0.5) AS mad
+          FROM d GROUP BY 1
+        )
+        SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN d.dev > 3 * madt.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM d JOIN madt USING (event_type)
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
+
     _contribute_group_by_all(register)
 
 

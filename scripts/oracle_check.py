@@ -111,6 +111,9 @@ _DET_SAMPLE = [n for n in (
     "event_sessionization", "mixture_resample_counts",
     # round-5 families: corpus-wide dedup window + temporal join
     "paragraph_dedup_reassembly", "scd2_point_in_time_join",
+    # round-6 families: approxQuantile-seeded ranged ntile (boundary
+    # stability across runs) + islands window grouping
+    "equi_depth_histogram", "activity_islands",
 ) if n in qs] or [sorted(qs)[0]]
 det_ok = True
 for name in _DET_SAMPLE:

@@ -17,6 +17,7 @@ from building_permissions_etl_spark.operators.dedup import (
     dedup_incremental_batch,
 )
 from building_permissions_etl_spark.operators.joins import (
+    bucketized_interval_join,
     interval_overlap_join,
 )
 
@@ -146,3 +147,82 @@ def test_equi_depth_single_partition_touches_only_range_rows(spark):
     assert re.search(r"Window.*__rid", plan), plan
     with pytest.raises(ValueError, match="k must be"):
         equi_depth_buckets(df, "v", "id", 0)
+
+
+# ---- bucketized_interval_join -------------------------------------------
+
+def test_bucketized_overlap_matches_bruteforce(spark):
+    """Duplicate-free and identical to the naive theta join across
+    interval lengths spanning 1..4 buckets, touching endpoints, and
+    containment."""
+    import itertools
+
+    left = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(
+            itertools.product(range(0, 40, 7), (1, 5, 13, 29)))],
+        "lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, s, s + ln) for i, (s, ln) in enumerate(
+            itertools.product(range(3, 43, 11), (2, 10, 25)))],
+        "rid long, rs long, re long",
+    )
+    got = sorted((r["lid"], r["rid"]) for r in
+                 bucketized_interval_join(
+                     left, right, "ls", "le", "rs", "re",
+                     bucket_width=10).collect())
+    lrows = left.collect()
+    rrows = right.collect()
+    want = sorted((lr["lid"], rr["rid"])
+                  for lr in lrows for rr in rrows
+                  if lr["ls"] < rr["re"] and rr["rs"] < lr["le"])
+    assert got == want
+    assert len(got) == len(set(got))   # no duplicate pairs
+
+
+def test_bucketized_overlap_drops_empty_and_validates(spark):
+    left = spark.createDataFrame(
+        [(1, 5, 5), (2, 0, 10)], "lid long, ls long, le long")
+    right = spark.createDataFrame(
+        [(9, 0, 100)], "rid long, rs long, re long")
+    got = [r["lid"] for r in bucketized_interval_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=8).collect()]
+    assert got == [2]   # the empty [5,5) interval never matches
+    with pytest.raises(ValueError, match="bucket_width"):
+        bucketized_interval_join(left, right, "ls", "le", "rs", "re",
+                                 bucket_width=0)
+    with pytest.raises(ValueError, match="collide"):
+        bucketized_interval_join(left, left, "ls", "le", "ls", "le",
+                                 bucket_width=8)
+
+
+# ---- snapshot_diff -------------------------------------------------------
+
+def test_snapshot_diff_classification(spark):
+    from building_permissions_etl_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, None)],
+        "k long, bal double, seg string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),        # unchanged
+         (2, 21.0, "B"),        # changed (value)
+         (3, None, "C"),        # unchanged (NULL == NULL null-safely)
+         (5, 50.0, "E")],       # added; 4 removed
+        "k long, bal double, seg string",
+    )
+    got = {r["k"]: r["change_type"] for r in
+           snapshot_diff(old, new, "k", ["bal", "seg"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_transitions_are_changes(spark):
+    from building_permissions_etl_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k long, seg string")
+    new = spark.createDataFrame([(1, "y"), (2, None)], "k long, seg string")
+    got = {r["k"]: r["change_type"] for r in
+           snapshot_diff(old, new, "k", ["seg"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
