@@ -227,8 +227,22 @@ def main() -> None:
     # hash-keyed).
     for name in ("activity_islands", "running_distinct_users",
                  "equi_depth_histogram", "campaign_overlap_orders",
-                 "dedup_incremental_batch"):
+                 "dedup_incremental_batch", "time_weighted_value",
+                 "mad_outliers_by_type", "snapshot_diff_census"):
         timed(f"round6:{name}", r56[name](spark, out))
+
+    # concurrent_purchase_errors is the density probe: N× events in the
+    # SAME 30-day span means N× the intervals per bucket, so the pair
+    # OUTPUT grows ~N² — inherent to the overlap semantics, not the
+    # algorithm (the bucketized join's shuffle stays linear in rows ×
+    # covered-buckets; only the in-bucket pair emission is quadratic in
+    # density). Time it expecting superlinear growth and read it with
+    # the output count.
+    cdf = r56["concurrent_purchase_errors"](spark, out)
+    t0 = time.time()
+    n_pairs = cdf.agg(F.sum("n_pairs")).first()[0]
+    print(f"round6:concurrent_purchase_errors: "
+          f"{round(time.time() - t0, 2)} s ({n_pairs} pairs)")
 
     _planted_long_doc_repetition(spark)
     _planted_long_chain_components(spark)

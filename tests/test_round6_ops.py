@@ -226,3 +226,22 @@ def test_snapshot_diff_null_transitions_are_changes(spark):
     got = {r["k"]: r["change_type"] for r in
            snapshot_diff(old, new, "k", ["seg"]).collect()}
     assert got == {1: "changed", 2: "changed"}
+
+
+def test_bucketized_overlap_is_an_equi_join(spark):
+    """The scale contract: candidates come from an EQUI join on the
+    bucket id — hash/merge join in the plan, never a nested loop or
+    cartesian (at tiny SF AQE may broadcast a side, but the join stays
+    keyed on __bkt)."""
+    left = spark.createDataFrame(
+        [(i, i * 3, i * 3 + 5) for i in range(50)],
+        "lid long, ls long, le long")
+    right = spark.createDataFrame(
+        [(100 + i, i * 4, i * 4 + 7) for i in range(50)],
+        "rid long, rs long, re long")
+    plan = _plan(bucketized_interval_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=10))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+                     r".*__bkt", plan), plan
