@@ -209,6 +209,8 @@ EXTENSION_HEADLINE = [
     "snapshot_diff_census",
     "time_weighted_value",
     "mad_outliers_by_type",
+    "minhash_estimate_calibration",
+    "kmeans_assign_census",
 ]
 
 

@@ -586,6 +586,139 @@ def contribute(register) -> None:
         """,
     )
 
+    # ---- minhash estimator calibration ---------------------------------
+    # The quality diagnostic behind every LSH threshold choice: for each
+    # candidate pair the banded pipeline surfaces, compare the minhash
+    # Jaccard ESTIMATE (fraction of equal signature components) against
+    # the EXACT shingle-set Jaccard, and histogram the absolute error in
+    # deciles. Runs on portable_hash64 so DuckDB replicates the whole
+    # sketch; both engines compute est (multiples of 1/64) and exact
+    # (int/int division) as identical doubles, so the floor(err*10)
+    # bucket cannot flip. Shape: the banded candidate join (never
+    # all-pairs) plus two gram-set joins back — grams ride only to
+    # candidate rows.
+    def calibration(spark, sf):
+        from building_permissions_etl_spark.functions.portable import (
+            portable_hash64,
+        )
+
+        docs = load_table(spark, "documents", sf)
+        pairs = D.minhash_lsh_pairs(
+            docs, "text", "doc_id", k=64, bands=16, min_est_jaccard=0.5,
+            base_hash=portable_hash64, max_bucket=D.DEFAULT_MAX_BUCKET,
+        )
+        grams = docs.select(
+            F.col("doc_id"), D.word_shingles(F.col("text"), 3).alias("ng"))
+        j = (
+            pairs
+            .join(grams.select(F.col("doc_id").alias("id_a"),
+                               F.col("ng").alias("ng_a")), "id_a")
+            .join(grams.select(F.col("doc_id").alias("id_b"),
+                               F.col("ng").alias("ng_b")), "id_b")
+        )
+        inter = F.size(F.array_intersect("ng_a", "ng_b"))
+        exact = inter.cast("double") / (
+            F.size("ng_a") + F.size("ng_b") - inter).cast("double")
+        err = F.abs(F.col("est_jaccard") - exact)
+        return (
+            j.select(F.floor(err * 10).cast("bigint").alias("err_decile"))
+            .groupBy("err_decile")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("err_decile")
+        )
+
+    from building_permissions_etl_spark.plans import sketch_oracles as SK
+    from building_permissions_etl_spark.plans.extensions import _SHINGLES3
+
+    register(
+        "minhash_estimate_calibration",
+        calibration,
+        f"""
+        WITH cand AS (
+          {SK.minhash_lsh_sql(_SHINGLES3, k=64, bands=16, min_est=0.5,
+                              max_bucket=D.DEFAULT_MAX_BUCKET)}
+        ), g AS (
+          SELECT doc_id, {_SHINGLES3} AS ng FROM documents
+        ), e AS (
+          SELECT c.est_jaccard,
+                 CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+                   / CAST(len(a.ng) + len(b.ng)
+                          - len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+                   AS exact
+          FROM cand c
+          JOIN g a ON a.doc_id = c.id_a
+          JOIN g b ON b.doc_id = c.id_b
+        )
+        SELECT CAST(floor(abs(est_jaccard - exact) * 10) AS BIGINT)
+                 AS err_decile,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM e GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    # ---- one-pass k-means assignment census ----------------------------
+    # The Lloyd-iteration assignment step with deterministic seeds (the
+    # 16 lowest-id vectors — both engines read the SAME seed vectors
+    # from the table, so no literal centroids in the SQL): every vector
+    # joins the broadcast seed set, takes the argmin squared-L2 (rounded
+    # 6, seed_id tiebreak), and the census reports cluster sizes. One
+    # broadcast join + one window shuffle on vec_id; at 100 TB the
+    # assignment is the per-iteration cost and this is its plan.
+    def kmeans_census(spark, sf):
+        emb = load_table(spark, "embeddings", sf)
+        seeds = emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv"))
+        diff2 = F.zip_with(
+            F.col("embedding"), F.col("sv"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        )
+        dist = F.round(
+            F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x), 6)
+        w = Window.partitionBy("vec_id").orderBy("dist", "seed_id")
+        assigned = (
+            emb.crossJoin(F.broadcast(seeds))
+            .select("vec_id", "seed_id", dist.alias("dist"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        return (
+            assigned.groupBy("seed_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.round(F.min("dist"), 6).alias("closest_dist2"),
+            )
+            .orderBy("seed_id")
+        )
+
+    register(
+        "kmeans_assign_census",
+        kmeans_census,
+        """
+        WITH s AS (
+          SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+          WHERE vec_id < 16
+        ), d AS (
+          SELECT e.vec_id, s.seed_id,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(s.sv[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE)
+                           - CAST(s.sv[i] AS DOUBLE)))), 6) AS dist
+          FROM embeddings e, s
+        ), a AS (
+          SELECT seed_id, dist FROM (
+            SELECT d.*, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, seed_id) AS rn
+            FROM d
+          ) WHERE rn = 1
+        )
+        SELECT seed_id, CAST(count(*) AS BIGINT) AS n_vectors,
+               round(min(dist), 6) AS closest_dist2
+        FROM a GROUP BY 1 ORDER BY 1
+        """,
+    )
+
     _contribute_group_by_all(register)
 
 

@@ -1,6 +1,12 @@
 """Generate QUERIES.md — the query inventory grouped by contributor
-module, with each query's correctness-check type. Run after adding
-queries: python scripts/gen_query_docs.py"""
+module, with each query's correctness-check type, plus the
+driver-verdict staleness table. Run after adding queries:
+
+    python scripts/gen_query_docs.py             # rewrite QUERIES.md
+    python scripts/gen_query_docs.py --suggest   # also print the
+        # recommended next _DRIVER_WINDOW (never-verified first, then
+        # oldest cohorts, oracle-backed only beyond the no-verdict set)
+"""
 
 from __future__ import annotations
 
@@ -109,5 +115,43 @@ def main() -> None:
     print(f"wrote QUERIES.md: {total} queries, {oracled} oracle-checked")
 
 
+def suggest_window(size: int = 50) -> list[str]:
+    """Mechanical next-round window: every query with NO driver verdict
+    (they must take one the round they exist), then whole staleness
+    cohorts oldest-first until ``size`` is reached (partial cohort
+    admitted alphabetically)."""
+    import glob
+    import json
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    newest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for q, v in json.load(open(path)).items():
+            ok = (v.get("rows_match") and v.get("schema_match")
+                  and v.get("hash_match") in (True, None))
+            if ok:
+                newest[q] = max(newest.get(q, 0), rnd)
+    from building_permissions_etl_spark.plans.registry import queries
+
+    by_round: dict[int, list[str]] = {}
+    for q in queries():
+        by_round.setdefault(newest.get(q, 0), []).append(q)
+    window: list[str] = []
+    for rnd in sorted(by_round):
+        cohort = sorted(by_round[rnd])
+        room = size - len(window)
+        if room <= 0:
+            break
+        window.extend(cohort[:room])
+    return window
+
+
 if __name__ == "__main__":
     main()
+    if "--suggest" in sys.argv:
+        names = suggest_window()
+        print("\nsuggested next _DRIVER_WINDOW (paste into "
+              "plans/registry.py after review):")
+        for n in names:
+            print(f'    "{n}",')

@@ -28,7 +28,7 @@ def test_driver_window_matches_round6_rotation():
     the 13 round-5 queries that registered after the round-5 window was
     pinned and so have no driver verdict, (b) the rows-only twin's
     first-ever driver row, (c) the five remaining oldest r01+r02-only
-    entries, and (d) all twelve round-6 additions — windowed the same
+    entries, and (d) all fourteen round-6 additions — windowed the same
     round they register, ending the after-pinning evidence-gap pattern."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
@@ -56,8 +56,9 @@ def test_driver_window_matches_round6_rotation():
         "dedup_incremental_batch", "group_by_all_revenue",
         "concurrent_purchase_errors", "snapshot_diff_census",
         "time_weighted_value", "mad_outliers_by_type",
+        "minhash_estimate_calibration", "kmeans_assign_census",
     }
     front = (round5_unverified | {"approx_count_distinct_dates"}
              | oldest_r02 | round6)
-    assert len(front) == 31
+    assert len(front) == 33
     assert front <= set(names[:50])
