@@ -228,7 +228,8 @@ def main() -> None:
     for name in ("activity_islands", "running_distinct_users",
                  "equi_depth_histogram", "campaign_overlap_orders",
                  "dedup_incremental_batch", "time_weighted_value",
-                 "mad_outliers_by_type", "snapshot_diff_census"):
+                 "mad_outliers_by_type", "snapshot_diff_census",
+                 "minhash_estimate_calibration"):
         timed(f"round6:{name}", r56[name](spark, out))
 
     # concurrent_purchase_errors is the density probe: N× events in the
