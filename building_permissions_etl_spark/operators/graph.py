@@ -1,0 +1,142 @@
+"""Iterative graph analytics over edge DataFrames.
+
+The reference pipeline has no graph surface (its only iterative
+construct is the pandas groupby loop in dags/aggregates_python.py); this
+module adds the canonical distributed-graph building block — a
+fixed-iteration PageRank — in the shape it must take on a real cluster:
+the edge list is a pre-aggregated DataFrame, every iteration is one
+equi-join (rank → out-edges) plus one aggregation keyed on the
+destination, and node state never leaves the executors.
+
+All rank arithmetic is FIXED-POINT INTEGER (``scale`` units of mass,
+integer division throughout), which buys two properties floats cannot
+give:
+
+  * determinism across engines AND across partitionings — integer sums
+    are order-independent, so the same graph produces bit-identical
+    ranks on Spark and on the DuckDB oracle, no tolerance needed;
+  * stability at scale — re-running with different shuffle partition
+    counts cannot perturb ranks, so downstream top-k cuts are stable.
+
+The cost is truncation: each division floors, so total mass decays by
+at most (n_edges + n_nodes) units per iteration — at scale=1e12 that is
+a relative error < 1e-6 for any graph under a million edges per node,
+far below ranking-relevant differences. Dangling-node mass (nodes with
+no out-edges) is dropped, not redistributed — the simplest of the
+standard variants (Page et al. 1999 §2.6 discusses the choices); the
+oracle replicates the identical rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node_col: str = "id",
+    n_iter: int = 6,
+    scale: int = 10**12,
+    damping: tuple[int, int] = (85, 100),
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """Weighted PageRank after ``n_iter`` synchronous iterations, in
+    integer fixed-point: returns (id, pr_fixed) where pr_fixed is the
+    rank mass in ``1/scale`` units.
+
+    Per iteration each node sends ``(pr * w) div outw`` along every
+    out-edge and collects ``base + (d_num * Σ incoming) div d_den``
+    where ``base = ((d_den - d_num) * (scale div N)) div d_den`` — the
+    uniform teleport share. All operands stay BIGINT; callers must keep
+    ``max(pr) * max(edge weight) < 2^63`` (pr ≤ scale by construction,
+    so any per-edge weight below ~9·10^6 at the default scale is safe;
+    pre-normalize heavier weights).
+
+    Scale shape: one shuffle per iteration on ``dst`` plus the
+    rank-side equi-join on ``src``; the edge relation's aggregation
+    exchange is plan-identical across iterations, so Spark's
+    ReuseExchange collapses the 2·n_iter references to one physical
+    computation of the edge list (asserted in tests/test_graph.py).
+    ``n_nodes`` avoids the dim-sized count() action when the caller
+    already knows the node count.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    d_num, d_den = damping
+    if not 0 < d_num < d_den:
+        raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
+
+    n = n_nodes if n_nodes is not None else nodes.count()
+    if n <= 0:
+        raise ValueError("nodes frame is empty")
+    init = scale // n
+    base = ((d_den - d_num) * init) // d_den
+
+    ow = edges.groupBy(src).agg(F.sum(weight).alias("__outw"))
+    e = edges.join(ow, src).select(
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        F.col(weight).cast("bigint").alias("__w"),
+        F.col("__outw").cast("bigint").alias("__outw"),
+    )
+    ids = nodes.select(F.col(node_col).alias("__id"))
+    pr = ids.select("__id", F.lit(init).cast("bigint").alias("__pr"))
+    for _ in range(n_iter):
+        contrib = e.join(pr, e["__src"] == pr["__id"]).select(
+            F.col("__dst"),
+            F.expr("(__pr * __w) div __outw").alias("__c"),
+        )
+        s = contrib.groupBy("__dst").agg(F.sum("__c").alias("__s"))
+        pr = ids.join(s, ids["__id"] == s["__dst"], "left").select(
+            "__id",
+            (
+                F.lit(base)
+                + F.expr(f"({d_num} * coalesce(__s, 0L)) div {d_den}")
+            ).cast("bigint").alias("__pr"),
+        )
+    return pr.select(
+        F.col("__id").alias(node_col), F.col("__pr").alias("pr_fixed")
+    )
+
+
+def pagerank_fixed_point_sql(
+    edges_sql: str,
+    nodes_sql: str,
+    n_iter: int = 6,
+    scale: int = 10**12,
+    damping: tuple[int, int] = (85, 100),
+) -> str:
+    """DuckDB oracle twin: unrolled CTE chain replaying the identical
+    integer recurrence. ``edges_sql`` must yield (src, dst, w) and
+    ``nodes_sql`` (id,). Emitted as chained CTEs rather than a recursive
+    CTE so the aggregation inside each step stays plain ANSI."""
+    d_num, d_den = damping
+    steps = [
+        f"""ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+        nd AS ({nodes_sql}),
+        c AS (SELECT CAST({scale} AS BIGINT)
+                     // (SELECT count(*) FROM nd) AS init),
+        pr0 AS (SELECT id, (SELECT init FROM c) AS pr FROM nd)"""
+    ]
+    for i in range(1, n_iter + 1):
+        steps.append(f"""pr{i} AS (
+          SELECT nd.id,
+                 CAST((({d_den - d_num} * (SELECT init FROM c)) // {d_den})
+                      + ({d_num} * coalesce(s.s, 0)) // {d_den}
+                      AS BIGINT) AS pr
+          FROM nd LEFT JOIN (
+            SELECT e.dst AS id,
+                   CAST(sum((p.pr * e.w) // ow.outw) AS BIGINT) AS s
+            FROM e JOIN ow USING (src) JOIN pr{i - 1} p ON p.id = e.src
+            GROUP BY 1) s USING (id))""")
+    body = ",\n        ".join(steps)
+    return f"""
+        WITH e AS ({edges_sql}),
+        {body}
+        SELECT id, pr AS pr_fixed FROM pr{n_iter}
+    """

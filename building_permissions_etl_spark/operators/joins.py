@@ -251,3 +251,40 @@ def bucketized_interval_join(
         *[F.col(f"l.{c}") for c in left.columns],
         *[F.col(f"r.{c}") for c in right.columns],
     )
+
+
+def blocked_levenshtein_match(
+    dirty: DataFrame,
+    clean: DataFrame,
+    dirty_name: str,
+    clean_name: str,
+    block_col: str = "block",
+    max_dist: int = 4,
+) -> DataFrame:
+    """Entity resolution by blocked fuzzy matching: candidate pairs come
+    ONLY from an equi-join on a caller-supplied blocking key (both
+    inputs must already carry ``block_col``); within a block, a pair
+    matches when the Levenshtein edit distance between the name columns
+    is ≤ ``max_dist``. Returns every dirty row's columns plus the
+    matched clean name and ``lev`` distance (one row per surviving
+    candidate pair — callers pick a survivor policy downstream).
+
+    This is the standard scale shape for fuzzy entity matching: the
+    quadratic distance computation is confined to within-block
+    candidates (the blocking key bounds block size the way LSH bands
+    bound bucket size in the dedup family) and the join itself is a
+    plain equi-join — shuffle or broadcast by planner choice, never a
+    cross product. Edit distance is exactly specified, so both engines
+    agree bit-for-bit on every pair.
+    """
+    c = clean.select(
+        F.col(block_col).alias("__cb"),
+        F.col(clean_name).alias("matched_name"),
+    )
+    lev = F.levenshtein(F.col(dirty_name), F.col("matched_name"))
+    return (
+        dirty.join(c, dirty[block_col] == c["__cb"])
+        .withColumn("lev", lev)
+        .filter(F.col("lev") <= max_dist)
+        .drop("__cb")
+    )

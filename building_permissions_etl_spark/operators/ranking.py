@@ -350,3 +350,64 @@ def chunk_dup_fraction(
         )
         .orderBy("id")
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Hashed-n-gram importance scores for data selection (the DSIR
+    recipe, Xie et al. 2023 — "Data Selection for Language Models via
+    Importance Resampling" — with hashed unigram features): every token
+    hashes into one of ``n_buckets`` buckets; a document's affinity to
+    the target distribution is how often its tokens land in buckets the
+    TARGET subset (rows where boolean ``target_col`` is true) populates.
+
+    Production DSIR weights are the log-likelihood ratio
+    ``Σ log(p_target[b]/p_raw[b])`` — a float sum whose value depends on
+    summation order. This operator keeps the per-doc feature sums as
+    EXACT INTEGERS (``target_hits`` = Σ target-bucket count over the
+    doc's tokens, ``total_hits`` = the same against the full corpus) and
+    takes ONE double division for the score, so ranking is
+    order-independent and engine-portable; the monotone integer
+    surrogate selects the same top set as the ratio it approximates
+    whenever bucket masses dominate (documented trade — swap the final
+    expression for the log-ratio on a real run, where a tolerance
+    replaces bit-parity).
+
+    Returns (id, target_hits, total_hits, score) for every document
+    with ≥1 token. Shape: one token explode shuffled on the 8-byte
+    bucket key, the two O(n_buckets) count tables broadcast back, one
+    per-doc re-aggregation — linear at any corpus size, never a
+    vocabulary-sized shuffle against the corpus.
+    """
+    from building_permissions_etl_spark.functions.portable import (
+        portable_hash64,
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).cast("boolean").alias("__tgt"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).withColumn("b", portable_hash64(F.col("term")) % n_buckets)
+    tgt = toks.filter("__tgt").groupBy("b").agg(
+        F.count(F.lit(1)).alias("__tc"))
+    allc = toks.groupBy("b").agg(F.count(F.lit(1)).alias("__ac"))
+    return (
+        toks.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(allc), "b")
+        .groupBy("id")
+        .agg(
+            F.sum(F.coalesce("__tc", F.lit(0))).cast("bigint")
+            .alias("target_hits"),
+            F.sum("__ac").cast("bigint").alias("total_hits"),
+        )
+        .withColumn(
+            "score",
+            F.col("target_hits").cast("double")
+            / F.col("total_hits").cast("double"),
+        )
+    )

@@ -729,3 +729,41 @@ def topk_bruteforce_batch(
         .drop("__rnk")
         .orderBy("query_id", F.desc("score"), "id")
     )
+
+
+def assign_nearest_seed(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    seeds: DataFrame,
+    seed_id_col: str = "seed_id",
+    seed_vec_col: str = "sv",
+    round_to: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment (the Lloyd's-iteration E-step and the
+    SemDeDup blocking step): every vector joins the BROADCAST seed set,
+    takes the argmin squared-L2 distance — rounded to ``round_to`` so the
+    comparison key is engine-portable — with the seed id as a
+    deterministic tiebreak. Returns the input columns plus
+    (``seed_id_col``, ``dist2``).
+
+    Shape: one broadcast nested-loop against the O(k) seed frame plus
+    one window shuffle on the vector id — the per-iteration cost of
+    k-means and the cluster-assignment pass of semantic dedup
+    (Abbas et al. 2023, SemDeDup) at any corpus size.
+    """
+    diff2 = F.zip_with(
+        F.col(vec_col), F.col(seed_vec_col),
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    dist = F.round(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x),
+                   round_to)
+    w = Window.partitionBy(id_col).orderBy("dist2", seed_id_col)
+    return (
+        df.crossJoin(F.broadcast(seeds.select(seed_id_col, seed_vec_col)))
+        .withColumn("dist2", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", seed_vec_col)
+    )

@@ -125,3 +125,66 @@ ORDERS_SUITE = ExpectationSuite(
 
 def expectation_suite_df(orders: DataFrame) -> DataFrame:
     return ORDERS_SUITE.evaluate(orders)
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: list[str],
+    string_cols: list[str],
+) -> DataFrame:
+    """One-pass column profiling — the post-load audit a warehouse runs
+    before publishing a table: per column, row count, null count, exact
+    distinct count, and min/max (numerics as rounded doubles, strings
+    lexically). Output is LONG form, one row per column, so a single
+    report schema covers any table.
+
+    Every measure compiles into ONE ``agg()`` — a single scan regardless
+    of column count (the same property as the expectation suite above);
+    the multi-column exact ``count(DISTINCT)`` lands as one
+    expand-based aggregate, not one job per column. At 100 TB swap
+    ``approx_count_distinct`` in for the distinct measure and accept the
+    sketch; every other measure is already a trivial partial aggregate.
+    """
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in numeric_cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.round(F.min(F.col(c).cast("double")), 6).alias(f"__mn_{c}"),
+            F.round(F.max(F.col(c).cast("double")), 6).alias(f"__mx_{c}"),
+        ]
+    for c in string_cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    parts = []
+    for c in numeric_cols:
+        parts.append(row.select(
+            F.lit(c).alias("column_name"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).cast("bigint").alias("n_null"),
+            F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_num"),
+            F.col(f"__mx_{c}").alias("max_num"),
+            F.lit(None).cast("string").alias("min_str"),
+            F.lit(None).cast("string").alias("max_str"),
+        ))
+    for c in string_cols:
+        parts.append(row.select(
+            F.lit(c).alias("column_name"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).cast("bigint").alias("n_null"),
+            F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+            F.lit(None).cast("double").alias("min_num"),
+            F.lit(None).cast("double").alias("max_num"),
+            F.col(f"__mn_{c}").alias("min_str"),
+            F.col(f"__mx_{c}").alias("max_str"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")
