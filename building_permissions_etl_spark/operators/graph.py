@@ -29,7 +29,7 @@ oracle replicates the identical rule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,12 +58,20 @@ def pagerank_fixed_point(
     pre-normalize heavier weights).
 
     Scale shape: one shuffle per iteration on ``dst`` plus the
-    rank-side equi-join on ``src``; the edge relation's aggregation
-    exchange is plan-identical across iterations, so Spark's
-    ReuseExchange collapses the 2·n_iter references to one physical
-    computation of the edge list (asserted in tests/test_graph.py).
-    ``n_nodes`` avoids the dim-sized count() action when the caller
-    already knows the node count.
+    rank-side equi-join on ``src``. The iteration-invariant frames —
+    the normalized edge list (built in ONE pass over ``edges``: the
+    per-source out-weight is a window sum, not a groupBy+self-join) and
+    the node-id list — are ``.cache()``d, so the executed plan
+    materializes each exactly once and every iteration reads the
+    InMemoryRelation instead of replaying the caller's edge lineage
+    n_iter times (round 6 shipped without this and re-ran a fact×fact
+    join 12× per query; tests/test_graph.py pins one materialization
+    with a pass-count accumulator and a zero-non-cached-fact-scan plan
+    walk). The caches are CacheManager-visible — LRU-evictable under
+    memory pressure with lineage recompute, never a leak class; callers
+    running many graphs can ``spark.catalog.clearCache()`` between
+    them. ``n_nodes`` avoids the dim-sized count() action when the
+    caller already knows the node count.
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
@@ -77,14 +85,18 @@ def pagerank_fixed_point(
     init = scale // n
     base = ((d_den - d_num) * init) // d_den
 
-    ow = edges.groupBy(src).agg(F.sum(weight).alias("__outw"))
-    e = edges.join(ow, src).select(
-        F.col(src).alias("__src"),
-        F.col(dst).alias("__dst"),
-        F.col(weight).cast("bigint").alias("__w"),
-        F.col("__outw").cast("bigint").alias("__outw"),
+    e = (
+        edges.select(
+            F.col(src).alias("__src"),
+            F.col(dst).alias("__dst"),
+            F.col(weight).cast("bigint").alias("__w"),
+        )
+        .withColumn(
+            "__outw", F.sum("__w").over(Window.partitionBy("__src"))
+        )
+        .cache()
     )
-    ids = nodes.select(F.col(node_col).alias("__id"))
+    ids = nodes.select(F.col(node_col).alias("__id")).cache()
     pr = ids.select("__id", F.lit(init).cast("bigint").alias("__pr"))
     for _ in range(n_iter):
         contrib = e.join(pr, e["__src"] == pr["__id"]).select(

@@ -65,9 +65,11 @@ def contribute(register) -> None:
     # canonical per-iteration shape of distributed graph analytics. The
     # oracle replays the identical integer recurrence as six unrolled
     # CTEs, so this is the registry's only ITERATIVE algorithm with a
-    # full value-hash check. Edge construction scans the fact once;
-    # ReuseExchange collapses the 12 plan references to the edge
-    # aggregate into one physical computation.
+    # full value-hash check. The operator caches the normalized edge
+    # list, so the fact join materializes ONCE and all 6 iterations
+    # read the InMemoryRelation (plan + runtime-pass-count pinned in
+    # tests/test_graph.py — round 6 shipped without the cache and
+    # re-ran this join 12x per query).
     def pagerank(spark, sf):
         li = load_table(spark, "lineitem", sf).select("l_orderkey", "l_suppkey")
         od = load_table(spark, "orders", sf).select("o_orderkey", "o_custkey")
