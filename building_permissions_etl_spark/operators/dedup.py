@@ -58,6 +58,29 @@ def _eager_final_release_ok(df: DataFrame) -> bool:
         return False
 
 
+# Final-generation checkpoint releases retained on a CLUSTER master,
+# where eager release is unsafe (the cached result's recompute path runs
+# through the checkpoint — see _eager_final_release_ok). One entry per
+# connected-components call; empty on a local master.
+_RETAINED_FINAL_RELEASES: list = []
+
+
+def release_retained_checkpoints() -> int:
+    """Free the final-generation localCheckpoint blocks retained by
+    prior ``connected_components`` / ``connected_components_star`` calls
+    on a cluster master. Call once the returned label frames have been
+    fully consumed (or re-materialized elsewhere): a released
+    checkpoint cannot back recompute, so cached labels that lose blocks
+    to executor failure afterwards would error instead of recovering.
+    Returns the number of checkpoint generations released. No-op (0) on
+    a local master, where releases are already eager per-result."""
+    n = 0
+    while _RETAINED_FINAL_RELEASES:
+        _RETAINED_FINAL_RELEASES.pop()()
+        n += 1
+    return n
+
+
 def _local_checkpoint_tracked(df: DataFrame):
     """Eager localCheckpoint returning ``(ck_df, release)``.
 
@@ -781,9 +804,12 @@ def connected_components(
         # returned labels are a fully-materialized plain cache; the
         # checkpoint behind their lineage is dead weight — free it when
         # safe (always on local; on a cluster it stays as the recompute
-        # path, bounded to one generation)
+        # path until the caller, done consuming the result, frees it via
+        # release_retained_checkpoints())
         if _eager_final_release_ok(labels):
             ck_release()
+        else:
+            _RETAINED_FINAL_RELEASES.append(ck_release)
     return labels
 
 
@@ -904,11 +930,13 @@ def connected_components_star(
         # labels are now fully materialized in their own (disk-spilling)
         # cache — the last edge generation, checkpoint or not, is dead
         # weight and releasable (eagerly on local; on a cluster master
-        # it stays as the cached labels' recompute path, bounded to one
-        # generation — see _eager_final_release_ok).
+        # it stays as the cached labels' recompute path until the
+        # caller frees it via release_retained_checkpoints()).
         if ck_release is not None:
             if _eager_final_release_ok(labels):
                 ck_release()
+            else:
+                _RETAINED_FINAL_RELEASES.append(ck_release)
             ck_release = None
     finally:
         if ck_release is not None:

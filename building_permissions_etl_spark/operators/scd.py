@@ -137,9 +137,14 @@ def scd2_upsert(
     if effective_ts is None:
         raise ValueError("effective_ts must not be None")
     import datetime as _dt
-    if isinstance(effective_ts, (_dt.datetime, _dt.date)):
-        pass  # native temporal objects always cast cleanly; no probe job
+    if (isinstance(effective_ts, (_dt.datetime, _dt.date))
+            and vf_type in ("date", "timestamp", "timestamp_ntz")):
+        pass  # temporal literal → temporal column always casts; no probe
     else:
+        # A temporal literal against a NON-temporal valid_from (e.g.
+        # bigint epoch) casts to NULL silently in a non-ANSI session —
+        # exactly the two-open-versions corruption the probe exists to
+        # catch — so only the temporal→temporal pairing skips it.
         try:
             probe = current.sparkSession.range(1).select(eff.alias("v")).first()
         except Exception as ex:  # ANSI session: the bad cast throws instead

@@ -706,11 +706,19 @@ def topk_bruteforce_batch(
     q_sel = df.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    q_rows = q_sel.collect()    # bounded: ≤ len(query_ids) rows
+    q_rows = q_sel.collect()    # bounded: ≤ len(query_ids) rows per id
     missing = {int(q) for q in query_ids} - {int(r["query_id"]) for r in q_rows}
     if missing:
         raise ValueError(
             f"{len(missing)} of the query_ids are missing from the corpus"
+        )
+    if len(q_rows) != len(query_ids):
+        # set-difference can't see this case: a corpus with duplicate id
+        # rows returns MORE rows than ids and would silently duplicate
+        # every (query_id, id) result pair
+        raise ValueError(
+            f"corpus has duplicate rows for {len(q_rows) - len(query_ids)} "
+            f"query id(s); {id_col} must be unique"
         )
     queries = df.sparkSession.createDataFrame(q_rows, schema=q_sel.schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -747,10 +755,19 @@ def assign_nearest_seed(
     deterministic tiebreak. Returns the input columns plus
     (``seed_id_col``, ``dist2``).
 
-    Shape: one broadcast nested-loop against the O(k) seed frame plus
-    one window shuffle on the vector id — the per-iteration cost of
+    Shape: one broadcast nested-loop against the O(k) seed frame, then
+    a ``min_by`` aggregation keyed on the vector id. The argmin is a
+    declarative aggregate, so the partial pass collapses each vector's
+    k scored rows to ONE inside the map task (the crossJoin preserves
+    the corpus partitioning, co-locating every vector's k rows) — the
+    exchange moves N rows, not k·N. Round 6 shipped this as a
+    ``row_number`` window, which shuffled the full k·N cross product:
+    harmless at k=16, the wrong shape at SemDeDup-realistic cluster
+    counts (10^4-10^5). The (dist2, seed id) ordering struct is unique
+    per group, so the argmin is deterministic. Per-iteration cost of
     k-means and the cluster-assignment pass of semantic dedup
-    (Abbas et al. 2023, SemDeDup) at any corpus size.
+    (Abbas et al. 2023, SemDeDup) at any corpus size; partial-before-
+    exchange pinned in tests/test_plan_shape.py.
     """
     diff2 = F.zip_with(
         F.col(vec_col), F.col(seed_vec_col),
@@ -759,11 +776,18 @@ def assign_nearest_seed(
     )
     dist = F.round(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x),
                    round_to)
-    w = Window.partitionBy(id_col).orderBy("dist2", seed_id_col)
-    return (
+    carried = [c for c in df.columns if c != id_col] + [seed_id_col, "dist2"]
+    best = (
         df.crossJoin(F.broadcast(seeds.select(seed_id_col, seed_vec_col)))
         .withColumn("dist2", dist)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", seed_vec_col)
+        .groupBy(id_col)
+        .agg(F.min_by(
+            F.struct(*[F.col(c) for c in carried]),
+            F.struct(F.col("dist2"), F.col(seed_id_col)),
+        ).alias("__best"))
+    )
+    out_order = [*df.columns, seed_id_col, "dist2"]
+    return best.select(
+        *[F.col(id_col) if c == id_col else F.col(f"__best.{c}").alias(c)
+          for c in out_order]
     )

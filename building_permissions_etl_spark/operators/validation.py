@@ -145,6 +145,17 @@ def profile_columns(
     ``approx_count_distinct`` in for the distinct measure and accept the
     sketch; every other measure is already a trivial partial aggregate.
     """
+    if not numeric_cols and not string_cols:
+        raise ValueError(
+            "profile_columns: no columns requested (numeric_cols and "
+            "string_cols are both empty)"
+        )
+    dupes = set(numeric_cols) & set(string_cols)
+    if dupes:
+        raise ValueError(
+            f"profile_columns: columns in both numeric and string lists: "
+            f"{sorted(dupes)}"
+        )
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     for c in numeric_cols:
         aggs += [

@@ -662,8 +662,12 @@ def contribute(register) -> None:
     # from the table, so no literal centroids in the SQL): every vector
     # joins the broadcast seed set, takes the argmin squared-L2 (rounded
     # 6, seed_id tiebreak), and the census reports cluster sizes. One
-    # broadcast join + one window shuffle on vec_id; at 100 TB the
-    # assignment is the per-iteration cost and this is its plan.
+    # broadcast join + a min_by argmin whose partial pass collapses each
+    # vector's k rows inside the map task (the crossJoin preserves the
+    # corpus partitioning), so the exchange moves N rows, not k·N — at
+    # 100 TB the assignment is the per-iteration cost and this is its
+    # plan (round 6 used a row_number window here, which shuffled the
+    # full k·N cross product).
     def kmeans_census(spark, sf):
         emb = load_table(spark, "embeddings", sf)
         seeds = emb.filter(F.col("vec_id") < 16).select(
@@ -675,12 +679,14 @@ def contribute(register) -> None:
         )
         dist = F.round(
             F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x), 6)
-        w = Window.partitionBy("vec_id").orderBy("dist", "seed_id")
         assigned = (
             emb.crossJoin(F.broadcast(seeds))
             .select("vec_id", "seed_id", dist.alias("dist"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            .groupBy("vec_id")
+            .agg(F.min_by(F.struct("seed_id", "dist"),
+                          F.struct("dist", "seed_id")).alias("__best"))
+            .select("vec_id", F.col("__best.seed_id").alias("seed_id"),
+                    F.col("__best.dist").alias("dist"))
         )
         return (
             assigned.groupBy("seed_id")

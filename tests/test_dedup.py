@@ -473,3 +473,33 @@ def test_checkpoint_released_per_result(spark):
     assert l2.count() == 2
     labels.unpersist()
     l2.unpersist()
+
+
+def test_release_retained_checkpoints_local_noop(spark):
+    """On a local master every final checkpoint is released eagerly, so
+    the retained-release registry stays empty and the explicit API is a
+    no-op returning 0."""
+    from building_permissions_etl_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+    D.connected_components(pairs, max_iters=20).collect()
+    assert D._RETAINED_FINAL_RELEASES == []
+    assert D.release_retained_checkpoints() == 0
+
+
+def test_release_retained_checkpoints_cluster_path(spark, monkeypatch):
+    """When eager final release is unsafe (cluster master), the release
+    handle is retained and the explicit API frees it — cluster callers
+    are bounded by their own consumption point, not context death."""
+    from building_permissions_etl_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "_eager_final_release_ok", lambda df: False)
+    # a 12-node chain forces >5 propagation rounds → a live checkpoint
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a int, id_b int")
+    labels = D.connected_components(pairs, max_iters=20)
+    assert len(D._RETAINED_FINAL_RELEASES) == 1
+    assert D.release_retained_checkpoints() == 1
+    assert D._RETAINED_FINAL_RELEASES == []
+    # the materialized label cache still serves the result afterwards
+    assert {r["label"] for r in labels.collect()} == {1}

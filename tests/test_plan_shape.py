@@ -230,3 +230,28 @@ def test_batched_ann_scans_corpus_once(spark):
     plan = _plan(q)
     scans = re.findall(r"Scan parquet|FileScan parquet", plan)
     assert len(scans) == 1, plan
+
+
+def test_assign_nearest_seed_partial_argmin_before_exchange(spark):
+    """The nearest-seed argmin must be a declarative min_by aggregation
+    whose PARTIAL pass runs before the exchange — each vector's k scored
+    rows collapse to one inside the map task, so the shuffle moves N
+    rows, not k·N (round 6 used a row_number window, which shuffled the
+    full cross product)."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.operators.similarity import (
+        assign_nearest_seed,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", SF)
+    seeds = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv"))
+    plan = _plan(assign_nearest_seed(emb, "embedding", "vec_id", seeds))
+    assert "row_number" not in plan, plan
+    i_partial = plan.find("partial_min_by")
+    i_exchange = plan.find("Exchange hashpartitioning(vec_id")
+    assert i_partial != -1 and i_exchange != -1, plan
+    # explain prints top-down: the partial aggregate must sit BELOW
+    # (later in the text than) the exchange that feeds the final agg
+    assert i_partial > i_exchange, plan

@@ -245,3 +245,32 @@ def test_bucketized_overlap_is_an_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
                      r".*__bkt", plan), plan
+
+
+def test_profile_columns_rejects_empty_and_overlap(spark):
+    import pytest
+
+    from building_permissions_etl_spark.operators.validation import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "x int, s string")
+    with pytest.raises(ValueError, match="no columns requested"):
+        profile_columns(df, [], [])
+    with pytest.raises(ValueError, match="both numeric and string"):
+        profile_columns(df, ["x"], ["x"])
+
+
+def test_topk_bruteforce_batch_rejects_duplicate_corpus_ids(spark):
+    import pytest
+
+    from building_permissions_etl_spark.operators.similarity import (
+        topk_bruteforce_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        topk_bruteforce_batch(df, "embedding", "vec_id", [1, 2], k=1)

@@ -251,3 +251,39 @@ def test_compact_changelog_null_op_raises(spark):
     snap = SCD.compact_changelog(log, "k", "ts", "op", tiebreak=["seq"])
     with pytest.raises(Exception, match="NULL 'op'"):
         snap.collect()
+
+
+def test_scd2_upsert_temporal_literal_nontemporal_column_probed(spark):
+    """A date/datetime literal against a NON-temporal valid_from (bigint
+    epoch-day column) must not skip the cast probe: cast(date as bigint)
+    yields NULL in a non-ANSI session, which would close versions with
+    valid_to = NULL and corrupt the history. The probe raises instead."""
+    import datetime as dt
+
+    import pytest
+
+    cur = spark.createDataFrame(
+        [(1, 10.0, 100, None)],
+        "k int, bal double, valid_from bigint, valid_to bigint",
+    )
+    upd = spark.createDataFrame([(1, 11.0)], "k int, bal double")
+    with pytest.raises(ValueError, match="does not cast"):
+        SCD.scd2_upsert(cur, upd, "k", ["bal"],
+                        dt.date(2001, 6, 1), "valid_from", "valid_to")
+
+
+def test_scd2_upsert_epoch_seconds_column_works(spark):
+    """timestamp literal → bigint valid_from is a LEGAL cast (epoch
+    seconds) and must keep working through the probe path."""
+    import datetime as dt
+
+    cur = spark.createDataFrame(
+        [(1, 10.0, 978307200, None)],
+        "k int, bal double, valid_from bigint, valid_to bigint",
+    )
+    upd = spark.createDataFrame([(1, 11.0)], "k int, bal double")
+    eff = dt.datetime(2001, 6, 1, tzinfo=dt.timezone.utc)
+    out = SCD.scd2_upsert(cur, upd, "k", ["bal"],
+                          eff, "valid_from", "valid_to").collect()
+    closed = [r for r in out if r["valid_to"] is not None]
+    assert len(closed) == 1 and closed[0]["valid_to"] == 991353600
