@@ -1,0 +1,242 @@
+"""Round-7 batch: the full Lloyd k-means loop with a value-hash oracle,
+the documented approx-percentile scale twin for the MAD outlier census,
+and the mergeable-sketch rollup pattern (monthly HLL partials unioned to
+quarters) beside its exact oracle-backed reference.
+
+Closes VERDICT r06 items 5 (approx twin demonstrated, not just
+documented) and 6 (second iterative algorithm with a full value-hash
+check, reusing the materialize-between-iterations pattern from the
+PageRank fix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.catalog import load_table
+
+DIM = 64
+K_SEEDS = 16
+# Quantization for the Lloyd loop: embedding components live in
+# (-0.53, 0.46) (TESTDATA fixtures), so round(x*1e6) + 2^20 is always
+# POSITIVE. That matters: with positive operands Spark's `div` and
+# DuckDB's `//` agree (both floor); for negative operands both truncate
+# toward zero while Python floors — keeping every intermediate positive
+# sidesteps the whole divergence class. The uniform offset cancels in
+# every distance difference, so assignments are unchanged.
+Q_SCALE = 1_000_000
+Q_OFFSET = 1 << 20
+
+
+def _quantize(col):
+    return F.transform(
+        col,
+        lambda x: (F.round(x.cast("double") * Q_SCALE).cast("bigint")
+                   + F.lit(Q_OFFSET)),
+    )
+
+
+def _int_dist2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vectors, centroids):
+    """(vec_id, qv) × broadcast (seed_id, sv) → argmin integer L2, the
+    min_by shape whose partial pass collapses k rows per vector inside
+    the map task (operators/similarity.py:assign_nearest_seed)."""
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "qv", "seed_id",
+                _int_dist2(F.col("qv"), F.col("sv")).alias("dist2"))
+        .groupBy("vec_id")
+        .agg(F.min_by(F.struct("qv", "seed_id", "dist2"),
+                      F.struct("dist2", "seed_id")).alias("__b"))
+        .select("vec_id", F.col("__b.qv").alias("qv"),
+                F.col("__b.seed_id").alias("seed_id"),
+                F.col("__b.dist2").alias("dist2"))
+    )
+
+
+_QV_SQL = (f"list_transform(range(1, {DIM + 1}), "
+           f"i -> CAST(round(embedding[i] * {Q_SCALE}) AS BIGINT)"
+           f" + {Q_OFFSET})")
+_DIST_SQL = ("list_sum(list_transform(range(1, %d), "
+             "i -> (%s[i] - %s[i]) * (%s[i] - %s[i])))" % (DIM + 1,
+             "{a}", "{b}", "{a}", "{b}"))
+
+
+def _dist_sql(a: str, b: str) -> str:
+    return _DIST_SQL.format(a=a, b=b)
+
+
+def _assign_sql(vectors_cte: str, centroids_cte: str) -> str:
+    d = _dist_sql("v.qv", "c.sv")
+    return f"""
+      SELECT vec_id, qv, seed_id, dist2 FROM (
+        SELECT v.vec_id, v.qv, c.seed_id,
+               CAST({d} AS BIGINT) AS dist2,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY CAST({d} AS BIGINT), c.seed_id) AS rn
+        FROM {vectors_cte} v, {centroids_cte} c
+      ) WHERE rn = 1
+    """
+
+
+def contribute(register) -> None:
+    # ---- two full Lloyd iterations (E + M + E + M + census) ------------
+    # The registry's second iterative algorithm with a complete
+    # value-hash oracle. Everything is INTEGER: vectors quantized to
+    # micro-units (positive via offset), distances are exact bigint
+    # sums, and the M-step centroid is the element-wise integer mean
+    # (sum div n) — so two engines walking two iterations land on
+    # bit-identical assignments and inertia, no float reassociation or
+    # division-rounding drift possible. Scale shape per iteration: one
+    # broadcast of the k centroids × one corpus pass (the min_by argmin
+    # exchanges N rows, not k·N) + one k-row aggregate for the M-step;
+    # the quantized corpus is cached once (materialize-between-
+    # iterations, as in operators/graph.py) so the E-steps re-read an
+    # InMemoryRelation instead of re-scanning parquet per iteration.
+    def lloyd(spark, sf):
+        emb = load_table(spark, "embeddings", sf)
+        q = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+        q = q.cache()
+        seeds0 = q.filter(F.col("vec_id") < K_SEEDS).select(
+            F.col("vec_id").alias("seed_id"), F.col("qv").alias("sv"))
+
+        def m_step(assigned):
+            sums = assigned.groupBy("seed_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(DIM)],
+            )
+            return sums.select(
+                "seed_id",
+                F.array(*[F.expr(f"s{i} div n") for i in range(DIM)])
+                .alias("sv"),
+            )
+
+        a1 = _assign(q, seeds0)
+        c1 = m_step(a1)
+        a2 = _assign(q, c1)
+        c2 = m_step(a2)
+        final = _assign(q, c2)
+        return (
+            final.groupBy("seed_id")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.sum("dist2").alias("inertia"))
+            .orderBy("seed_id")
+        )
+
+    _centroid_cols = ", ".join(
+        f"CAST(sum(qv[{i}]) // count(*) AS BIGINT)" for i in range(1, DIM + 1)
+    )
+    _m_step_sql = (
+        "SELECT seed_id, list_value({cols}) AS sv FROM {a} "
+        "GROUP BY seed_id"
+    )
+    register(
+        "kmeans_lloyd_2iter",
+        lloyd,
+        f"""
+        WITH q AS (
+          SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+        ), s0 AS (
+          SELECT vec_id AS seed_id, qv AS sv FROM q WHERE vec_id < {K_SEEDS}
+        ), a1 AS ({_assign_sql('q', 's0')}
+        ), c1 AS ({_m_step_sql.format(cols=_centroid_cols, a='a1')}
+        ), a2 AS ({_assign_sql('q', 'c1')}
+        ), c2 AS ({_m_step_sql.format(cols=_centroid_cols, a='a2')}
+        ), fin AS ({_assign_sql('q', 'c2')})
+        SELECT seed_id, CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(dist2) AS BIGINT) AS inertia
+        FROM fin GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    # ---- MAD outliers, approx-percentile twin --------------------------
+    # The demonstrated 100 TB path for mad_outliers_by_type: exact
+    # `percentile` buffers each group's values on one reducer, so at
+    # scale the medians swap to the GK-sketch `percentile_approx`
+    # (bounded memory, partial-mergeable). Same census shape and
+    # columns as the exact twin; registered WITHOUT an oracle (the
+    # sketch's medians are engine-specific), mirroring the
+    # count-distinct / HLL twin pair — the driver records rows-only,
+    # and the bench records the price of the sketch.
+    def mad_approx(spark, sf):
+        ev = load_table(spark, "events", sf)
+        staged = ev.select(
+            "event_type",
+            F.round(F.col("value") * 1000).cast("bigint").alias("m"))
+        med = staged.groupBy("event_type").agg(
+            F.percentile_approx(F.col("m"), F.lit(0.5), F.lit(10000))
+            .alias("med"))
+        dev = staged.join(F.broadcast(med), "event_type").select(
+            "event_type", F.abs(F.col("m") - F.col("med")).alias("dev"))
+        madt = dev.groupBy("event_type").agg(
+            F.percentile_approx(F.col("dev"), F.lit(0.5), F.lit(10000))
+            .alias("mad"))
+        return (
+            dev.join(F.broadcast(madt), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1)
+                      .otherwise(0)).cast("bigint").alias("n_outliers"),
+            )
+            .orderBy("event_type")
+        )
+
+    register("mad_outliers_by_type_approx", mad_approx, None)
+
+    # ---- exact quarterly distinct users (oracle) -----------------------
+    # The exact reference for the sketch rollup below — one
+    # count(DISTINCT) per quarter, the thing that at 100 TB costs a
+    # full shuffle of (quarter, user) pairs and motivates sketches.
+    def quarterly_exact(spark, sf):
+        ev = load_table(spark, "events", sf)
+        return (
+            ev.groupBy(F.date_trunc("quarter", "ts").cast("date")
+                       .cast("string").alias("quarter"))
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .orderBy("quarter")
+        )
+
+    register(
+        "quarterly_distinct_users",
+        quarterly_exact,
+        """
+        SELECT CAST(CAST(date_trunc('quarter', ts) AS DATE) AS VARCHAR)
+                 AS quarter,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    # ---- mergeable HLL partials: month sketches → quarter rollup -------
+    # The bronze/silver sketch pattern a 100 TB warehouse actually
+    # ships: per-month HLL sketch partials (hll_sketch_agg, the Apache
+    # DataSketches HllSketch under the hood) UNION-merged
+    # (hll_union_agg) into quarter estimates — re-aggregation without
+    # re-touching the fact, the associativity exact count(DISTINCT)
+    # can never give. Rows-only by design (sketch estimates are
+    # engine-specific); quarterly_distinct_users above is the exact
+    # reference the estimate lands within ~2% of at lgK=14.
+    def hll_rollup(spark, sf):
+        ev = load_table(spark, "events", sf)
+        monthly = ev.groupBy(
+            F.date_trunc("month", "ts").alias("month")).agg(
+            F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+        return (
+            monthly.groupBy(F.date_trunc("quarter", "month").cast("date")
+                            .cast("string").alias("quarter"))
+            .agg(F.count(F.lit(1)).alias("n_month_partials"),
+                 F.expr("hll_sketch_estimate(hll_union_agg(sk, 14))")
+                 .alias("approx_users"))
+            .orderBy("quarter")
+        )
+
+    register("hll_quarterly_users_rollup", hll_rollup, None)
