@@ -211,6 +211,49 @@ EXTENSION_HEADLINE = [
     "mad_outliers_by_type",
     "minhash_estimate_calibration",
     "kmeans_assign_census",
+    # round-6b: the heaviest non-dedup queries in the registry
+    # (VERDICT r07 item 2 — previously judge-timed only, now driver-
+    # benched so regressions land in BENCH_r{N}.json)
+    "pagerank_trade_graph",
+    "semantic_dedup_census",
+    "dsir_selection_census",
+    "column_profile_orders",
+    "entity_resolution_blocked",
+    "benford_first_digit",
+    # round-7: Lloyd loop + sketch twins beside their exact references
+    "kmeans_lloyd_2iter",
+    "mad_outliers_by_type_approx",
+    "quarterly_distinct_users",
+    "hll_quarterly_users_rollup",
+    "approx_count_distinct_dates",
+    # round-8: graph/sampling/skyline/interp/retention/sketch-rollup
+    "triangle_count_trade_graph",
+    "priority_sample_by_lang",
+    "pareto_frontier_parts",
+    "weekly_anchor_interpolation",
+    "weekly_user_overlap_exact",
+    "weekly_user_overlap_theta",
+    "kll_weekly_value_quantiles",
+    "approx_topk_event_types",
+    # previously-unbenched mid-weight queries (full-fact aggs, set ops,
+    # multi-join trees). The ONLY registry queries deliberately left
+    # unbenched are trivial scalar/filter/rename point-ops whose cost is
+    # the parquet scan itself: range_filter_halfopen, upper_bound_filter,
+    # not_in_set_filter, prefix_filter_drilldown, projection_rename,
+    # roman_numeral_codec, scalar_function_showcase, scalar_max_watermark.
+    "audit_metrics",
+    "cube_order_counts",
+    "daily_active_users",
+    "days_lookback_window",
+    "dim_summary_left_join",
+    "except_finished_only_customers",
+    "intersect_active_customers",
+    "orders_per_customer_array",
+    "region_rollup_with_default",
+    "sql_revenue_by_status",
+    "terc_decision_tree",
+    "timestamp_parse_metrics",
+    "unpivot_cells_long",
 ]
 
 

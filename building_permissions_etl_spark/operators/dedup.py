@@ -22,6 +22,8 @@ array_min / xxhash64 / bitwise ops) — no Python in the hot path.
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -61,7 +63,16 @@ def _eager_final_release_ok(df: DataFrame) -> bool:
 # Final-generation checkpoint releases retained on a CLUSTER master,
 # where eager release is unsafe (the cached result's recompute path runs
 # through the checkpoint — see _eager_final_release_ok). One entry per
-# connected-components call; empty on a local master.
+# connected-components call; empty on a local master. GROWTH CONTRACT:
+# on a cluster this list grows by exactly one closure (one live
+# checkpoint generation + one py4j ref) per connected-components call
+# until release_retained_checkpoints() is invoked — long-lived cluster
+# drivers running many graphs MUST call it between batches or accept
+# one retained generation per call. Appends and drains are serialized
+# by _RETAINED_LOCK so concurrent driver threads cannot race the list;
+# the closures themselves are idempotent-unsafe (pop-then-call under
+# the lock guarantees each runs once).
+_RETAINED_LOCK = _threading.Lock()
 _RETAINED_FINAL_RELEASES: list = []
 
 
@@ -75,10 +86,13 @@ def release_retained_checkpoints() -> int:
     Returns the number of checkpoint generations released. No-op (0) on
     a local master, where releases are already eager per-result."""
     n = 0
-    while _RETAINED_FINAL_RELEASES:
-        _RETAINED_FINAL_RELEASES.pop()()
+    while True:
+        with _RETAINED_LOCK:
+            if not _RETAINED_FINAL_RELEASES:
+                return n
+            release = _RETAINED_FINAL_RELEASES.pop()
+        release()
         n += 1
-    return n
 
 
 def _local_checkpoint_tracked(df: DataFrame):
@@ -809,7 +823,8 @@ def connected_components(
         if _eager_final_release_ok(labels):
             ck_release()
         else:
-            _RETAINED_FINAL_RELEASES.append(ck_release)
+            with _RETAINED_LOCK:
+                _RETAINED_FINAL_RELEASES.append(ck_release)
     return labels
 
 
@@ -936,7 +951,8 @@ def connected_components_star(
             if _eager_final_release_ok(labels):
                 ck_release()
             else:
-                _RETAINED_FINAL_RELEASES.append(ck_release)
+                with _RETAINED_LOCK:
+                    _RETAINED_FINAL_RELEASES.append(ck_release)
             ck_release = None
     finally:
         if ck_release is not None:

@@ -29,6 +29,9 @@ MODULES = [
     ("scd_queries", "Dimension maintenance: SCD1 overwrite and SCD2 versioned merge"),
     ("round5_queries", "Temporal PIT join, interval-frame windows, quality survivors, batched ANN, curriculum cut"),
     ("round6_queries", "SCD2 history validation, gaps/islands, running distinct, interval overlap, FK audit, exact equi-depth, incremental dedup"),
+    ("round6b_queries", "Graph PageRank, semantic dedup, DSIR selection, column profile, blocked entity resolution, Benford audit"),
+    ("round7_queries", "Lloyd k-means loop, GK-sketch MAD twin, mergeable HLL rollup beside its exact reference"),
+    ("round8_queries", "Triangle counting, priority sampling, Pareto skyline, anchor interpolation, retention + theta twin, KLL rollup, approx top-k"),
 ]
 
 

@@ -245,6 +245,45 @@ def main() -> None:
     print(f"round6:concurrent_purchase_errors: "
           f"{round(time.time() - t0, 2)} s ({n_pairs} pairs)")
 
+    # Round-6b/7/8 heavy families (VERDICT r07 #4). PageRank, triangles
+    # and DSIR ride the N× facts already in `out`. The embedding-table
+    # queries (SemDeDup census, Lloyd loop) get their OWN N× synthesis:
+    # shifted vec_ids, so every vector gains N-1 exact twins — a planted
+    # duplicate flood that stresses exactly what centroid blocking must
+    # bound (in-cluster pair work), while `vec_id < 16` keeps the seed
+    # set unchanged. Kept separate from `out` so the batched-ANN
+    # amortization numbers above stay comparable across rounds.
+    from building_permissions_etl_spark.plans import (round6b_queries,
+                                                      round7_queries,
+                                                      round8_queries)
+
+    r678 = {}
+    stage678 = lambda name, fn, sql: r678.__setitem__(name, fn)  # noqa: E731
+    round6b_queries.contribute(stage678)
+    round7_queries.contribute(stage678)
+    round8_queries.contribute(stage678)
+    for name in ("pagerank_trade_graph", "dsir_selection_census",
+                 "triangle_count_trade_graph", "weekly_user_overlap_exact",
+                 "weekly_anchor_interpolation", "quarterly_distinct_users",
+                 "hll_quarterly_users_rollup", "priority_sample_by_lang"):
+        timed(f"round678:{name}", r678[name](spark, out))
+
+    emb_out = f"{out}_emb"
+    shutil.rmtree(emb_out, ignore_errors=True)
+    os.makedirs(emb_out)
+    emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    vshift = emb1.agg(F.max("vec_id")).first()[0] + 1
+    vbig = emb1
+    for i in range(1, n):
+        vbig = vbig.unionByName(
+            emb1.withColumn("vec_id", F.col("vec_id") + F.lit(i * vshift)))
+    vbig.repartition(16).write.mode("overwrite").parquet(
+        f"{emb_out}/embeddings.parquet")
+    for name in ("semantic_dedup_census", "kmeans_lloyd_2iter"):
+        timed(f"round678:{name} (N-plicate embeddings)",
+              r678[name](spark, emb_out))
+    shutil.rmtree(emb_out, ignore_errors=True)
+
     _planted_long_doc_repetition(spark)
     _planted_long_chain_components(spark)
     _crs_codegen_throughput(spark)
