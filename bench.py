@@ -235,6 +235,10 @@ EXTENSION_HEADLINE = [
     "weekly_user_overlap_theta",
     "kll_weekly_value_quantiles",
     "approx_topk_event_types",
+    "sparse_dot_topk_pairs",
+    "basket_lift_brands",
+    "weighted_median_unit_price",
+    "peak_concurrency_by_type",
     # previously-unbenched mid-weight queries (full-fact aggs, set ops,
     # multi-join trees). The ONLY registry queries deliberately left
     # unbenched are trivial scalar/filter/rename point-ops whose cost is

@@ -44,7 +44,7 @@ def test_driver_window_matches_round8_rotation():
     front-load (a) every round-7/8 addition — new queries take a driver
     verdict the round they register, (b) the entire r03-newest cohort
     (the oldest evidence, recomputed from CORRECTNESS_r01-r07), and
-    (c) fifteen heavy r04-newest entries."""
+    (c) eleven heavy r04-newest entries."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
@@ -61,6 +61,8 @@ def test_driver_window_matches_round8_rotation():
         "pareto_frontier_parts", "weekly_anchor_interpolation",
         "weekly_user_overlap_exact", "weekly_user_overlap_theta",
         "kll_weekly_value_quantiles", "approx_topk_event_types",
+        "sparse_dot_topk_pairs", "basket_lift_brands",
+        "weighted_median_unit_price", "peak_concurrency_by_type",
     }
     r03_cohort = {
         "rollup_order_totals", "orders_per_customer_array",
@@ -73,7 +75,7 @@ def test_driver_window_matches_round8_rotation():
         "asof_join_last_error", "salted_group_count", "salted_join_segments",
         "exact_distinct_per_key",
     }
-    assert len(new_round78) == 12 and len(r03_cohort) == 23
+    assert len(new_round78) == 16 and len(r03_cohort) == 23
     assert new_round78 | r03_cohort <= set(names[:50])
 
 

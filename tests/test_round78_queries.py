@@ -180,6 +180,89 @@ def test_interpolation_anchors_exact_and_interior_monotone_flagged(spark):
                 assert lo - 1 <= r["interp_units"] <= hi + 1, (t, i, r)
 
 
+# ---- round-8b invariants -------------------------------------------------
+
+def test_sparse_dot_topk_matches_bruteforce_python(spark):
+    rows = Q["sparse_dot_topk_pairs"](spark, SF_DIR).collect()
+    assert rows and all(r["dot"] >= 1 for r in rows)
+    # brute-force the dot products for the returned pairs from raw text
+    docs = {r["doc_id"]: r["text"] for r in spark.read.parquet(
+        f"{SF_DIR}/documents.parquet").collect()}
+
+    def tf(text):
+        out = {}
+        for t in text.lower().split():
+            out[t] = out.get(t, 0) + 1
+        return out
+
+    # df cutoff replicated: terms in more than 50 docs are excluded
+    df_count = {}
+    for text in docs.values():
+        for t in set(text.lower().split()):
+            df_count[t] = df_count.get(t, 0) + 1
+    for r in rows:
+        ta, tb = tf(docs[r["doc_a"]]), tf(docs[r["doc_b"]])
+        expect = sum(ta[t] * tb.get(t, 0) for t in ta
+                     if df_count.get(t, 0) <= 50)
+        assert expect == r["dot"], (r, expect)
+
+
+def test_weighted_median_is_true_weighted_median(spark):
+    rows = Q["weighted_median_unit_price"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").selectExpr(
+        "l_returnflag",
+        "CAST(floor(l_extendedprice * 100) AS BIGINT) AS v",
+        "CAST(floor(l_quantity) AS BIGINT) AS w").collect()
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append((r["v"], r["w"]))
+    assert {r["l_returnflag"] for r in rows} == set(by_flag)
+    for r in rows:
+        vals = sorted(by_flag[r["l_returnflag"]])
+        tot = sum(w for _, w in vals)
+        assert r["total_qty"] == tot
+        cum = 0
+        for v, w in vals:
+            cum += w
+            if 2 * cum >= tot:
+                assert r["wmedian_cents"] == v, (r, v)
+                break
+
+
+def test_peak_concurrency_matches_bruteforce_sweep(spark):
+    rows = {r["event_type"]: r for r in
+            Q["peak_concurrency_by_type"](spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "ts").collect()
+    per_type = {}
+    for r in ev:
+        per_type.setdefault(r["event_type"], []).append(r["ts"])
+    assert set(rows) == set(per_type)
+    import datetime
+    for t, starts in per_type.items():
+        deltas = [(s, 1) for s in starts] + [
+            (s + datetime.timedelta(minutes=5), -1) for s in starts]
+        deltas.sort(key=lambda p: (p[0], p[1]))
+        cur = peak = 0
+        for _, d in deltas:
+            cur += d
+            peak = max(peak, cur)
+        assert rows[t]["peak_concurrent"] == peak, (t, peak, rows[t])
+        assert rows[t]["n_events"] == len(starts)
+
+
+def test_basket_lift_bounds_and_support(spark):
+    rows = Q["basket_lift_brands"](spark, SF_DIR).collect()
+    assert rows and len(rows) <= 20
+    for r in rows:
+        assert r["c_ab"] >= 5
+        assert r["c_ab"] <= min(r["c_a"], r["c_b"])
+        assert r["brand_a"] < r["brand_b"]
+        assert r["lift"] > 0
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
 # ---- Lloyd loop: inertia decreases --------------------------------------
 
 def test_kmeans_two_iterations_do_not_increase_inertia(spark):
