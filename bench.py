@@ -239,6 +239,9 @@ EXTENSION_HEADLINE = [
     "basket_lift_brands",
     "weighted_median_unit_price",
     "peak_concurrency_by_type",
+    "weekly_churned_users_exact",
+    "weekly_churn_theta",
+    "approx_topk_weekly_rollup",
     # previously-unbenched mid-weight queries (full-fact aggs, set ops,
     # multi-join trees). The ONLY registry queries deliberately left
     # unbenched are trivial scalar/filter/rename point-ops whose cost is

@@ -23,6 +23,7 @@ ROWS_ONLY = {
     "hll_quarterly_users_rollup",       # mergeable-HLL twin of quarterly_distinct_users
     "weekly_user_overlap_theta",        # theta-intersection twin of weekly_user_overlap_exact
     "kll_weekly_value_quantiles",       # mergeable-KLL rollup (exact twins: doc_length_quantiles)
+    "weekly_churn_theta",               # theta-A-NOT-B twin of weekly_churned_users_exact
 }
 
 
@@ -44,7 +45,7 @@ def test_driver_window_matches_round8_rotation():
     front-load (a) every round-7/8 addition — new queries take a driver
     verdict the round they register, (b) the entire r03-newest cohort
     (the oldest evidence, recomputed from CORRECTNESS_r01-r07), and
-    (c) eleven heavy r04-newest entries."""
+    (c) eight heavy r04-newest entries."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
@@ -63,6 +64,8 @@ def test_driver_window_matches_round8_rotation():
         "kll_weekly_value_quantiles", "approx_topk_event_types",
         "sparse_dot_topk_pairs", "basket_lift_brands",
         "weighted_median_unit_price", "peak_concurrency_by_type",
+        "weekly_churned_users_exact", "weekly_churn_theta",
+        "approx_topk_weekly_rollup",
     }
     r03_cohort = {
         "rollup_order_totals", "orders_per_customer_array",
@@ -75,7 +78,7 @@ def test_driver_window_matches_round8_rotation():
         "asof_join_last_error", "salted_group_count", "salted_join_segments",
         "exact_distinct_per_key",
     }
-    assert len(new_round78) == 16 and len(r03_cohort) == 23
+    assert len(new_round78) == 19 and len(r03_cohort) == 23
     assert new_round78 | r03_cohort <= set(names[:50])
 
 

@@ -52,6 +52,17 @@ def test_theta_overlap_tracks_exact_retention(spark):
         assert abs(est[wk] - n) <= max(2, 0.03 * n), (wk, n, est[wk])
 
 
+def test_theta_churn_tracks_exact_churn(spark):
+    exact = {r["week_start"]: r["n_churned"]
+             for r in Q["weekly_churned_users_exact"](spark, SF_DIR).collect()}
+    est = {r["week_start"]: r["est_churned"]
+           for r in Q["weekly_churn_theta"](spark, SF_DIR).collect()}
+    assert set(exact) == set(est)
+    for wk, n in exact.items():
+        # below the 4096-entry theta threshold the A-NOT-B is exact
+        assert abs(est[wk] - n) <= max(2, 0.03 * n), (wk, n, est[wk])
+
+
 def test_kll_rollup_quantiles_bracketed_by_minmax(spark):
     rows = Q["kll_weekly_value_quantiles"](spark, SF_DIR).collect()
     assert rows
