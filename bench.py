@@ -242,6 +242,7 @@ EXTENSION_HEADLINE = [
     "weekly_churned_users_exact",
     "weekly_churn_theta",
     "approx_topk_weekly_rollup",
+    "power_iteration_eigendirection",
     # previously-unbenched mid-weight queries (full-fact aggs, set ops,
     # multi-join trees). The ONLY registry queries deliberately left
     # unbenched are trivial scalar/filter/rename point-ops whose cost is

@@ -36,19 +36,19 @@ from building_permissions_etl_spark.operators import graph as G
 # Undirected nation-level trade graph, thresholded to heavy edges.
 # The threshold compare is INTEGER-exact on both engines:
 # keep iff w >= 1.2 * mean(w)  ⇔  5 * w * n_edges >= 6 * total_w.
+# ONE aggregation level: counting joined rows per unordered
+# (least, greatest) pair equals summing the directed pair counts, so
+# the directed pre-aggregate would only add a shuffle (Spark) / a
+# pipeline stage (DuckDB).
 _UND_EDGES_SQL = """
-  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
-         CAST(sum(w) AS BIGINT) AS w
-  FROM (
-    SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
-           CAST(count(*) AS BIGINT) AS w
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    WHERE s.s_nationkey <> c.c_nationkey
-    GROUP BY 1, 2
-  )
+  SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+         greatest(s.s_nationkey, c.c_nationkey) AS b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
   GROUP BY 1, 2
 """
 
@@ -74,20 +74,15 @@ def contribute(register) -> None:
         sup = load_table(spark, "supplier", sf).select(
             "s_suppkey", "s_nationkey")
         nat = load_table(spark, "nation", sf).select("n_nationkey")
-        directed = (
+        und = (
             li.join(od, li.l_orderkey == od.o_orderkey)
             .join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
             .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
             .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-            .groupBy(F.col("s_nationkey").alias("src"),
-                     F.col("c_nationkey").alias("dst"))
+            .groupBy(
+                F.least("s_nationkey", "c_nationkey").alias("a"),
+                F.greatest("s_nationkey", "c_nationkey").alias("b"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-        )
-        und = (
-            directed.groupBy(
-                F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"))
-            .agg(F.sum("w").cast("bigint").alias("w"))
         )
         whole = Window.partitionBy()
         kept = (
@@ -109,18 +104,23 @@ def contribute(register) -> None:
         "triangle_count_trade_graph",
         triangles,
         f"""
-        WITH und AS ({_UND_EDGES_SQL}),
+        WITH und AS MATERIALIZED ({_UND_EDGES_SQL}),
         tot AS (SELECT sum(w) AS tw, count(*) AS ne FROM und),
-        kept AS (
+        kept AS MATERIALIZED (
           SELECT a, b FROM und, tot WHERE 5 * w * ne >= 6 * tw
         ),
-        deg AS (
+        deg AS MATERIALIZED (
           SELECT node, count(*) AS d FROM (
             SELECT a AS node FROM kept
             UNION ALL SELECT b AS node FROM kept
           ) GROUP BY 1
         ),
-        o AS (
+        -- MATERIALIZED is load-bearing on every multiply-referenced
+        -- CTE here: DuckDB's default inlining re-evaluates kept/deg/o
+        -- once per reference, compounding through the 3-way wedge join
+        -- to ~33 re-runs of the fact aggregation (measured: >5 min and
+        -- a temp-disk blowout at sf0.1 vs 0.8 s materialized).
+        o AS MATERIALIZED (
           SELECT CASE WHEN (da.d, k.a) < (db.d, k.b)
                       THEN k.a ELSE k.b END AS u,
                  CASE WHEN (da.d, k.a) < (db.d, k.b)

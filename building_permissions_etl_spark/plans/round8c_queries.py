@@ -4,7 +4,9 @@ round 8's intersection; HLL can express neither) — plus the
 partial-mergeable heavy-hitter rollup (approx_top_k_accumulate per day,
 approx_top_k_combine to weeks) run inside its exactness envelope so the
 full value-hash oracle applies to the accumulate/combine/estimate
-plumbing.
+plumbing, and the registry's THIRD iterative algorithm: two rounds of
+power iteration for the dominant eigendirection of the embedding
+corpus, Gram-matrix-free and integer-exact end to end.
 
 Together with round 7/8 these complete the mergeable-sketch story a
 100 TB warehouse ships: HLL partials for distinct-union rollups, theta
@@ -19,6 +21,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.catalog import load_table
+
+DIM = 64
+# milli-unit quantization: components live in (-0.53, 0.46), so
+# q ∈ [-530, 460]. Per-iteration bounds with |v| <= 1000:
+# |x·v| <= 64·530·1000 ≈ 3.4e7, |u_j| = |Σ_i q_ij (x_i·v)| <=
+# N·530·3.4e7 ≈ 1.8e14 at N = 10^4 — five orders inside bigint. At
+# 10^9 vectors the same arithmetic needs the rescale moved inside the
+# aggregate (sum div N partials) or a 10³ smaller v scale; the plan
+# shape (explode → two groupBys per iteration) is unchanged.
+_Q_SQL = (f"list_transform(range(1, {DIM + 1}), "
+          f"i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) "
+          f"AS BIGINT))")
 
 
 def contribute(register) -> None:
@@ -147,6 +161,87 @@ def contribute(register) -> None:
                     F.col("e.count").cast("bigint").alias("cnt"))
             .orderBy("week_start", F.desc("cnt"), "item")
         )
+
+    # ---- dominant eigendirection: two rounds of power iteration ----------
+    # The registry's third iterative algorithm (after PageRank and the
+    # Lloyd loop): v ← Xᵀ(Xv) / ‖·‖∞, Gram-matrix-free — the corpus is
+    # never squared, each iteration is one pass computing the N dot
+    # products (shuffle on vec_id) and one pass re-projecting them onto
+    # the 64 axes (shuffle on the 6-bit component index, trivially
+    # map-side combined). INTEGER end to end: milli-quantized
+    # components, exact bigint sums, and the ∞-norm rescale is `div` by
+    # the max |u_j| — probed this session: Spark `div` and DuckDB `//`
+    # BOTH truncate toward zero on every sign combination, so the
+    # rescaled vectors are bit-identical across engines (the only
+    # divergence risk in the whole loop). Deterministic sign: v₀ = all
+    # 1000s, and every subsequent step is a function of it. The
+    # exploded quantized corpus is cached once (the PageRank /
+    # Lloyd materialize-between-iterations rule); both E-step shuffles
+    # read the InMemoryRelation.
+    def power_iteration(spark, sf):
+        emb = load_table(spark, "embeddings", sf)
+        e = (
+            emb.select(
+                "vec_id",
+                F.posexplode(F.transform(
+                    F.col("embedding"),
+                    lambda x: F.floor(x.cast("double") * 1000)
+                    .cast("bigint"))).alias("j", "qx"),
+            )
+            .cache()
+        )
+        v = spark.range(DIM).select(
+            F.col("id").cast("int").alias("j"),
+            F.lit(1000).cast("bigint").alias("v"))
+
+        for _ in range(2):
+            d = (e.join(F.broadcast(v), "j")
+                 .groupBy("vec_id")
+                 .agg(F.sum(F.col("qx") * F.col("v")).alias("d")))
+            u = (e.join(d, "vec_id")
+                 .groupBy("j")
+                 .agg(F.sum(F.col("qx") * F.col("d")).alias("u")))
+            m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+            v = (u.crossJoin(F.broadcast(m))
+                 .select("j", F.expr("(u * 1000) div m").alias("v")))
+
+        return v.select(F.col("j").cast("bigint").alias("j"), "v") \
+                .orderBy("j")
+
+    _e_sql = (f"SELECT vec_id, i - 1 AS j, qv[i] AS qx "
+              f"FROM q CROSS JOIN range(1, {DIM + 1}) t(i)")
+    # MATERIALIZED on e and every u: DuckDB's default CTE inlining
+    # re-evaluates a CTE once per reference, and e is referenced by all
+    # four matvec aggregates (u twice each, via the ∞-norm scalar
+    # subquery) — the compounding re-runs are the triangle-oracle
+    # lesson (round8_queries) applied preemptively.
+    _iter_sql = """
+        d{n} AS (
+          SELECT vec_id, CAST(sum(qx * v) AS BIGINT) AS d
+          FROM e JOIN v{p} USING (j) GROUP BY 1
+        ),
+        u{n} AS MATERIALIZED (
+          SELECT j, CAST(sum(qx * d) AS BIGINT) AS u
+          FROM e JOIN d{n} USING (vec_id) GROUP BY 1
+        ),
+        v{n} AS (
+          SELECT j, CAST(u * 1000 // (SELECT max(abs(u)) FROM u{n})
+                         AS BIGINT) AS v
+          FROM u{n}
+        )"""
+    register(
+        "power_iteration_eigendirection",
+        power_iteration,
+        f"""
+        WITH q AS (SELECT vec_id, {_Q_SQL} AS qv FROM embeddings),
+        e AS MATERIALIZED ({_e_sql}),
+        v0 AS (SELECT CAST(j AS INT) AS j, CAST(1000 AS BIGINT) AS v
+               FROM range(0, {DIM}) t(j)),
+        {_iter_sql.format(n=1, p=0)},
+        {_iter_sql.format(n=2, p=1)}
+        SELECT CAST(j AS BIGINT) AS j, v FROM v2 ORDER BY j
+        """,
+    )
 
     register(
         "approx_topk_weekly_rollup",

@@ -33,7 +33,7 @@ MODULES = [
     ("round7_queries", "Lloyd k-means loop, GK-sketch MAD twin, mergeable HLL rollup beside its exact reference"),
     ("round8_queries", "Triangle counting, priority sampling, Pareto skyline, anchor interpolation, retention + theta twin, KLL rollup, approx top-k"),
     ("round8b_queries", "Sparse dot-product top-k via inverted index, basket lift, weighted median, sweep-line peak concurrency"),
-    ("round8c_queries", "Weekly churn (exact + theta A-NOT-B twin), mergeable heavy-hitter rollup in its exactness envelope"),
+    ("round8c_queries", "Weekly churn (exact + theta A-NOT-B twin), mergeable heavy-hitter rollup, integer power iteration"),
 ]
 
 

@@ -45,7 +45,7 @@ def test_driver_window_matches_round8_rotation():
     front-load (a) every round-7/8 addition — new queries take a driver
     verdict the round they register, (b) the entire r03-newest cohort
     (the oldest evidence, recomputed from CORRECTNESS_r01-r07), and
-    (c) eight heavy r04-newest entries."""
+    (c) seven heavy r04-newest entries."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
@@ -65,7 +65,7 @@ def test_driver_window_matches_round8_rotation():
         "sparse_dot_topk_pairs", "basket_lift_brands",
         "weighted_median_unit_price", "peak_concurrency_by_type",
         "weekly_churned_users_exact", "weekly_churn_theta",
-        "approx_topk_weekly_rollup",
+        "approx_topk_weekly_rollup", "power_iteration_eigendirection",
     }
     r03_cohort = {
         "rollup_order_totals", "orders_per_customer_array",
@@ -78,7 +78,7 @@ def test_driver_window_matches_round8_rotation():
         "asof_join_last_error", "salted_group_count", "salted_join_segments",
         "exact_distinct_per_key",
     }
-    assert len(new_round78) == 19 and len(r03_cohort) == 23
+    assert len(new_round78) == 20 and len(r03_cohort) == 23
     assert new_round78 | r03_cohort <= set(names[:50])
 
 

@@ -274,6 +274,28 @@ def test_basket_lift_bounds_and_support(spark):
     assert lifts == sorted(lifts, reverse=True)
 
 
+def test_power_iteration_direction_properties(spark):
+    """The returned vector is ∞-norm-scaled to exactly 1000, has all 64
+    components, and is an improved eigendirection estimate: its Rayleigh
+    quotient vᵀXᵀXv / vᵀv must not be below v₀'s (power iteration is
+    monotone in the Rayleigh quotient)."""
+    rows = Q["power_iteration_eigendirection"](spark, SF_DIR).collect()
+    assert len(rows) == 64
+    v = [r["v"] for r in sorted(rows, key=lambda r: r["j"])]
+    assert max(abs(x) for x in v) == 1000
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    qvs = [[int(__import__("math").floor(float(x) * 1000))
+            for x in r["embedding"]] for r in emb]
+
+    def rayleigh(vec):
+        num = sum(sum(q[j] * vec[j] for j in range(64)) ** 2 for q in qvs)
+        den = sum(x * x for x in vec)
+        return num / den
+
+    assert rayleigh(v) >= rayleigh([1000] * 64)
+
+
 # ---- Lloyd loop: inertia decreases --------------------------------------
 
 def test_kmeans_two_iterations_do_not_increase_inertia(spark):
