@@ -243,6 +243,13 @@ EXTENSION_HEADLINE = [
     "weekly_churn_theta",
     "approx_topk_weekly_rollup",
     "power_iteration_eigendirection",
+    "bloom_pruned_segment_revenue",
+    "zorder_extent_pruning",
+    "cusum_changepoint_by_type",
+    "rfm_segment_counts",
+    "pareto_customer_concentration",
+    "active_day_streaks",
+    "table_checksum_rollup",
     # previously-unbenched mid-weight queries (full-fact aggs, set ops,
     # multi-join trees). The ONLY registry queries deliberately left
     # unbenched are trivial scalar/filter/rename point-ops whose cost is

