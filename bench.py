@@ -250,6 +250,9 @@ EXTENSION_HEADLINE = [
     "pareto_customer_concentration",
     "active_day_streaks",
     "table_checksum_rollup",
+    "lpa_trade_communities",
+    "kcore_trade_graph",
+    "dow_seasonality_outliers",
     # previously-unbenched mid-weight queries (full-fact aggs, set ops,
     # multi-join trees). The ONLY registry queries deliberately left
     # unbenched are trivial scalar/filter/rename point-ops whose cost is

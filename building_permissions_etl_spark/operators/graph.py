@@ -228,3 +228,130 @@ def triangle_counts_per_node(
         .agg(F.count("__node").cast("bigint").alias("n_triangles"))
         .select(F.col("__id").alias(node_col), "n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "id",
+    a: str = "a",
+    b: str = "b",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007; no reference twin — helpers:* has no graph surface)
+    after exactly ``n_iter`` iterations: every node starts labeled with
+    its own id; each round it adopts the most frequent label among its
+    neighbors, ties broken to the SMALLEST label, isolated nodes keep
+    theirs. Fixed iteration count + full-order tiebreak makes the
+    result deterministic and engine-portable (plain LPA's random
+    tie/order dependence is what usually makes it irreproducible).
+
+    Scale shape: the undirected edge list is doubled into directed
+    form ONCE and ``.cache()``d — each iteration re-reads the
+    InMemoryRelation, never the caller's lineage (the PageRank /
+    triangle materialization rule). Per iteration: one shuffle keyed
+    on the receiving node for the (node, label) count, one window over
+    the same key for the argmax — Spark reuses the exchange. Label
+    state is one row per node, joined to edges by key; nothing is
+    collected to the driver. Each round's label frame is ``.cache()``d
+    because the next round references it TWICE (the edge join and the
+    keep-own-label fallback): uncached, the branch count doubles per
+    round — 2^n plan blowup for a linear algorithm.
+    """
+    e = edges.select(F.col(a).alias("__s"), F.col(b).alias("__d"))
+    directed = e.unionAll(
+        e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+    ).cache()
+    labels = nodes.select(F.col(node_col).alias("__id"),
+                          F.col(node_col).cast("bigint").alias("__lbl"))
+    pick = Window.partitionBy("__d").orderBy(F.desc("__cnt"), "__nlbl")
+    for _ in range(n_iter):
+        nbr = (
+            directed.join(labels, directed["__s"] == labels["__id"])
+            .groupBy(F.col("__d"), F.col("__lbl").alias("__nlbl"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        best = (
+            nbr.withColumn("__rn", F.row_number().over(pick))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__d").alias("__bid"), F.col("__nlbl"))
+        )
+        labels = (
+            labels.join(best, labels["__id"] == best["__bid"], "left")
+            .select(
+                "__id",
+                F.coalesce("__nlbl", "__lbl").cast("bigint").alias("__lbl"),
+            )
+            .cache()
+        )
+    return labels.select(F.col("__id").alias(node_col),
+                         F.col("__lbl").alias("community"))
+
+
+def k_core_peel(
+    edges: DataFrame,
+    nodes: DataFrame,
+    k: int,
+    node_col: str = "id",
+    a: str = "a",
+    b: str = "b",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """``n_rounds`` of k-core peeling (Seidman 1983 degeneracy cores)
+    over an undirected simple graph: each round removes every node
+    whose degree in the SURVIVING subgraph is below ``k``, then the
+    edges touching it. Fixed round count keeps the result
+    deterministic and oracle-expressible (full peeling to fixpoint
+    needs a data-dependent iteration count; callers wanting the true
+    k-core loop until the round removes nothing — each round is the
+    same two joins).
+
+    Returns (node_col, in_core, degree): every input node with a flag
+    for surviving all rounds and its degree in the surviving subgraph
+    (0 for peeled nodes).
+
+    ``edges`` must hold each undirected edge ONCE (canonical a < b, no
+    self-loops — the triangle-operator contract), because the
+    (a, b) pair is the edge's identity inside each round.
+
+    Scale shape: a peel round is JOIN-FREE — explode each edge into
+    its two endpoint rows, a window count over the endpoint key gives
+    both degrees, and a group-back on the (a, b) pair keeps edges
+    whose MIN endpoint degree reaches k. Two shuffles per round (the
+    window and the group-back), zero broadcast builds; the
+    join-per-side formulation measured ~9× slower on the tiny trade
+    graph purely from per-round AQE broadcast jobs. Each round's
+    surviving edge list is ``.cache()``d — the next round references
+    its predecessor through both the explode and the group-back, and
+    the final degree pass reads it again: uncached, the re-execution
+    count grows geometrically for a linear algorithm.
+    """
+    live = edges.select(F.col(a).alias("__a"), F.col(b).alias("__b")).cache()
+    for _ in range(n_rounds):
+        pts = live.select(
+            "__a", "__b",
+            F.explode(F.array("__a", "__b")).alias("__n"))
+        per_endpoint = pts.withColumn(
+            "__d", F.count(F.lit(1)).over(Window.partitionBy("__n")))
+        live = (
+            per_endpoint.groupBy("__a", "__b")
+            .agg(F.min("__d").alias("__mind"))
+            .filter(F.col("__mind") >= k)
+            .select("__a", "__b")
+            .cache()
+        )
+    final_deg = (
+        live.select(F.explode(F.array("__a", "__b")).alias("__n"))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__d"))
+    )
+    ids = nodes.select(F.col(node_col).alias("__id"))
+    return (
+        ids.join(final_deg, ids["__id"] == final_deg["__n"], "left")
+        .select(
+            F.col("__id").alias(node_col),
+            F.col("__n").isNotNull().alias("in_core"),
+            F.coalesce("__d", F.lit(0)).cast("bigint").alias("degree"),
+        )
+    )

@@ -55,6 +55,48 @@ _UND_EDGES_SQL = """
 _MILLI = "CAST(floor(value * 1000) AS BIGINT)"
 
 
+def trade_graph_kept_edges(spark, sf):
+    """Spark twin of ``_UND_EDGES_SQL`` + the heavy-edge threshold:
+    the undirected nation trade graph restricted to edges with
+    w >= 1.2 * mean(w) (integer-exact compare). One fact shuffle for
+    the pair aggregate, then a single-partition window over the ≤ n²
+    nation-pair rows. Shared by the triangle / label-propagation /
+    k-core queries so the derivation exists once."""
+    li = load_table(spark, "lineitem", sf).select("l_orderkey", "l_suppkey")
+    od = load_table(spark, "orders", sf).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", sf).select(
+        "c_custkey", "c_nationkey")
+    sup = load_table(spark, "supplier", sf).select(
+        "s_suppkey", "s_nationkey")
+    und = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    whole = Window.partitionBy()
+    return (
+        und.withColumn("tw", F.sum("w").over(whole))
+        .withColumn("ne", F.count(F.lit(1)).over(whole))
+        .filter(F.lit(5) * F.col("w") * F.col("ne")
+                >= F.lit(6) * F.col("tw"))
+        .select("a", "b")
+    )
+
+
+# Shared SQL twin of trade_graph_kept_edges (DuckDB oracles compose it
+# under WITH ... AS MATERIALIZED).
+KEPT_EDGES_SQL = f"""
+  WITH und_k AS ({_UND_EDGES_SQL}),
+  tot_k AS (SELECT sum(w) AS tw, count(*) AS ne FROM und_k)
+  SELECT a, b FROM und_k, tot_k WHERE 5 * w * ne >= 6 * tw
+"""
+
+
 def contribute(register) -> None:
     # ---- triangle counting, degree-ordered orientation -----------------
     # Edge derivation (one fact shuffle, broadcast dims), thresholded to
@@ -67,31 +109,8 @@ def contribute(register) -> None:
     # triangle corners via one explode instead of a 3x union of the
     # wedge join.
     def triangles(spark, sf):
-        li = load_table(spark, "lineitem", sf).select("l_orderkey", "l_suppkey")
-        od = load_table(spark, "orders", sf).select("o_orderkey", "o_custkey")
-        cust = load_table(spark, "customer", sf).select(
-            "c_custkey", "c_nationkey")
-        sup = load_table(spark, "supplier", sf).select(
-            "s_suppkey", "s_nationkey")
         nat = load_table(spark, "nation", sf).select("n_nationkey")
-        und = (
-            li.join(od, li.l_orderkey == od.o_orderkey)
-            .join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
-            .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-            .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-            .groupBy(
-                F.least("s_nationkey", "c_nationkey").alias("a"),
-                F.greatest("s_nationkey", "c_nationkey").alias("b"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-        )
-        whole = Window.partitionBy()
-        kept = (
-            und.withColumn("tw", F.sum("w").over(whole))
-            .withColumn("ne", F.count(F.lit(1)).over(whole))
-            .filter(F.lit(5) * F.col("w") * F.col("ne")
-                    >= F.lit(6) * F.col("tw"))
-            .select("a", "b")
-        )
+        kept = trade_graph_kept_edges(spark, sf)
         counts = G.triangle_counts_per_node(
             kept, nat, node_col="n_nationkey")
         return (

@@ -35,6 +35,7 @@ MODULES = [
     ("round8b_queries", "Sparse dot-product top-k via inverted index, basket lift, weighted median, sweep-line peak concurrency"),
     ("round8c_queries", "Weekly churn (exact + theta A-NOT-B twin), mergeable heavy-hitter rollup, integer power iteration"),
     ("round8d_queries", "Bloom semi-join reduction, z-order extent pruning, CUSUM changepoint, RFM quintiles, Pareto concentration, day streaks, mergeable table checksum"),
+    ("round8e_queries", "Label-propagation communities, k-core peeling, day-of-week seasonality residual outliers"),
 ]
 
 

@@ -305,6 +305,20 @@ def main() -> None:
                  "active_day_streaks"):
         timed(f"round8d:{name}", r8d[name](spark, out))
 
+    # Round-8e graph queries ride the N× facts only through the edge
+    # DERIVATION (one fact shuffle); the iterative LPA / peel rounds run
+    # on the fixed 25-node nation graph at any N — same profile as
+    # triangles/pagerank. The seasonality screen is two aggregations on
+    # N× events.
+    from building_permissions_etl_spark.plans import round8e_queries
+
+    r8e = {}
+    stage8e = lambda name, fn, sql: r8e.__setitem__(name, fn)  # noqa: E731
+    round8e_queries.contribute(stage8e)
+    for name in ("lpa_trade_communities", "kcore_trade_graph",
+                 "dow_seasonality_outliers"):
+        timed(f"round8e:{name}", r8e[name](spark, out))
+
     _planted_long_doc_repetition(spark)
     _planted_long_chain_components(spark)
     _crs_codegen_throughput(spark)
