@@ -14,6 +14,12 @@ operator, DuckDB lacks `shiftleft()`), keeping the Spark plan and the
 DuckDB oracle mechanically identical. Everything is integer bit math
 inside whole-stage codegen — no UDF.
 
+Sibling: `sources/sinks.py::zorder_value` is the Column-API variant
+(min-max normalization built in, sign-bit-safe width capping) used on
+the WRITE path; this module is the shared-SQL-text variant whose whole
+point is byte-identical arithmetic on Spark AND DuckDB for the
+oracle-checked extent-pruning query. Callers pre-quantize here.
+
 Reference scope: beyond the reference surface (helpers:* has no layout
 tooling); Morton (1966), and the public Delta OPTIMIZE ZORDER design.
 """
