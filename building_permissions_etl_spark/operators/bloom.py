@@ -95,10 +95,20 @@ def bloom_might_contain(key: Column, bits: list[int],
 
     ONE element_at on a single literal-array occurrence + ONE compare —
     apply it with `.filter(...)` BEFORE the exchange feeding the exact
-    join. `k` must match the build call.
+    join. `k` must match the build call, and so must the key's DATA
+    TYPE: xxhash64 hashes the typed value, so probing an int column
+    against a filter built from its string rendering (or a bigint dim
+    key against an int fact key) sets different bits and silently
+    filters EVERYTHING — cast both sides to one type first. The exact
+    join downstream turns that bug into an empty result, not a wrong
+    one, but empty-at-scale is expensive to debug; keep the types
+    aligned.
     """
     if not 0 < k <= 8:
         raise ValueError(f"k must be in 1..8, got {k}")
+    if not bits:
+        raise ValueError("bits is empty — pass the array returned by "
+                         "build_bloom_bits")
     n_words = len(bits)
     arr = F.lit([int(w) for w in bits])
     word, mask = _word_and_mask(key, n_words, k)

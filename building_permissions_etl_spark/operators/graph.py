@@ -327,6 +327,11 @@ def k_core_peel(
     the final degree pass reads it again: uncached, the re-execution
     count grows geometrically for a linear algorithm.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (k=0 peels nothing and a "
+                         f"negative k is meaningless), got {k}")
+    if n_rounds < 0:
+        raise ValueError(f"n_rounds must be >= 0, got {n_rounds}")
     live = edges.select(F.col(a).alias("__a"), F.col(b).alias("__b")).cache()
     for _ in range(n_rounds):
         pts = live.select(

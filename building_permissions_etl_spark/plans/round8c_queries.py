@@ -198,9 +198,24 @@ def contribute(register) -> None:
             d = (e.join(F.broadcast(v), "j")
                  .groupBy("vec_id")
                  .agg(F.sum(F.col("qx") * F.col("v")).alias("d")))
-            u = (e.join(d, "vec_id")
+            # the shuffle_hash hint is load-bearing twice over: (1) at
+            # bench scale BOTH sides sit under the auto-broadcast
+            # threshold and the planner may pick the 64×-bigger
+            # exploded side as the build — which is what failed with
+            # "Not enough memory to build and broadcast" on the
+            # default 1 GiB vanilla driver at the tail of a
+            # full-registry sf0.1 sweep; (2) at real scale d is one
+            # row per VECTOR, so no broadcast is ever correct here —
+            # the honest plan co-partitions on vec_id (d already
+            # leaves its groupBy partitioned that way) and builds
+            # per-partition hash tables, no driver-side build at all.
+            # u is 64 rows but referenced TWICE (the ∞-norm scalar and
+            # the rescale) — cache it so the matvec above runs once
+            # per iteration, not 2^iter times (the LPA/k-core lesson).
+            u = (e.join(d.hint("shuffle_hash"), "vec_id")
                  .groupBy("j")
-                 .agg(F.sum(F.col("qx") * F.col("d")).alias("u")))
+                 .agg(F.sum(F.col("qx") * F.col("d")).alias("u"))
+                 .cache())
             m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
             v = (u.crossJoin(F.broadcast(m))
                  .select("j", F.expr("(u * 1000) div m").alias("v")))

@@ -47,6 +47,10 @@ def test_bloom_build_validates_parameters(spark):
         build_bloom_bits(keys, "k", m_bits=100)  # not a multiple of 64
     with pytest.raises(ValueError):
         build_bloom_bits(keys, "k", k=0)
+    with pytest.raises(ValueError):
+        build_bloom_bits(keys, "k", k=9)  # bit bytes come from one hash
+    with pytest.raises(ValueError):
+        bloom_might_contain(F.col("k"), [])
 
 
 def test_bloom_pruned_query_equals_unpruned_join(spark):

@@ -107,6 +107,16 @@ def test_lpa_matches_bruteforce_on_trade_graph(spark):
 
 # ---- k-core on hand-built graphs --------------------------------------------
 
+def test_kcore_validates_parameters(spark):
+    import pytest
+    e = spark.createDataFrame([(1, 2)], "a long, b long")
+    n = spark.createDataFrame([(1,), (2,)], "id long")
+    with pytest.raises(ValueError):
+        k_core_peel(e, n, k=0)
+    with pytest.raises(ValueError):
+        k_core_peel(e, n, k=2, n_rounds=-1)
+
+
 def test_kcore_chain_fully_peels(spark):
     chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
     ids = [1, 2, 3, 4, 5]
