@@ -139,6 +139,7 @@ def equi_depth_buckets(
     tiebreak_col: str,
     k: int,
     num_ranges: int = 32,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """Exact equal-depth bucketing: adds a ``bucket`` column identical to
     ``ntile(k) OVER (ORDER BY value_col, tiebreak_col)`` — WITHOUT a
@@ -163,11 +164,18 @@ def equi_depth_buckets(
     across engines and a NULL would land in the last range); ties get a
     total order via ``tiebreak_col``, and rows equal on ``value_col``
     always share a range, so cross-range order is exact.
+
+    ``boundaries`` lets a caller that buckets SEVERAL columns of the
+    same frame (e.g. the RFM quintiles) precompute all boundary sets in
+    ONE multi-column ``approxQuantile`` pass instead of one scan per
+    call; values are range split points, quality-only as above.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    probs = [i / num_ranges for i in range(1, num_ranges)]
-    bnds = sorted(set(df.stat.approxQuantile(value_col, probs, 0.001)))
+    if boundaries is None:
+        probs = [i / num_ranges for i in range(1, num_ranges)]
+        boundaries = df.stat.approxQuantile(value_col, probs, 0.001)
+    bnds = sorted(set(boundaries))
     v = F.col(value_col)
     rid = F.lit(len(bnds)).cast("int")
     for i, b in reversed(list(enumerate(bnds))):

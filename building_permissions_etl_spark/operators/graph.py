@@ -258,6 +258,17 @@ def label_propagation(
     because the next round references it TWICE (the edge join and the
     keep-own-label fallback): uncached, the branch count doubles per
     round — 2^n plan blowup for a linear algorithm.
+
+    Residue contract (round-8 advice): each round's label frame is
+    eagerly materialized (one count job over the node-sized state —
+    which would be computed by the caller's final action anyway, just
+    in one piece) and its PREDECESSOR is unpersisted right after, so a
+    call retains exactly TWO cached frames (directed edges + final
+    labels) instead of n_iter+1 — long-lived sessions running many
+    graphs no longer depend on ``spark.catalog.clearCache()``. The
+    final frame stays cached because the returned DataFrame's action
+    reads it; it is CacheManager-visible and LRU-evictable with
+    lineage recompute, never a leak class.
     """
     e = edges.select(F.col(a).alias("__s"), F.col(b).alias("__d"))
     directed = e.unionAll(
@@ -266,6 +277,7 @@ def label_propagation(
     labels = nodes.select(F.col(node_col).alias("__id"),
                           F.col(node_col).cast("bigint").alias("__lbl"))
     pick = Window.partitionBy("__d").orderBy(F.desc("__cnt"), "__nlbl")
+    prev = None
     for _ in range(n_iter):
         nbr = (
             directed.join(labels, directed["__s"] == labels["__id"])
@@ -285,6 +297,10 @@ def label_propagation(
             )
             .cache()
         )
+        labels.count()          # materialize this round's cache
+        if prev is not None:
+            prev.unpersist(blocking=True)  # predecessor superseded
+        prev = labels
     return labels.select(F.col("__id").alias(node_col),
                          F.col("__lbl").alias("community"))
 
@@ -326,6 +342,11 @@ def k_core_peel(
     its predecessor through both the explode and the group-back, and
     the final degree pass reads it again: uncached, the re-execution
     count grows geometrically for a linear algorithm.
+
+    Residue contract (round-8 advice): each round's surviving edge
+    list is eagerly materialized and its predecessor unpersisted, so a
+    call retains ONE cached frame (the last round's survivors) rather
+    than n_rounds+1 — same rationale as ``label_propagation``.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1 (k=0 peels nothing and a "
@@ -339,6 +360,7 @@ def k_core_peel(
             F.explode(F.array("__a", "__b")).alias("__n"))
         per_endpoint = pts.withColumn(
             "__d", F.count(F.lit(1)).over(Window.partitionBy("__n")))
+        prev = live
         live = (
             per_endpoint.groupBy("__a", "__b")
             .agg(F.min("__d").alias("__mind"))
@@ -346,6 +368,8 @@ def k_core_peel(
             .select("__a", "__b")
             .cache()
         )
+        live.count()        # materialize this round's cache
+        prev.unpersist(blocking=True)  # predecessor superseded
     final_deg = (
         live.select(F.explode(F.array("__a", "__b")).alias("__n"))
         .groupBy("__n")

@@ -353,9 +353,13 @@ def contribute(register) -> None:
                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         )
         SELECT event_type, CAST(dy AS VARCHAR) AS dy,
-               CASE WHEN units IS NOT NULL THEN units
-                    ELSE pv + (nv - pv) * (dy - pd) // (nd - pd)
-               END AS interp_units,
+               -- CAST: sum() over BIGINT is HUGEINT in DuckDB; uncast it
+               -- leaks int128 into the checked column and the driver's
+               -- typed hash diverges from Spark's bigint even though
+               -- every value is identical (round-8 driver red).
+               CAST(CASE WHEN units IS NOT NULL THEN units
+                         ELSE pv + (nv - pv) * (dy - pd) // (nd - pd)
+                    END AS BIGINT) AS interp_units,
                CAST(CASE WHEN units IS NULL THEN 1 ELSE 0 END
                     AS BIGINT) AS is_interp
         FROM filled ORDER BY event_type, dy

@@ -194,6 +194,7 @@ def contribute(register) -> None:
             F.col("id").cast("int").alias("j"),
             F.lit(1000).cast("bigint").alias("v"))
 
+        u = None
         for _ in range(2):
             d = (e.join(F.broadcast(v), "j")
                  .groupBy("vec_id")
@@ -212,10 +213,18 @@ def contribute(register) -> None:
             # u is 64 rows but referenced TWICE (the ∞-norm scalar and
             # the rescale) — cache it so the matvec above runs once
             # per iteration, not 2^iter times (the LPA/k-core lesson).
+            # Residue contract (round-8 advice): eagerly materialize
+            # the 64-row frame and unpersist the superseded previous
+            # iteration's u, so the call retains two cached frames
+            # (exploded e + final u), not one per iteration.
+            prev_u = u
             u = (e.join(d.hint("shuffle_hash"), "vec_id")
                  .groupBy("j")
                  .agg(F.sum(F.col("qx") * F.col("d")).alias("u"))
                  .cache())
+            u.count()
+            if prev_u is not None:
+                prev_u.unpersist(blocking=True)
             m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
             v = (u.crossJoin(F.broadcast(m))
                  .select("j", F.expr("(u * 1000) div m").alias("v")))

@@ -185,7 +185,11 @@ def contribute(register) -> None:
                    AS daily_cents
           FROM events GROUP BY 1, 2
         ),
-        d2 AS (SELECT *, day % 7 AS dow FROM daily),
+        -- ((day%7)+7)%7 = Spark's pmod: DuckDB's % keeps the sign for
+        -- negative days, so the contract holds for events before the
+        -- 2024-01-01 epoch too (round-8 advice: parity was previously
+        -- fixture-dependent, not explicit)
+        d2 AS (SELECT *, ((day % 7) + 7) % 7 AS dow FROM daily),
         stats AS (
           SELECT event_type, dow,
                  CAST(sum(daily_cents) AS BIGINT) AS dow_sum,

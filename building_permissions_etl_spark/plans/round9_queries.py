@@ -1,0 +1,331 @@
+"""Round-9 batch: incremental-maintenance and shard-merge shapes.
+
+Three queries closing the round-8 verdict's "highest-value new
+surface" item (VERDICT.md task 7):
+
+* ``cusum_shard_merge`` — the SCALE.md-named mitigation for the CUSUM
+  family's per-key sequential ceiling: per-shard partial CUSUM states
+  merged associatively, so the only ordered scan touches one shard at
+  a time and the cross-shard fold runs over shard SUMMARIES (one row
+  per month), never raw rows. The DuckDB oracle computes the same
+  statistics with the single-pass closed form, so parity proves the
+  merge algebra exact, not approximately right.
+* ``bloom_incremental_union`` — the Bloom filter as a MAINTAINED
+  table: base-partition registers and delta-batch registers built
+  independently (at 100 TB the base register table is persisted, not
+  rebuilt), merged by bitwise OR — the mergeable-sketch rollup
+  pattern applied to membership. Registers use the engine-portable
+  md5-prefix hash (functions/portable.py) so DuckDB rebuilds
+  bit-identical words.
+* ``zorder_extent_merge`` — the z-order extent table as a MAINTAINED
+  table: per-bucket extents of the base partition merged with a delta
+  batch's extents by (sum, min, max) — and checked against the
+  full-rebuild oracle, which IS the maintenance-equals-rebuild proof.
+
+Reference scope: all three are beyond the reference surface
+(helpers:* has no incremental-maintenance tooling); CUSUM is Page
+(1954), the prefix-min closed form is folklore scan algebra (Blelloch
+1990 prefix-sums), Bloom (1970), Morton (1966) / the public Delta
+OPTIMIZE ZORDER design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.functions.portable import (
+    PORTABLE_HASH_SQL,
+    portable_hash64,
+)
+from building_permissions_etl_spark.functions.zorder import z_interleave_sql
+
+# Blocked-Bloom geometry: 1024 words × 63 usable bits (DuckDB's BIGINT
+# ``<<`` raises on a shift of 63 — the sign bit — so both engines use
+# positions 0..62 and the word never goes negative).
+_BLOOM_WORDS = 1024
+_BLOOM_BITS = 63
+
+# Incremental split: base partition vs delta batch.
+_SPLIT = "1997-06-01"
+
+
+def contribute(register) -> None:
+    # ---- CUSUM via mergeable per-shard partials ---------------------------
+    # One-sided CUSUM S_i = max(0, S_{i-1} + d_i) over per-type
+    # mean-centered integer deviations d_i = n·x_i − Σx (cross-
+    # multiplied by n so everything stays BIGINT; Σd = 0 by
+    # construction). The per-row recurrence composes as
+    # f_d(S) = max(0, S + d), and compositions keep the closed form
+    # f(S) = max(b, S + a) — so a SHARD (month) reduces to the pair
+    # (a = Σd, b = CUSUM-from-zero at shard end) plus (rmax, b0max)
+    # for excursion tracking, and shards merge associatively:
+    #   S_after(t) = c_t + max_{i≤t}(b_i − c_i),  c_t = Σ_{i≤t} a_i.
+    # The ordered scan is per (type, month) — bounded shard size, all
+    # shards in parallel; the cross-shard fold is a window over ~25
+    # one-row-per-month summaries. This is the shard-merge mitigation
+    # SCALE.md names for cusum_changepoint_by_type's single-key
+    # sequential ceiling, implemented and oracle-proven: the DuckDB
+    # twin uses the single-pass closed form S_j = R_j − min(0, min R)
+    # over the whole series, so any error in the merge algebra is a
+    # value mismatch.
+    def cusum_shard(spark, sf):
+        ev = load_table(spark, "events", sf)
+        q = ev.select(
+            "event_type", "ts", "event_id",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("x"))
+        st = q.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("tot"))
+        d = (
+            q.join(F.broadcast(st), "event_type")
+            .select(
+                "event_type", "ts", "event_id", "n",
+                F.date_trunc("month", "ts").cast("date").alias("shard"),
+                (F.col("x") * F.col("n") - F.col("tot")).alias("dd"),
+            )
+        )
+        w_in = (Window.partitionBy("event_type", "shard")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        rows = (
+            d.withColumn("r", F.sum("dd").over(w_in))
+            .withColumn("m", F.least(F.lit(0).cast("bigint"),
+                                     F.min("r").over(w_in)))
+        )
+        shards = rows.groupBy("event_type", "shard").agg(
+            F.max("n").alias("n"),
+            F.sum("dd").alias("a"),
+            F.max("r").alias("rmax"),
+            (F.max(F.col("r") - F.col("m"))).alias("b0max"),
+            (F.sum("dd") - F.least(F.lit(0).cast("bigint"), F.min("r")))
+            .alias("b"),
+        )
+        w_ord = (Window.partitionBy("event_type").orderBy("shard")
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        w_lag = Window.partitionBy("event_type").orderBy("shard")
+        folded = (
+            shards.withColumn("c", F.sum("a").over(w_ord))
+            .withColumn("s_after",
+                        F.col("c")
+                        + F.max(F.col("b") - F.col("c")).over(w_ord))
+            .withColumn("s_in", F.coalesce(
+                F.lag("s_after", 1).over(w_lag),
+                F.lit(0).cast("bigint")))
+            .withColumn("exc", F.greatest(
+                F.col("b0max"), F.col("s_in") + F.col("rmax")))
+        )
+        return (
+            folded.groupBy("event_type")
+            .agg(F.max("n").alias("n"),
+                 F.expr("max_by(s_after, shard)").cast("bigint")
+                 .alias("final_state"),
+                 F.max("exc").cast("bigint").alias("max_excursion"))
+            .orderBy("event_type")
+        )
+
+    register(
+        "cusum_shard_merge",
+        cusum_shard,
+        """
+        WITH q AS (
+          SELECT event_type, ts, event_id,
+                 CAST(floor(value * 100) AS BIGINT) AS x
+          FROM events
+        ),
+        st AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS tot
+          FROM q GROUP BY 1
+        ),
+        d AS (
+          SELECT q.event_type, q.ts, q.event_id, st.n,
+                 q.x * st.n - st.tot AS dd
+          FROM q JOIN st USING (event_type)
+        ),
+        r1 AS (
+          SELECT event_type, n, ts, event_id,
+                 CAST(sum(dd) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS run
+          FROM d
+        ),
+        r2 AS (
+          SELECT event_type, n, run,
+                 least(0, min(run) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)) AS mn
+          FROM r1
+        )
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+               -- Σd = 0 by construction, so the final state is −min(0, min R)
+               CAST(-min(mn) AS BIGINT) AS final_state,
+               CAST(max(run - mn) AS BIGINT) AS max_excursion
+        FROM r2 GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    # ---- incremental Bloom register maintenance ---------------------------
+    # Membership registers as a maintained TABLE: the base partition's
+    # 1024-word blocked Bloom (customer keys seen in orders before the
+    # split date) is built once; a delta batch contributes its own
+    # registers; the merge is a bitwise-OR groupBy — registers combine
+    # without re-touching base facts, exactly how a persisted filter
+    # is maintained across daily loads at 100 TB (the in-plan base
+    # build here stands in for reading the persisted register table,
+    # like the ANN index build/query split). Output: every word with
+    # its base/delta/merged bits + merged popcount; words untouched by
+    # either side default to 0 via the full-outer zero-fill rule. Two
+    # hash probes per key (the affine second probe keeps k=2 without a
+    # second md5), positions 0..62 — see _BLOOM_BITS.
+    def bloom_union(spark, sf):
+        orders = load_table(spark, "orders", sf)
+
+        def regs(df, alias):
+            keyed = df.select(
+                portable_hash64(F.col("o_custkey").cast("string"))
+                .alias("h1"))
+            probes = keyed.select(
+                F.explode(F.array(
+                    F.col("h1"),
+                    # affine second probe: ≤ (2^30)·2654435761 ≈ 2.9e18,
+                    # inside BIGINT under ANSI in both engines
+                    F.expr(f"(h1 % {2**30 - 35}L) * 2654435761L + 97L"),
+                )).alias("h"))
+            # h is non-negative by construction (md5-prefix < 2^60),
+            # so % equals pmod and `div` is exact integer arithmetic —
+            # never float division, which loses bits past 2^53
+            return (
+                probes.select(
+                    F.expr(f"CAST(h % {_BLOOM_WORDS} AS INT)")
+                    .alias("word_idx"),
+                    F.expr(f"shiftleft(1L, CAST((h div {_BLOOM_WORDS}) "
+                           f"% {_BLOOM_BITS} AS INT))").alias("bit"))
+                .groupBy("word_idx")
+                .agg(F.expr("bit_or(bit)").alias(alias))
+            )
+
+        base = regs(orders.filter(F.col("o_orderdate") < F.lit(_SPLIT)),
+                    "base_bits")
+        delta = regs(orders.filter(F.col("o_orderdate") >= F.lit(_SPLIT)),
+                     "delta_bits")
+        return (
+            base.join(delta, "word_idx", "full")
+            .select(
+                F.col("word_idx"),
+                F.coalesce("base_bits", F.lit(0).cast("bigint"))
+                .alias("base_bits"),
+                F.coalesce("delta_bits", F.lit(0).cast("bigint"))
+                .alias("delta_bits"),
+            )
+            .withColumn("merged_bits",
+                        F.expr("base_bits | delta_bits").cast("bigint"))
+            .withColumn("merged_popcount",
+                        F.bit_count("merged_bits").cast("bigint"))
+            .orderBy("word_idx")
+        )
+
+    _h1 = PORTABLE_HASH_SQL.format(x="CAST(o_custkey AS VARCHAR)")
+    _regs_sql = f"""
+          SELECT CAST(h % {_BLOOM_WORDS} AS INT) AS word_idx,
+                 bit_or(CAST(1 AS BIGINT)
+                        << CAST((h // {_BLOOM_WORDS}) % {_BLOOM_BITS}
+                                AS INT)) AS bits
+          FROM (
+            SELECT unnest([h1,
+                           (h1 % {2**30 - 35}) * {2654435761} + 97]) AS h
+            FROM (SELECT {_h1} AS h1 FROM orders WHERE {{pred}})
+          ) GROUP BY 1"""
+    register(
+        "bloom_incremental_union",
+        bloom_union,
+        f"""
+        WITH base AS ({_regs_sql.format(pred=f"o_orderdate < DATE '{_SPLIT}'")}),
+        delta AS ({_regs_sql.format(pred=f"o_orderdate >= DATE '{_SPLIT}'")}),
+        merged AS (
+          SELECT coalesce(b.word_idx, d.word_idx) AS word_idx,
+                 CAST(coalesce(b.bits, 0) AS BIGINT) AS base_bits,
+                 CAST(coalesce(d.bits, 0) AS BIGINT) AS delta_bits
+          FROM base b FULL JOIN delta d ON b.word_idx = d.word_idx
+        )
+        SELECT word_idx, base_bits, delta_bits,
+               CAST(base_bits | delta_bits AS BIGINT) AS merged_bits,
+               CAST(bit_count(base_bits | delta_bits) AS BIGINT)
+                 AS merged_popcount
+        FROM merged ORDER BY word_idx
+        """,
+    )
+
+    # ---- incremental z-order extent maintenance ---------------------------
+    # The extent table zorder_extent_pruning derives in one pass, as a
+    # MAINTAINED table: base-partition extents and delta-batch extents
+    # are each a per-bucket (n, min, max, min, max) rollup; the merge
+    # is union + re-aggregate with (sum, min, max) — all five measures
+    # are mergeable, so maintenance never re-reads the base partition.
+    # The oracle is the FULL-REBUILD single-pass rollup: value parity
+    # is the maintenance-equals-rebuild proof. Quantization is the
+    # clamped 8-bit scheme shared with round8d (same interleave text).
+    _xq = ("greatest(0L, least(255L, "
+           "datediff(o_orderdate, DATE '1995-01-01') div 10))")
+    _yq = ("greatest(0L, least(255L, "
+           "CAST(floor(o_totalprice) AS BIGINT) div 2000))")
+    _xq_d = ("greatest(0, least(255, "
+             "date_diff('day', DATE '1995-01-01', o_orderdate) // 10))")
+    _yq_d = ("greatest(0, least(255, "
+             "CAST(floor(o_totalprice) AS BIGINT) // 2000))")
+
+    def zorder_merge(spark, sf):
+        orders = load_table(spark, "orders", sf)
+        z_sql = z_interleave_sql(_xq, _yq, 8, "spark")
+
+        def extents(df):
+            return (
+                df.select(
+                    F.expr(f"CAST({z_sql} div 64 AS BIGINT)")
+                    .alias("zbucket"),
+                    F.expr("datediff(o_orderdate, DATE '1995-01-01')")
+                    .cast("bigint").alias("day"),
+                    F.expr("CAST(floor(o_totalprice) AS BIGINT)")
+                    .alias("price"))
+                .groupBy("zbucket")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                     F.min("day").alias("min_day"),
+                     F.max("day").alias("max_day"),
+                     F.min("price").alias("min_price"),
+                     F.max("price").alias("max_price"))
+            )
+
+        base = extents(orders.filter(F.col("o_orderdate") < F.lit(_SPLIT)))
+        delta = extents(orders.filter(F.col("o_orderdate") >= F.lit(_SPLIT)))
+        return (
+            base.unionAll(delta)
+            .groupBy("zbucket")
+            .agg(F.sum("n").alias("n"),
+                 F.min("min_day").alias("min_day"),
+                 F.max("max_day").alias("max_day"),
+                 F.min("min_price").alias("min_price"),
+                 F.max("max_price").alias("max_price"))
+            .orderBy("zbucket")
+        )
+
+    register(
+        "zorder_extent_merge",
+        zorder_merge,
+        f"""
+        SELECT CAST({z_interleave_sql(_xq_d, _yq_d, 8, "duckdb")} // 64
+                 AS BIGINT) AS zbucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(date_diff('day', DATE '1995-01-01', o_orderdate))
+                 AS BIGINT) AS min_day,
+               CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate))
+                 AS BIGINT) AS max_day,
+               CAST(min(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                 AS min_price,
+               CAST(max(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                 AS max_price
+        FROM orders GROUP BY 1 ORDER BY 1
+        """,
+    )

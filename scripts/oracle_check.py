@@ -57,6 +57,7 @@ def make_session() -> SparkSession:
 spark = make_session()
 
 import __spark_entry__ as E
+from building_permissions_etl_spark.plans.type_parity import type_mismatches
 
 con = duckdb.connect()
 for t in TABLES:
@@ -103,17 +104,28 @@ for qi, name in enumerate(sorted(qs)):
         srows = sdf.collect()
         scols = sorted(c.lower() for c in sdf.columns)
         if name in osql:
-            dk = con.execute(osql[name])
-            dcols = sorted(d[0].lower() for d in dk.description)
+            dk = con.sql(osql[name])
+            dcols_raw, dtypes = list(dk.columns), list(dk.types)
+            dcols = sorted(d.lower() for d in dcols_raw)
             drows = dk.fetchall()
             if scols != dcols:
                 fails.append((name, f"cols spark={scols} duck={dcols}"))
+                continue
+            # Output-TYPE parity: the grading driver hashes TYPED
+            # values, so an oracle whose column type is not
+            # hash-compatible with the Spark dtype (HUGEINT from an
+            # uncast sum, int-vs-float drift, decimal scale drift) is
+            # driver-red even when every VALUE matches. Round-8's one
+            # red row was exactly this class.
+            tmis = type_mismatches(sdf.dtypes, dcols_raw, dtypes)
+            if tmis:
+                fails.append((name, f"output-type drift: {tmis}"))
                 continue
             if len(srows) != len(drows):
                 fails.append((name, f"rowcount spark={len(srows)} duck={len(drows)}"))
                 continue
             a = rows_to_set([tuple(r) for r in srows], [c.lower() for c in sdf.columns])
-            b = rows_to_set(drows, [d[0].lower() for d in dk.description])
+            b = rows_to_set(drows, [d.lower() for d in dcols_raw])
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 fails.append((name, f"value mismatch, first diffs: {diff}"))

@@ -39,54 +39,91 @@ def test_rows_only_set_is_exactly_the_documented_one():
     assert rows_only == ROWS_ONLY
 
 
-def test_driver_window_matches_round8_rotation():
+def test_driver_window_matches_round9_rotation():
     """The first 50 registry entries (the slice the driver verifies)
-    must match _DRIVER_WINDOW exactly, and the round-8 window must
-    front-load (a) every round-7/8 addition — new queries take a driver
-    verdict the round they register, and (b) the r03-newest cohort (the
-    oldest evidence, recomputed from CORRECTNESS_r01-r07) minus the
-    three stragglers the round-8e additions displaced (salted-skew
-    pair + exact_distinct_per_key — plan-shape-tested and sweep-green;
-    they head the round-9 queue)."""
+    must match _DRIVER_WINDOW exactly, and the round-9 window must
+    front-load (a) every round-9 addition plus the two queries round 9
+    CHANGED (the fixed weekly_anchor_interpolation oracle and the
+    equi-depth RFM re-implementation — a changed query's old verdict
+    is dead evidence), (b) the three r03 stragglers (five rounds
+    without a verdict — the registry's oldest evidence), and (c) 42 of
+    the 49 r04-cohort queries, dedup/ANN families included; the seven
+    displaced r04 point-ops are pinned by name so the round-10 queue
+    stays mechanical."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
     o = set(oracle_sql())
     assert len(_DRIVER_WINDOW) == 50
     assert names[:50] == _DRIVER_WINDOW
-    # the only windowed queries without an oracle are the documented
-    # rows-only sketch twins
-    assert set(names[:50]) - o == ROWS_ONLY - {"approx_count_distinct_dates"}
-    new_round78 = {
-        "kmeans_lloyd_2iter", "mad_outliers_by_type_approx",
-        "quarterly_distinct_users", "hll_quarterly_users_rollup",
-        "triangle_count_trade_graph", "priority_sample_by_lang",
-        "pareto_frontier_parts", "weekly_anchor_interpolation",
-        "weekly_user_overlap_exact", "weekly_user_overlap_theta",
-        "kll_weekly_value_quantiles", "approx_topk_event_types",
-        "sparse_dot_topk_pairs", "basket_lift_brands",
-        "weighted_median_unit_price", "peak_concurrency_by_type",
-        "weekly_churned_users_exact", "weekly_churn_theta",
-        "approx_topk_weekly_rollup", "power_iteration_eigendirection",
-        "bloom_pruned_segment_revenue", "zorder_extent_pruning",
-        "cusum_changepoint_by_type", "rfm_segment_counts",
-        "pareto_customer_concentration", "active_day_streaks",
-        "table_checksum_rollup",
-        "lpa_trade_communities", "kcore_trade_graph",
-        "dow_seasonality_outliers",
+    # every round-9 windowed query is oracle-backed (the rows-only
+    # sketch twins all took their designed rows-only verdict in r08
+    # and rotate out — a window slot spent on a hash-uncheckable row
+    # is a slot wasted)
+    assert set(names[:50]) <= o
+    round9 = {
+        "cusum_shard_merge", "bloom_incremental_union",
+        "zorder_extent_merge",                      # round-9 additions
+        "weekly_anchor_interpolation", "rfm_segment_counts",  # changed
     }
-    r03_cohort = {
-        "rollup_order_totals", "orders_per_customer_array",
-        "text_quality_filter", "text_quality_stats", "language_id",
-        "token_counts", "doc_fingerprint", "multimodal_features",
-        "multimodal_frame_sample", "corpus_vocabulary_top100",
-        "stratified_sample_by_lang", "multimodal_resize", "pii_redact",
-        "pack_sequences_by_lang", "repetition_stats", "corpus_composition",
-        "event_window_counts", "event_sliding_window", "event_json_props",
-        "asof_join_last_error",
+    r03_stragglers = {
+        "salted_group_count", "salted_join_segments",
+        "exact_distinct_per_key",
     }
-    assert len(new_round78) == 30 and len(r03_cohort) == 20
-    assert new_round78 | r03_cohort <= set(names[:50])
+    dedup_ann_head = {
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_inverted",
+        "dedup_embedding_cosine", "dedup_cluster_survivors",
+        "dedup_cluster_survivors_star", "similarity_topk_bruteforce",
+    }
+    displaced_r04 = {
+        "projection_rename", "upper_bound_filter", "not_in_set_filter",
+        "union_schema_align", "roman_numeral_codec",
+        "semi_join_known_keys", "anti_join_unknown_keys",
+    }
+    w = set(names[:50])
+    assert round9 | r03_stragglers | dedup_ann_head <= w
+    assert displaced_r04 & w == set()
+    assert displaced_r04 <= set(names)  # displaced, not dropped
+
+
+def test_no_oracle_output_column_is_hugeint():
+    """Round-8's one driver-red row (`weekly_anchor_interpolation`) was
+    an uncast DuckDB ``sum(BIGINT)`` — HUGEINT (int128) — flowing into
+    a checked output column: the driver's pandas fetch renders HUGEINT
+    as float64, so the TYPED value hash diverges from Spark's bigint
+    even when every value is identical. Kill the class: bind every
+    oracle against the sf0.001 views (DuckDB resolves result types
+    without executing) and assert no output column's type is HUGEINT,
+    recursively. scripts/oracle_check.py enforces the stronger
+    class-mapped Spark-dtype parity at sweep time; this test is the
+    Spark-free fast gate."""
+    import duckdb
+
+    from building_permissions_etl_spark.plans.type_parity import (
+        hugeint_columns,
+    )
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
+
+    # negative control: the lint must actually fire on the round-8
+    # defect shape (an uncast integer sum), or it guards nothing.
+    bad = con.sql("SELECT sum(CAST(1 AS BIGINT)) AS s")
+    assert hugeint_columns(list(bad.columns), list(bad.types)) == ["s"]
+
+    offenders = {}
+    for name, sql in oracle_sql().items():
+        rel = con.sql(sql)
+        hug = hugeint_columns(list(rel.columns), list(rel.types))
+        if hug:
+            offenders[name] = hug
+    assert not offenders, (
+        f"oracles with HUGEINT output columns (uncast sums?) — the "
+        f"driver's typed hash WILL diverge from Spark: {offenders}")
 
 
 def test_every_contributor_module_is_wired():

@@ -60,18 +60,66 @@ def test_zorder_query_stays_jvm_side(spark):
     assert "partial_min" in plan or "partial_max" in plan, plan
 
 
+def test_rfm_has_no_global_ntile_window(spark):
+    """Round-9 swap pin: the RFM quintiles must come from the
+    range-partitioned equi-depth prefix sum, never from a global
+    un-partitioned ntile window (the round-8 shape pushed every
+    customer row through ONE task, three times). The only permitted
+    un-partitioned windows are the equi-depth offset prefix sums over
+    the ~32-row per-range count tables (one SinglePartition exchange
+    per score), plus the anchor/global-agg singletons."""
+    df = Q["rfm_segment_counts"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "ntile" not in plan, plan
+    # every full-frame window (row_number over the per-customer rows)
+    # is partitioned by its range id — no Window node sorts the whole
+    # frame in one task
+    for ln in plan.splitlines():
+        if "Window [row_number()" in ln:
+            assert "__rid" in ln, ln
+    # the per-customer frame is cached: each stage's two branches must
+    # read the rollup from memory, not recompute the orders aggregate
+    # (a raw SinglePartition count over the plan text is useless here —
+    # every InMemoryTableScan re-prints the cached relation's internal
+    # plan, anchor exchange included; the ntile-free + partitioned
+    # row_number assertions above are what pin the shuffle shape)
+    assert plan.count("InMemoryTableScan") >= 6, plan
+
+
 # ---- iterative graph operators: per-round state is cached ------------------
 
-def test_lpa_rounds_read_cached_state(spark):
-    plan = _plan(Q["lpa_trade_communities"](spark, SF_DIR))
-    # 3 rounds × (cached previous labels + cached directed edges) —
-    # anything less means a round re-derives its predecessor's lineage
-    assert plan.count("InMemoryTableScan") >= 4, plan
+def _cached_rdd_count(spark) -> int:
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
 
-def test_kcore_rounds_read_cached_state(spark):
-    plan = _plan(Q["kcore_trade_graph"](spark, SF_DIR))
-    assert plan.count("InMemoryTableScan") >= 3, plan
+def test_lpa_rounds_read_cached_state_and_release_superseded(spark):
+    """Two regression guards in one: (a) the returned frame reads the
+    FINAL round's labels from the cache (the geometric-re-execution
+    lesson — each round was eagerly materialized against its
+    predecessor's cache inside the operator, so no round can replay
+    the full lineage), and (b) per round-8 advice, superseded
+    per-round frames are unpersisted as soon as the next round
+    materializes: a call retains at most TWO cached frames (directed
+    edges + final labels), not n_iter+1, without relying on the
+    caller's clearCache."""
+    spark.catalog.clearCache()
+    before = _cached_rdd_count(spark)
+    df = Q["lpa_trade_communities"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert _cached_rdd_count(spark) - before <= 2
+    spark.catalog.clearCache()
+
+
+def test_kcore_rounds_read_cached_state_and_release_superseded(spark):
+    spark.catalog.clearCache()
+    before = _cached_rdd_count(spark)
+    df = Q["kcore_trade_graph"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    # one live cached frame (last round's surviving edges)
+    assert _cached_rdd_count(spark) - before <= 1
+    spark.catalog.clearCache()
 
 
 # ---- hypothesis: Morton interleave --------------------------------------
