@@ -253,6 +253,10 @@ EXTENSION_HEADLINE = [
     "lpa_trade_communities",
     "kcore_trade_graph",
     "dow_seasonality_outliers",
+    # round-9 additions: benched the round they register
+    "cusum_shard_merge",
+    "bloom_incremental_union",
+    "zorder_extent_merge",
     # previously-unbenched mid-weight queries (full-fact aggs, set ops,
     # multi-join trees). The ONLY registry queries deliberately left
     # unbenched are trivial scalar/filter/rename point-ops whose cost is

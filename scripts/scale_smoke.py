@@ -319,6 +319,26 @@ def main() -> None:
                  "dow_seasonality_outliers"):
         timed(f"round8e:{name}", r8e[name](spark, out))
 
+    # Round-9 additions. The Bloom register union and z-order extent
+    # merge ride the N× orders (linear: two partial-agg scans + a
+    # ≤1024/≤1024-row merge each — the registers/extents tables are
+    # FIXED-size at any N, which is the whole maintenance point). The
+    # shard-merge CUSUM rides N× events: per-(type, month) ordered
+    # windows grow N× in DEPTH per shard at fixed shard count here
+    # (time-duplicated copies), but unlike the single-pass form the
+    # sequential unit is the shard, not the key's whole history — on
+    # real time-growing data shard count grows and per-shard depth
+    # stays flat, so the N× timing read alongside
+    # round8d:cusum_changepoint_by_type quantifies what the merge buys.
+    from building_permissions_etl_spark.plans import round9_queries
+
+    r9 = {}
+    stage9 = lambda name, fn, sql: r9.__setitem__(name, fn)  # noqa: E731
+    round9_queries.contribute(stage9)
+    for name in ("cusum_shard_merge", "bloom_incremental_union",
+                 "zorder_extent_merge"):
+        timed(f"round9:{name}", r9[name](spark, out))
+
     _planted_long_doc_repetition(spark)
     _planted_long_chain_components(spark)
     _crs_codegen_throughput(spark)
