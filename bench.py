@@ -257,6 +257,7 @@ EXTENSION_HEADLINE = [
     "cusum_shard_merge",
     "bloom_incremental_union",
     "zorder_extent_merge",
+    "dedup_minhash_incremental",
     # previously-unbenched mid-weight queries (full-fact aggs, set ops,
     # multi-join trees). The ONLY registry queries deliberately left
     # unbenched are trivial scalar/filter/rename point-ops whose cost is

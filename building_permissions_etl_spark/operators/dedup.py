@@ -270,6 +270,104 @@ def minhash_signature(
     )
 
 
+def _minhash_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    bands: int,
+    shingle_n: int,
+    base_hash,
+) -> DataFrame:
+    """(id, sig, band, bh) — the banded signature table shared by the
+    self-join and the delta-vs-corpus paths. Shingle-less
+    (empty/whitespace) docs carry NO signal: their signature would be
+    the untouched all-sentinel init array, pairing every empty doc
+    with every other at est 1.0, so they are dropped here (the oracle's
+    list_min over an empty list yields null sigs — excluded there too,
+    so both engines agree: empty docs never pair)."""
+    r = k // bands
+    df = df.filter(F.size(tokens(F.col(text_col))) > 0)
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), k, shingle_n, base_hash).alias("sig"),
+    )
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r))).alias("bh"),
+                ),
+            )
+        ).alias("bs"),
+    ).select("id", "sig", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
+
+
+def minhash_lsh_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+    base_hash=None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Incremental (delta-vs-corpus) NEAR-dup probe: for each batch
+    document, the existing-corpus documents sharing at least one LSH
+    band, estimator-verified — the sketch counterpart of
+    ``dedup_incremental_batch``'s exact probe, and the nightly-ingest
+    shape for near-dedup: the corpus is never self-joined, only the
+    delta is signed and banded against it. Returns
+    (batch_id, corpus_id, est_jaccard), batch_id ascending.
+
+    Scale shape: cost ∝ |delta| signature work + one equi-join on the
+    fixed-width (band, band-hash) key against the corpus's banded
+    signature table. At 100 TB that table is PERSISTED and appended
+    per ingest (the ANN build/query-split rule applied to dedup) —
+    building it in-plan here stands in for reading it. The hot-bucket
+    cap applies to the CORPUS side only (a flooded corpus bucket is
+    boilerplate; a batch doc landing in it gains nothing from 10^4
+    candidate pairs), bounding per-batch-doc fan-out exactly like the
+    self-join path bounds per-bucket pairing.
+    """
+    c_banded = _cap_buckets(
+        _minhash_banded(fan_out(corpus), text_col, id_col, k, bands,
+                        shingle_n, base_hash),
+        ["band", "bh"], max_bucket)
+    b_banded = _minhash_banded(fan_out(batch), text_col, id_col, k, bands,
+                               shingle_n, base_hash)
+    pairs = (
+        b_banded.alias("n")
+        .join(c_banded.alias("c"),
+              (F.col("n.band") == F.col("c.band"))
+              & (F.col("n.bh") == F.col("c.bh")))
+        .select(
+            F.col("n.id").alias("batch_id"),
+            F.col("c.id").alias("corpus_id"),
+            F.col("n.sig").alias("sig_a"),
+            F.col("c.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(k)
+    return (
+        pairs.select("batch_id", "corpus_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .orderBy("batch_id", "corpus_id")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -291,31 +389,9 @@ def minhash_lsh_pairs(
     are dropped before pairing (see ``DEFAULT_MAX_BUCKET``) — together
     these are the properties that hold at 100 TB.
     """
-    r = k // bands
     df = fan_out(df)  # signature computation is the per-row hot loop
-    # shingle-less (empty/whitespace) docs carry NO signal: their
-    # signature would be the untouched all-sentinel init array, pairing
-    # every empty doc with every other at est 1.0. The oracle's
-    # list_min over an empty list yields null sigs / est 0 — excluded
-    # there too, so both engines agree: empty docs never pair.
-    df = df.filter(F.size(tokens(F.col(text_col))) > 0)
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), k, shingle_n, base_hash).alias("sig"),
-    )
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r))).alias("bh"),
-                ),
-            )
-        ).alias("bs"),
-    ).select("id", "sig", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
+    banded = _minhash_banded(df, text_col, id_col, k, bands, shingle_n,
+                             base_hash)
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
 
     a = banded.alias("a")

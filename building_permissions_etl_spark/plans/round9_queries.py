@@ -40,6 +40,9 @@ from building_permissions_etl_spark.functions.portable import (
     portable_hash64,
 )
 from building_permissions_etl_spark.functions.zorder import z_interleave_sql
+from building_permissions_etl_spark.operators import dedup as D
+from building_permissions_etl_spark.plans import sketch_oracles as SK
+from building_permissions_etl_spark.plans.extensions import _SHINGLES3
 
 # Blocked-Bloom geometry: 1024 words × 63 usable bits (DuckDB's BIGINT
 # ``<<`` raises on a shift of 63 — the sign bit — so both engines use
@@ -257,6 +260,33 @@ def contribute(register) -> None:
                  AS merged_popcount
         FROM merged ORDER BY word_idx
         """,
+    )
+
+    # ---- incremental near-dup: delta-vs-corpus MinHash-LSH ----------------
+    # The sketch counterpart of dedup_incremental_batch's exact probe:
+    # only the delta (doc_id % 5 = 0, ~20% of the corpus) is signed and
+    # banded against the existing corpus — the corpus is never
+    # self-joined, and at 100 TB its banded signature table is
+    # PERSISTED per ingest (the ANN build/query-split rule). Runs on
+    # the portable md5-prefix hash so DuckDB replicates the whole
+    # pipeline: shingling, 64 affine permutations, banding, the
+    # corpus-side hot-bucket cap, and the component-equality estimator.
+    def minhash_incr(spark, sf):
+        docs = load_table(spark, "documents", sf)
+        return D.minhash_lsh_incremental(
+            docs.filter(F.col("doc_id") % 5 != 0),
+            docs.filter(F.col("doc_id") % 5 == 0),
+            "text", "doc_id", k=64, bands=16, min_est_jaccard=0.5,
+            base_hash=portable_hash64, max_bucket=D.DEFAULT_MAX_BUCKET,
+        )
+
+    register(
+        "dedup_minhash_incremental",
+        minhash_incr,
+        SK.minhash_lsh_incremental_sql(
+            _SHINGLES3, "doc_id % 5 = 0", k=64, bands=16, min_est=0.5,
+            max_bucket=D.DEFAULT_MAX_BUCKET,
+        ),
     )
 
     # ---- incremental z-order extent maintenance ---------------------------

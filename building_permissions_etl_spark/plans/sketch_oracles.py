@@ -98,6 +98,68 @@ def minhash_lsh_sql(
     """
 
 
+def minhash_lsh_incremental_sql(
+    shingles_sql: str, batch_pred: str, k: int = 64, bands: int = 16,
+    min_est: float = 0.5, max_bucket: int | None = 1000,
+) -> str:
+    """Delta-vs-corpus twin of ``minhash_lsh_sql``: documents matching
+    ``batch_pred`` are the delta, the rest the corpus; the hot-bucket
+    cap counts CORPUS occupancy only (mirroring the Spark operator,
+    where a flooded corpus bucket is dropped before the probe join)."""
+    r = k // bands
+    perms = _perm_params(k)
+    sig_exprs = ",\n            ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P}))"
+        for a, b in perms
+    )
+    banded_selects = "\n          UNION ALL ".join(
+        f"SELECT doc_id, sig, is_batch, {b} AS band, "
+        f"CAST(sig[{b * r + 1}:{b * r + r}] AS VARCHAR) AS key FROM sigs"
+        for b in range(bands)
+    )
+    cap = f"WHERE bsz <= {max_bucket}" if max_bucket else ""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, ({batch_pred}) AS is_batch,
+                 list_transform({shingles_sql}, s -> {_ph('s')} % {MERSENNE_P}) AS hs
+          FROM documents
+        ),
+        sigs AS (
+          SELECT doc_id, is_batch, [
+            {sig_exprs}
+          ] AS sig FROM t
+        ),
+        banded AS (
+          {banded_selects}
+        ),
+        corpus_capped AS (
+          SELECT doc_id, sig, band, key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
+            FROM banded WHERE NOT is_batch
+          ) {cap}
+        ),
+        batch_side AS (
+          SELECT doc_id, sig, band, key FROM banded WHERE is_batch
+        ),
+        pairs AS (
+          SELECT DISTINCT n.doc_id AS batch_id, c.doc_id AS corpus_id,
+                          n.sig AS sig_a, c.sig AS sig_b
+          FROM batch_side n JOIN corpus_capped c
+            ON n.band = c.band AND n.key = c.key
+        ),
+        scored AS (
+          SELECT batch_id, corpus_id,
+                 list_sum(list_transform(range(1, {k + 1}),
+                   i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS neq
+          FROM pairs
+        )
+        SELECT batch_id, corpus_id, neq / {float(k)} AS est_jaccard
+        FROM scored
+        WHERE neq / {float(k)} >= {min_est}
+        ORDER BY batch_id, corpus_id
+    """
+
+
 def minhash_oph_sql(
     shingles_sql: str, k: int = 64, bands: int = 16, min_est: float = 0.5,
     max_bucket: int | None = 1000,

@@ -335,8 +335,13 @@ def main() -> None:
     r9 = {}
     stage9 = lambda name, fn, sql: r9.__setitem__(name, fn)  # noqa: E731
     round9_queries.contribute(stage9)
+    # dedup_minhash_incremental rides the N× corpus: BOTH sides grow
+    # N× here (the fixture split is id-mod), so the probe join's
+    # candidate work grows with corpus×delta band collisions — the
+    # corpus-side hot-bucket cap is what keeps the planted N-plicate
+    # flood bounded, same argument as the self-join's cap row above.
     for name in ("cusum_shard_merge", "bloom_incremental_union",
-                 "zorder_extent_merge"):
+                 "zorder_extent_merge", "dedup_minhash_incremental"):
         timed(f"round9:{name}", r9[name](spark, out))
 
     _planted_long_doc_repetition(spark)

@@ -46,8 +46,8 @@ def test_driver_window_matches_round9_rotation():
     CHANGED (the fixed weekly_anchor_interpolation oracle and the
     equi-depth RFM re-implementation — a changed query's old verdict
     is dead evidence), (b) the three r03 stragglers (five rounds
-    without a verdict — the registry's oldest evidence), and (c) 42 of
-    the 49 r04-cohort queries, dedup/ANN families included; the seven
+    without a verdict — the registry's oldest evidence), and (c) 41 of
+    the 49 r04-cohort queries, dedup/ANN families included; the eight
     displaced r04 point-ops are pinned by name so the round-10 queue
     stays mechanical."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
@@ -63,7 +63,8 @@ def test_driver_window_matches_round9_rotation():
     assert set(names[:50]) <= o
     round9 = {
         "cusum_shard_merge", "bloom_incremental_union",
-        "zorder_extent_merge",                      # round-9 additions
+        "zorder_extent_merge",
+        "dedup_minhash_incremental",                # round-9 additions
         "weekly_anchor_interpolation", "rfm_segment_counts",  # changed
     }
     r03_stragglers = {
@@ -79,6 +80,7 @@ def test_driver_window_matches_round9_rotation():
         "projection_rename", "upper_bound_filter", "not_in_set_filter",
         "union_schema_align", "roman_numeral_codec",
         "semi_join_known_keys", "anti_join_unknown_keys",
+        "scalar_function_showcase",
     }
     w = set(names[:50])
     assert round9 | r03_stragglers | dedup_ann_head <= w

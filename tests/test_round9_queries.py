@@ -153,6 +153,29 @@ def test_bloom_union_is_bitwise_or_and_has_no_false_negatives(spark):
             assert word.merged_bits & (1 << ((h // 1024) % 63)), key
 
 
+# ---- incremental near-dup probe -----------------------------------------
+
+def test_minhash_incremental_finds_corpus_twins_only(spark):
+    """Operator-level contract: a batch doc identical to a corpus doc
+    pairs with it at est 1.0; a batch doc with unique text pairs with
+    nothing; corpus-internal duplicates do NOT appear (the corpus is
+    never self-joined)."""
+    from building_permissions_etl_spark.operators.dedup import (
+        minhash_lsh_incremental,
+    )
+
+    t_dup = "the quick brown fox jumps over the lazy dog again and again"
+    t_oth = "completely different content about shipping manifests and ports"
+    corpus = spark.createDataFrame(
+        [(1, t_dup), (2, t_oth), (3, t_oth)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, t_dup), (11, "unique never seen text with many fresh words")],
+        ["doc_id", "text"])
+    rows = minhash_lsh_incremental(corpus, batch, "text", "doc_id").collect()
+    assert [(r.batch_id, r.corpus_id, r.est_jaccard) for r in rows] \
+        == [(10, 1, 1.0)]
+
+
 # ---- z-order extent maintenance -----------------------------------------
 
 def test_zorder_merge_equals_full_rebuild(spark):
