@@ -437,6 +437,63 @@ def write_ivf_index_portable(
     return cents
 
 
+def append_ivf_index_portable(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = PORTABLE_IVF_SEED,
+) -> list[list[float]]:
+    """INCREMENTAL index maintenance: assign only the NEW vectors to
+    the same deterministic centroids and APPEND into the ``__cell``
+    partition directories of an existing ``write_ivf_index_portable``
+    table. Because cell assignment is per-vector (the centroids are
+    deterministic literals, never retrained), append-then-query is
+    byte-identical to rebuild-then-query — the maintenance-equals-
+    rebuild property the round-9 extent/register tables prove for
+    their merges, here bought structurally: no merge step at all, the
+    partitioned layout IS the mergeable structure, and ingest cost is
+    one scan of the delta. Returns the (identical) centroids.
+
+    Real k-means IVF (trained centroids) loses this property — a
+    retrain reassigns old vectors — which is exactly why the portable
+    variant pins its centroids to seed-derived literals; production
+    systems do the same between periodic re-trains."""
+    cents = _hyperplanes(n_cells, dim, seed)
+    scores = _centroid_scores(F.col(vec_col), cents)
+    (
+        df.withColumn(
+            "__cell",
+            (F.array_position(scores, F.array_max(scores)) - 1).cast("int"),
+        )
+        .write.mode("append").partitionBy("__cell").parquet(path)
+    )
+    return cents
+
+
+def append_lsh_index(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> None:
+    """INCREMENTAL LSH index maintenance: bucket only the new vectors
+    with the identical hyperplane literals and append into the
+    ``__bucket`` partition directories — same structural
+    append-equals-rebuild argument as ``append_ivf_index_portable``
+    (sign-bit bucketing is per-vector; the geometry stamp rides along
+    so a probe against mixed-geometry partitions still fails fast)."""
+    planes = _hyperplanes(n_planes, dim, seed)
+    (
+        df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+        .withColumn("__n_planes", F.lit(n_planes))
+        .write.mode("append").partitionBy("__bucket").parquet(path)
+    )
+
+
 def probe_buckets(bucket: int, n_planes: int, radius: int) -> list[int]:
     """All bucket ids within ``radius`` bit flips of ``bucket`` — the
     multi-probe set, enumerated driver-side (C(n_planes, ≤radius) ids,

@@ -255,3 +255,73 @@ def test_assign_nearest_seed_partial_argmin_before_exchange(spark):
     # explain prints top-down: the partial aggregate must sit BELOW
     # (later in the text than) the exchange that feeds the final agg
     assert i_partial > i_exchange, plan
+
+
+def test_ivf_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental index maintenance: writing the base half then
+    APPENDING the delta half must leave a table whose query results —
+    and whose per-cell row sets — are byte-identical to a full
+    rebuild, because cell assignment is per-vector against
+    deterministic centroid literals (append-equals-rebuild bought
+    structurally, no merge step)."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.operators.similarity import (
+        append_ivf_index_portable,
+        query_ivf_portable,
+        write_ivf_index_portable,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    inc_path = str(tmp_path / "ivf_inc")
+    full_path = str(tmp_path / "ivf_full")
+    cents = write_ivf_index_portable(
+        emb.filter("vec_id % 2 = 0"), "embedding", inc_path)
+    cents2 = append_ivf_index_portable(
+        emb.filter("vec_id % 2 = 1"), "embedding", inc_path)
+    assert cents2 == cents
+    write_ivf_index_portable(emb, "embedding", full_path)
+
+    inc = spark.read.parquet(inc_path)
+    full = spark.read.parquet(full_path)
+    assert sorted((r["vec_id"], r["__cell"])
+                  for r in inc.select("vec_id", "__cell").collect()) \
+        == sorted((r["vec_id"], r["__cell"])
+                  for r in full.select("vec_id", "__cell").collect())
+    for qid in (3, 10):
+        a = [tuple(r) for r in query_ivf_portable(
+            inc, cents, "embedding", "vec_id", query_id=qid, k=5).collect()]
+        b = [tuple(r) for r in query_ivf_portable(
+            full, cents, "embedding", "vec_id", query_id=qid, k=5).collect()]
+        assert a == b
+
+
+def test_lsh_index_append_equals_rebuild(spark, tmp_path):
+    """Same structural append-equals-rebuild contract for the LSH
+    layout, including the planning-time partition pruning surviving
+    the append (the probe IN-list must still land in
+    PartitionFilters over the appended table)."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.operators.similarity import (
+        append_lsh_index,
+        query_lsh,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    inc_path = str(tmp_path / "lsh_inc")
+    full_path = str(tmp_path / "lsh_full")
+    write_lsh_index(emb.filter("vec_id % 2 = 0"), "embedding", inc_path)
+    append_lsh_index(emb.filter("vec_id % 2 = 1"), "embedding", inc_path)
+    write_lsh_index(emb, "embedding", full_path)
+
+    inc, full = spark.read.parquet(inc_path), spark.read.parquet(full_path)
+    assert sorted((r["vec_id"], r["__bucket"])
+                  for r in inc.select("vec_id", "__bucket").collect()) \
+        == sorted((r["vec_id"], r["__bucket"])
+                  for r in full.select("vec_id", "__bucket").collect())
+    q = query_lsh(inc, "embedding", "vec_id", query_id=3, k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*__bucket[^\]]*IN", plan), plan
+    assert [tuple(r) for r in q.collect()] == [
+        tuple(r) for r in
+        query_lsh(full, "embedding", "vec_id", query_id=3, k=5).collect()]
