@@ -149,6 +149,34 @@ def test_stream_fold_extents_with_initial_state(spark):
     assert _rows(final) == _rows(to_part(od))
 
 
+def test_stream_fold_histograms_feeds_drift_monitor(spark):
+    """The drift-monitor histogram is itself a mergeable artifact
+    (counts by bin), so the streaming fold maintains it too: folding
+    per-micro-batch histograms must equal the one-shot snapshot, and
+    the folded artifact must read zero drift against it."""
+    from building_permissions_etl_spark.operators.validation import (
+        histogram_snapshot,
+        psi_drift,
+    )
+
+    od = _orders(spark)
+    feed_dir = _feed_dir(spark)
+    feed = (spark.readStream.schema(od.schema)
+            .option("maxFilesPerTrigger", "1").parquet(feed_dir))
+
+    def to_part(df):
+        return histogram_snapshot(df, "o_totalprice", 0.0, 600_000.0)
+
+    def merge(a, b):
+        return (a.unionAll(b).groupBy("bin")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+
+    folded = fold_mergeable_stream(feed, to_partial=to_part, merge=merge)
+    oneshot = to_part(od)
+    assert _rows(folded) == _rows(oneshot)
+    assert psi_drift(folded, oneshot).first().psi == 0.0
+
+
 def test_stream_fold_empty_feed_raises_without_initial_state(spark):
     import pytest
 
