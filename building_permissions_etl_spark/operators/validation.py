@@ -224,7 +224,10 @@ def histogram_snapshot(
     width = (hi - lo) / n_bins
     raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
     bin_ = (
-        F.when(v.isNull(), F.lit(-2))
+        # NaN joins NULL in the missing bin: floor(NaN) casts to a NULL
+        # int, which would otherwise fall through every comparison and
+        # group as a silent NULL bin id
+        F.when(v.isNull() | F.isnan(v), F.lit(-2))
         .when(raw < 0, F.lit(-1))
         .when(raw >= n_bins, F.lit(n_bins))
         .otherwise(raw)

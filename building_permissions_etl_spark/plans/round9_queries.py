@@ -73,6 +73,14 @@ def contribute(register) -> None:
     # twin uses the single-pass closed form S_j = R_j − min(0, min R)
     # over the whole series, so any error in the merge algebra is a
     # value mismatch.
+    #
+    # Integer bound: |dd| ≤ n·max|x| and |R| ≤ n²·max|x| — at the
+    # fixture (n ≈ 1.2e5/type, x ≤ 1e6 cents) R ≤ ~1.5e16, five
+    # orders inside BIGINT; past n ≈ 3e6 rows PER KEY the
+    # cross-multiplied form needs the drift moved into the per-shard
+    # partials (subtract a per-shard integer mean and carry the
+    # remainder — same algebra, bounded operands) or a coarser
+    # quantization. The plan shape is unchanged either way.
     def cusum_shard(spark, sf):
         ev = load_table(spark, "events", sf)
         q = ev.select(

@@ -90,10 +90,12 @@ def test_snapshot_bins_are_domain_stable_and_bounded(spark):
     # out-of-domain values land in the overflow/underflow bins, never
     # a new bin id
     weird = spark.createDataFrame(
-        [(-5.0,), (10**9 * 1.0,)], ["o_totalprice"])
+        [(-5.0,), (10**9 * 1.0,), (float("nan"),), (None,)],
+        ["o_totalprice"])
     w = {r.bin: r.cnt for r in histogram_snapshot(
         weird, "o_totalprice", 0.0, 600_000.0, n_bins=8).collect()}
-    assert w == {-1: 1, 8: 1}
+    # NaN joins NULL in the missing bin — never a silent NULL bin id
+    assert w == {-1: 1, 8: 1, -2: 2}
 
 
 def test_domain_contract_validated(spark):
