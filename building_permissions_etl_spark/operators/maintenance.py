@@ -41,8 +41,15 @@ def bloom_registers(
     """(word_idx, bits): the blocked-Bloom register table of a key
     column — two probes per key (portable md5-prefix hash + an affine
     second probe, k=2 without a second md5). One partial-agg scan;
-    output ≤ ``words`` rows regardless of input size."""
-    keyed = df.select(
+    output ≤ ``words`` rows regardless of input size.
+
+    NULL keys are dropped before hashing — md5(NULL) probes are NULL
+    and would emit a NULL word_idx register row that crashes
+    ``registers_to_bits``; the probe side
+    (``might_contain_registers``) already evaluates NULL keys as
+    absent, so build and probe agree: a Bloom table answers
+    membership of VALUES, and NULL is not a value."""
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
         portable_hash64(F.col(key_col).cast("string")).alias("h1"))
     probes = keyed.select(
         F.explode(F.array(
@@ -134,10 +141,20 @@ def merge_extent_tables(*tables: DataFrame) -> DataFrame:
     """Merge extent tables: n sums, mins min, maxes max — all five
     measures mergeable, so maintenance never re-reads the base
     partition. Column roles are derived from the naming convention
-    ``extent_table`` emits."""
+    ``extent_table`` emits. Inputs must share an identical column SET
+    (checked) and are folded with ``unionByName`` — two extent tables
+    built with the same value_cols in a different order would pass a
+    positional union's count/type check and silently misalign
+    (min_a folded with min_b), defeating merge-equals-rebuild."""
     if not tables:
         raise ValueError("need at least one extent table")
-    u = reduce(DataFrame.unionAll, tables)
+    cols0 = set(tables[0].columns)
+    for i, t in enumerate(tables[1:], start=1):
+        if set(t.columns) != cols0:
+            raise ValueError(
+                f"extent table {i} columns {sorted(t.columns)} != "
+                f"table 0 columns {sorted(cols0)}")
+    u = reduce(DataFrame.unionByName, tables)
     aggs = []
     for c in u.columns:
         if c == "bucket":

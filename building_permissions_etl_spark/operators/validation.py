@@ -222,15 +222,21 @@ def histogram_snapshot(
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     v = F.col(value_col).cast("double")
     width = (hi - lo) / n_bins
-    raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+    # raw stays BIGINT until after the clamp: under ANSI (Spark 4
+    # default) a long->int cast of an extreme out-of-domain quotient
+    # (|raw| >= 2^31, or ±Infinity which floor saturates to
+    # Long.Min/MaxValue) would throw CAST_OVERFLOW instead of landing
+    # in the -1/overflow bins this contract guarantees. Only the
+    # final, provably-bounded branch (0 <= raw < n_bins) casts to int.
+    raw = F.floor((v - F.lit(lo)) / F.lit(width))
     bin_ = (
-        # NaN joins NULL in the missing bin: floor(NaN) casts to a NULL
-        # int, which would otherwise fall through every comparison and
-        # group as a silent NULL bin id
+        # NaN joins NULL in the missing bin: floor(NaN) yields a NULL
+        # bigint, which would otherwise fall through every comparison
+        # and group as a silent NULL bin id
         F.when(v.isNull() | F.isnan(v), F.lit(-2))
         .when(raw < 0, F.lit(-1))
         .when(raw >= n_bins, F.lit(n_bins))
-        .otherwise(raw)
+        .otherwise(raw.cast("int"))
     )
     return (
         df.select(bin_.alias("bin"))

@@ -286,12 +286,22 @@ def contribute(register) -> None:
                 .withColumn(score, F.col("bucket").cast("int"))
                 .drop("bucket")
             )
-        return (
+        out = (
             scored.groupBy("r_score", "f_score", "m_score")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
                  F.sum("m_cents").alias("segment_cents"))
             .orderBy("r_score", "f_score", "m_score")
         )
+        # Residue contract (matches the iterative graph operators):
+        # eagerly materialize the ≤125-row segment table while the
+        # per-customer frame is hot (count() drives all six cached
+        # reads), then blocking-release the ONE-ROW-PER-CUSTOMER frame
+        # — the thing that must not accumulate across a long sweep
+        # session. Residue: one ≤125-row cached frame per call.
+        out = out.cache()
+        out.count()
+        base.unpersist(blocking=True)
+        return out
 
     register(
         "rfm_segment_counts",

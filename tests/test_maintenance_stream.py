@@ -190,3 +190,46 @@ def test_stream_fold_empty_feed_raises_without_initial_state(spark):
             feed,
             to_partial=lambda b: bloom_registers(b, "o_custkey"),
             merge=merge_bloom_registers)
+
+
+def test_bloom_registers_drop_null_keys(spark):
+    """Round-10 ADVICE fix: NULL keys are filtered before hashing —
+    md5(NULL) probes would emit a NULL word_idx row that crashes
+    registers_to_bits, while the probe side already treats NULL as
+    absent. Build and probe now agree: a table built WITH nulls
+    equals one built without, and registers_to_bits round-trips."""
+    od = _orders(spark)
+    with_nulls = od.withColumn(
+        "k", F.when(F.col("o_orderkey") % 7 == 0, None)
+             .otherwise(F.col("o_custkey")))
+    clean = with_nulls.filter("k IS NOT NULL")
+    assert _rows(bloom_registers(with_nulls, "k")) == \
+        _rows(bloom_registers(clean, "k"))
+    bits = registers_to_bits(bloom_registers(with_nulls, "k"))
+    assert any(bits)  # real registers came through
+
+
+def test_extent_merge_is_column_order_insensitive(spark):
+    """Round-10 ADVICE fix: merging extent tables built with the same
+    value_cols in DIFFERENT order must not positionally misalign
+    min_a with min_b — unionByName folds by role. A genuinely
+    different column SET is a hard error, not a silent merge."""
+    od = _orders(spark).withColumn("bkt", F.col("o_orderkey") % 4)
+    a = extent_table(od.filter("o_orderkey % 2 = 0"), "bkt",
+                     ["o_totalprice", "o_custkey"])
+    b = extent_table(od.filter("o_orderkey % 2 = 1"), "bkt",
+                     ["o_custkey", "o_totalprice"])
+    merged = merge_extent_tables(a, b)
+    full = extent_table(od, "bkt", ["o_totalprice", "o_custkey"])
+    got = {r["bucket"]: (r["n"], r["min_o_totalprice"],
+                         r["max_o_totalprice"], r["min_o_custkey"],
+                         r["max_o_custkey"])
+           for r in merged.collect()}
+    want = {r["bucket"]: (r["n"], r["min_o_totalprice"],
+                          r["max_o_totalprice"], r["min_o_custkey"],
+                          r["max_o_custkey"])
+            for r in full.collect()}
+    assert got == want
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="columns"):
+        merge_extent_tables(a, a.drop("min_o_custkey"))

@@ -104,3 +104,18 @@ def test_domain_contract_validated(spark):
         histogram_snapshot(od, "o_totalprice", 10.0, 10.0)
     with pytest.raises(ValueError):
         histogram_snapshot(od, "o_totalprice", 0.0, 1.0, n_bins=0)
+
+
+def test_extreme_values_land_in_clamp_bins_under_ansi(spark):
+    """Round-10 ADVICE fix: raw bin ids stay BIGINT until after the
+    clamp. Under ANSI, a long->int cast of an out-of-domain quotient
+    (|raw| >= 2^31) or of floor(±Infinity) (saturates to
+    Long.Min/MaxValue) used to throw CAST_OVERFLOW mid-snapshot; the
+    contract says those rows belong in the -1/overflow bins."""
+    df = spark.createDataFrame(
+        [(1e18,), (-1e18,), (float("inf",),), (float("-inf"),),
+         (float("nan"),), (None,), (5.0,)],
+        "v double")
+    rows = {r.bin: r.cnt for r in
+            histogram_snapshot(df, "v", 0.0, 16.0, n_bins=16).collect()}
+    assert rows == {-2: 2, -1: 2, 16: 2, 5: 1}
