@@ -258,6 +258,10 @@ EXTENSION_HEADLINE = [
     "bloom_incremental_union",
     "zorder_extent_merge",
     "dedup_minhash_incremental",
+    # round-10 additions: the drift-monitor histogram family
+    "histogram_snapshot_price",
+    "histogram_shard_merge",
+    "psi_drift_monitor",
     # previously-unbenched mid-weight queries (full-fact aggs, set ops,
     # multi-join trees). The ONLY registry queries deliberately left
     # unbenched are trivial scalar/filter/rename point-ops whose cost is

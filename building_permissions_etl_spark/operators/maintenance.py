@@ -137,6 +137,21 @@ def extent_table(
     return df.groupBy(F.col(bucket_col).alias("bucket")).agg(*aggs)
 
 
+def merge_histograms(*tables: DataFrame) -> DataFrame:
+    """Merge ``histogram_snapshot`` tables (operators/validation.py)
+    built over the SAME [lo, hi)/n_bins domain contract: counts sum
+    by bin — the third mergeable maintained table next to Bloom
+    registers and extents. Output stays ≤ n_bins + 3 rows, so a
+    100 TB table's drift monitor folds per-ingest partials instead of
+    re-scanning the base. The domain contract is the CALLER's
+    responsibility, exactly as for ``psi_drift``: histograms from
+    different domains would merge syntactically and mean nothing."""
+    if not tables:
+        raise ValueError("need at least one histogram table")
+    u = reduce(DataFrame.unionByName, tables)
+    return u.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
 def merge_extent_tables(*tables: DataFrame) -> DataFrame:
     """Merge extent tables: n sums, mins min, maxes max — all five
     measures mergeable, so maintenance never re-reads the base

@@ -37,6 +37,7 @@ MODULES = [
     ("round8d_queries", "Bloom semi-join reduction, z-order extent pruning, CUSUM changepoint, RFM quintiles, Pareto concentration, day streaks, mergeable table checksum"),
     ("round8e_queries", "Label-propagation communities, k-core peeling, day-of-week seasonality residual outliers"),
     ("round9_queries", "Incremental maintenance + shard-merge: mergeable per-shard CUSUM, Bloom register union, z-order extent merge"),
+    ("round10_queries", "Drift monitoring as maintained tables: fixed-domain histogram snapshot, shard merge == rebuild, PSI drift"),
 ]
 
 

@@ -344,6 +344,23 @@ def main() -> None:
                  "zorder_extent_merge", "dedup_minhash_incremental"):
         timed(f"round9:{name}", r9[name](spark, out))
 
+    # Round-10 additions: the drift-monitor histogram family rides the
+    # N× orders with the same profile as the round-9 maintained
+    # tables — each snapshot is ONE partial-agg scan emitting a
+    # ≤19-row artifact, the shard merge folds three such artifacts,
+    # and PSI joins two of them; everything after the scans is
+    # constant-size at any N, so all three must scale like a bare
+    # column scan (sublinear wall-clock on 32 cores until the scan
+    # saturates).
+    from building_permissions_etl_spark.plans import round10_queries
+
+    r10 = {}
+    stage10 = lambda name, fn, sql: r10.__setitem__(name, fn)  # noqa: E731
+    round10_queries.contribute(stage10)
+    for name in ("histogram_snapshot_price", "histogram_shard_merge",
+                 "psi_drift_monitor"):
+        timed(f"round10:{name}", r10[name](spark, out))
+
     _planted_long_doc_repetition(spark)
     _planted_long_chain_components(spark)
     _crs_codegen_throughput(spark)

@@ -39,42 +39,42 @@ def test_rows_only_set_is_exactly_the_documented_one():
     assert rows_only == ROWS_ONLY
 
 
-def test_driver_window_matches_round9_rotation():
+def test_driver_window_matches_round10_rotation():
     """The first 50 registry entries (the slice the driver verifies)
-    must match _DRIVER_WINDOW exactly, and the round-9 window must
-    front-load (a) every round-9 addition plus the two queries round 9
-    CHANGED (the fixed weekly_anchor_interpolation oracle and the
-    equi-depth RFM re-implementation — a changed query's old verdict
-    is dead evidence), (b) the three r03 stragglers (five rounds
-    without a verdict — the registry's oldest evidence), and (c) 41 of
-    the 49 r04-cohort queries, dedup/ANN families included; the eight
-    displaced r04 point-ops are pinned by name so the round-10 queue
-    stays mechanical."""
+    must match _DRIVER_WINDOW exactly, and the round-10 window must
+    front-load (a) the three round-10 additions (drift-monitor
+    histogram family) plus the one query round 10 CHANGED
+    (rfm_segment_counts' cache-residue fix — a changed query's old
+    verdict is dead evidence), and (b) 46 of the 50 r05-cohort
+    queries (five rounds without a verdict — the registry's oldest
+    evidence); the four deferred r05 point-ops are pinned by name so
+    the round-11 queue stays mechanical."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
     o = set(oracle_sql())
     assert len(_DRIVER_WINDOW) == 50
     assert names[:50] == _DRIVER_WINDOW
-    # every round-9 windowed query is oracle-backed (the rows-only
+    # every round-10 windowed query is oracle-backed (the rows-only
     # sketch twins all took their designed rows-only verdict in r08
     # and rotate out — a window slot spent on a hash-uncheckable row
     # is a slot wasted)
     assert set(names[:50]) <= o
-    round9 = {
-        "cusum_shard_merge", "bloom_incremental_union",
-        "zorder_extent_merge",
-        "dedup_minhash_incremental",                # round-9 additions
-        "weekly_anchor_interpolation", "rfm_segment_counts",  # changed
+    round10 = {
+        "histogram_snapshot_price", "histogram_shard_merge",
+        "psi_drift_monitor",                       # round-10 additions
+        "rfm_segment_counts",                      # changed
     }
-    r03_stragglers = {
-        "salted_group_count", "salted_join_segments",
-        "exact_distinct_per_key",
+    r05_head = {
+        "scd1_customer_upsert", "scd2_customer_upsert",
+        "stream_scd1_upsert", "stream_session_window",
+        "stream_window_counts", "event_funnel_conversion",
+        "event_sessionization", "event_transition_matrix",
+        "monthly_cohort_retention", "gapfill_daily_forward_fill",
     }
-    dedup_ann_head = {
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_inverted",
-        "dedup_embedding_cosine", "dedup_cluster_survivors",
-        "dedup_cluster_survivors_star", "similarity_topk_bruteforce",
+    deferred_r05 = {
+        "range_filter_halfopen", "days_lookback_window",
+        "value_counts_priority", "small_quantity_revenue",
     }
     displaced_r04 = {
         "projection_rename", "upper_bound_filter", "not_in_set_filter",
@@ -83,9 +83,9 @@ def test_driver_window_matches_round9_rotation():
         "scalar_function_showcase",
     }
     w = set(names[:50])
-    assert round9 | r03_stragglers | dedup_ann_head <= w
-    assert displaced_r04 & w == set()
-    assert displaced_r04 <= set(names)  # displaced, not dropped
+    assert round10 | r05_head <= w
+    assert (deferred_r05 | displaced_r04) & w == set()
+    assert deferred_r05 | displaced_r04 <= set(names)  # deferred, not dropped
 
 
 def test_no_oracle_output_column_is_hugeint():
