@@ -262,22 +262,34 @@ def psi_drift(
     Scale shape: both inputs are ≤ n_bins + 3 rows — the full-outer
     bin join, the probability arithmetic, and the final sum all run
     on snapshot ARTIFACTS, never the underlying table; monitoring
-    cost is independent of table size once snapshots exist."""
+    cost is independent of table size once snapshots exist. The bin
+    totals come from an UN-partitioned window over the joined
+    artifact (≤ n_bins + 3 rows in one task — bounded by the domain
+    contract, so the single-partition window is free), not a separate
+    aggregate + crossJoin: the agg form re-derived the join's
+    lineage TWICE, which doubles the base-table scans whenever the
+    inputs are built inline rather than read from persisted
+    artifacts."""
+    from pyspark.sql import Window
+
     b = base_hist.select("bin", F.col("cnt").alias("cb"))
     c = cur_hist.select("bin", F.col("cnt").alias("cc"))
     j = (
         b.join(c, "bin", "full")
         .select(
-            "bin",
             F.coalesce("cb", F.lit(0)).alias("cb"),
             F.coalesce("cc", F.lit(0)).alias("cc"),
         )
     )
-    tot = j.agg(F.sum("cb").alias("nb"), F.sum("cc").alias("nc"))
+    w = Window.partitionBy()
     scored = (
-        j.crossJoin(F.broadcast(tot))
+        j.select(
+            "cb", "cc",
+            F.sum("cb").over(w).alias("nb"),
+            F.sum("cc").over(w).alias("nc"),
+        )
         .select(
-            "cb", "cc", "nb", "nc",
+            "nb", "nc",
             F.greatest(F.col("cb") / F.col("nb"), F.lit(min_prob)).alias("p"),
             F.greatest(F.col("cc") / F.col("nc"), F.lit(min_prob)).alias("q"),
         )
