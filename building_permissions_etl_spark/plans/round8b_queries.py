@@ -91,32 +91,45 @@ def contribute(register) -> None:
 
     # ---- market-basket lift over order baskets -------------------------
     # Association lift between part BRANDS co-purchased in one order.
-    # The item vocabulary (25 brands) bounds the per-basket pair count
-    # at C(25,2), so the basket self-join on l_orderkey is linear in
-    # baskets — the reason real basket mining always aggregates items
-    # to a bounded vocabulary first. part is broadcast; the only wide
-    # exchanges are the distinct on (orderkey, brand) and the pair
-    # count. Lift stays INTEGER (c_ab·N as numerator, c_a·c_b as
-    # denominator) until one final IEEE-exact division; ordering uses
-    # the integer cross-product comparison, never the float.
+    # The item vocabulary (25 brands) bounds each basket at 25 distinct
+    # items — the reason real basket mining always aggregates items to
+    # a bounded vocabulary first. ONE wide exchange total: collect each
+    # order's distinct sorted brand set (collect_set is a map-side-
+    # combinable aggregate; the shuffle carries ≤25-element sets, not
+    # rows), then derive everything from that per-order frame with
+    # NARROW ops — singles and the C(|basket|,2) co-occurrence pairs
+    # both explode locally and partial-aggregate into ≤25 / ≤C(25,2)
+    # keys before their (tiny) final shuffles, and n_orders is a count
+    # of the same frame. The round-8 original self-joined the basket
+    # table on l_orderkey, which re-shuffled the fact-sized pair stream;
+    # generating pairs INSIDE the row after one groupBy is the shape
+    # that survives a 100× scale-up. Lift stays INTEGER (c_ab·N as
+    # numerator, c_a·c_b as denominator) until one final IEEE-exact
+    # division; ordering uses the integer cross-product comparison,
+    # never the float.
     def basket_lift(spark, sf, min_pair=5, k=20):
         li = load_table(spark, "lineitem", sf).select(
             "l_orderkey", "l_partkey")
         part = load_table(spark, "part", sf).select("p_partkey", "p_brand")
         baskets = (
             li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-            .select("l_orderkey", F.col("p_brand").alias("brand"))
-            .distinct()
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
         )
         n = baskets.agg(
-            F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
-        singles = baskets.groupBy("brand").agg(
-            F.count(F.lit(1)).cast("bigint").alias("c"))
-        x = baskets.select("l_orderkey", F.col("brand").alias("brand_a"))
-        y = baskets.select("l_orderkey", F.col("brand").alias("brand_b"))
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        singles = (
+            baskets.select(F.explode("brands").alias("brand"))
+            .groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        pair_gen = F.expr(
+            "flatten(transform(brands, (a, i) -> "
+            "transform(slice(brands, i + 2, size(brands)), "
+            "b -> struct(a AS brand_a, b AS brand_b))))"
+        )
         pairs = (
-            x.join(y, "l_orderkey")
-            .filter(F.col("brand_a") < F.col("brand_b"))
+            baskets.select(F.explode(pair_gen).alias("p"))
+            .select("p.brand_a", "p.brand_b")
             .groupBy("brand_a", "brand_b")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
             .filter(F.col("c_ab") >= min_pair)
@@ -171,30 +184,67 @@ def contribute(register) -> None:
         """,
     )
 
-    # ---- exact weighted median (distinct-value cumulative weight) ------
+    # ---- exact weighted median (two-pass bucket refinement) ------------
     # Quantity-weighted median unit price per return flag: the smallest
     # price v where cumulative quantity at v reaches half the total.
-    # Pre-aggregating to ONE row per (group, distinct value) before the
-    # cumulative window is what makes this exact AND scale-safe: the
-    # ordered window walks |distinct prices| rows per group, never the
-    # fact, and equal values cannot split their weight across window
-    # rows (the correctness bug in naive per-row cumsum medians). All
-    # integer: cents via floor, quantities floored to bigint.
-    def weighted_median(spark, sf):
+    # Two passes, both fully parallel:
+    #   1. per-(group, bucket) weight sums, bucket = v div 2^16 cents —
+    #      a map-side-combinable aggregate whose shuffle carries at most
+    #      groups × n_buckets rows; a tiny window over the bucket
+    #      summary finds the bucket whose cumulative weight crosses
+    #      half the total (the median bucket: every earlier bucket's
+    #      cum stays < tot/2, so the crossing value must lie inside),
+    #      plus the cumulative weight BEFORE it.
+    #   2. re-scan filtered to that one bucket per group (broadcast of
+    #      a ≤|groups|-row target table), aggregate to distinct values,
+    #      and walk an ordered window seeded with the carried-in prefix.
+    # The point of the bucket pass is BOUNDED window work: the ordered
+    # cumulative window — inherently one task per group — never walks
+    # more than max(n_buckets, bucket_width) rows, no matter how large
+    # the fact table is. The single-pass distinct-value form (round-8
+    # original) walked |distinct prices| rows per group through 3 tasks,
+    # which is the part of the plan that does NOT survive a 100×
+    # scale-up; this one does, for two extra cheap scans. Weights are
+    # non-negative, so seeding the in-bucket cumsum with the prefix
+    # reproduces the global cumulative exactly; all integer arithmetic
+    # (cents via floor, quantities floored to bigint) until nothing.
+    def weighted_median(spark, sf, bucket_width=1 << 16):
         li = load_table(spark, "lineitem", sf).select(
             "l_returnflag",
             F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
             .alias("v"),
             F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("w"),
         )
-        per_v = li.groupBy("l_returnflag", "v").agg(
-            F.sum("w").alias("sw"))
-        cum = (Window.partitionBy("l_returnflag").orderBy("v")
-               .rowsBetween(Window.unboundedPreceding, 0))
-        whole = Window.partitionBy("l_returnflag")
+        bkt = F.expr(f"v div {bucket_width}")
+        buckets = li.groupBy(
+            "l_returnflag", bkt.alias("b")
+        ).agg(F.sum("w").alias("bw"))
+        cumb = (Window.partitionBy("l_returnflag").orderBy("b")
+                .rowsBetween(Window.unboundedPreceding, 0))
+        wholeb = Window.partitionBy("l_returnflag")
+        target = (
+            buckets.withColumn("cw", F.sum("bw").over(cumb))
+            .withColumn("tot", F.sum("bw").over(wholeb))
+            .filter(2 * F.col("cw") >= F.col("tot"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.min("b").alias("tb"),
+                F.min_by(F.col("cw") - F.col("bw"), F.col("b"))
+                .alias("prefix"),
+                F.min("tot").alias("tot"),
+            )
+        )
+        in_bucket = (
+            li.join(F.broadcast(target), "l_returnflag")
+            .filter(bkt == F.col("tb"))
+            .groupBy("l_returnflag", "v", "prefix", "tot")
+            .agg(F.sum("w").alias("sw"))
+        )
+        cumv = (Window.partitionBy("l_returnflag").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0))
         return (
-            per_v.withColumn("cw", F.sum("sw").over(cum))
-            .withColumn("tot", F.sum("sw").over(whole))
+            in_bucket
+            .withColumn("cw", F.col("prefix") + F.sum("sw").over(cumv))
             .filter(2 * F.col("cw") >= F.col("tot"))
             .groupBy("l_returnflag")
             .agg(F.min("v").alias("wmedian_cents"),

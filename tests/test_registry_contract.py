@@ -43,12 +43,13 @@ def test_driver_window_matches_round10_rotation():
     """The first 50 registry entries (the slice the driver verifies)
     must match _DRIVER_WINDOW exactly, and the round-10 window must
     front-load (a) the three round-10 additions (drift-monitor
-    histogram family) plus the one query round 10 CHANGED
-    (rfm_segment_counts' cache-residue fix — a changed query's old
-    verdict is dead evidence), and (b) 46 of the 50 r05-cohort
-    queries (five rounds without a verdict — the registry's oldest
-    evidence); the four deferred r05 point-ops are pinned by name so
-    the round-11 queue stays mechanical."""
+    histogram family) plus the three queries round 10 CHANGED
+    (rfm_segment_counts' cache-residue fix; the weighted-median and
+    basket-lift scale-shape rewrites — a changed query's old verdict
+    is dead evidence), and (b) 44 of the 50 r05-cohort queries (five
+    rounds without a verdict — the registry's oldest evidence); the
+    six deferred r05 point-ops are pinned by name so the round-11
+    queue stays mechanical."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
@@ -63,7 +64,9 @@ def test_driver_window_matches_round10_rotation():
     round10 = {
         "histogram_snapshot_price", "histogram_shard_merge",
         "psi_drift_monitor",                       # round-10 additions
-        "rfm_segment_counts",                      # changed
+        "rfm_segment_counts",                      # changed (residue fix)
+        "weighted_median_unit_price",              # changed (bucket 2-pass)
+        "basket_lift_brands",                      # changed (in-row pairs)
     }
     r05_head = {
         "scd1_customer_upsert", "scd2_customer_upsert",
@@ -75,6 +78,7 @@ def test_driver_window_matches_round10_rotation():
     deferred_r05 = {
         "range_filter_halfopen", "days_lookback_window",
         "value_counts_priority", "small_quantity_revenue",
+        "audit_metrics", "dim_completion_zero_rows",
     }
     displaced_r04 = {
         "projection_rename", "upper_bound_filter", "not_in_set_filter",
