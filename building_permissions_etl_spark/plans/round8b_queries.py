@@ -208,6 +208,20 @@ def contribute(register) -> None:
     # non-negative, so seeding the in-bucket cumsum with the prefix
     # reproduces the global cumulative exactly; all integer arithmetic
     # (cents via floor, quantities floored to bigint) until nothing.
+    #
+    # Pass-2 scan pruning: the target buckets are collected (one
+    # ≤|groups|-row action — same eager-boundary precedent as the
+    # equi-depth operators) and re-applied as a LITERAL OR-of-ranges
+    # predicate on the RAW price column, which parquet row-group stats
+    # can evaluate (PushedFilters — pinned by the plan-shape test). A
+    # join-derived predicate never reaches the scan (DPP covers only
+    # partition columns), so without the literals pass 2 re-reads the
+    # whole fact; with them it reads only row groups overlapping one
+    # bucket_width-cent price band per group. The pushed range is
+    # widened by one cent per side — a deliberate SUPERSET, so the
+    # exact post-join `bucket == tb` filter owns the boundary
+    # semantics and double rounding in the pushed literals cannot
+    # affect results.
     def weighted_median(spark, sf, bucket_width=1 << 16):
         li = load_table(spark, "lineitem", sf).select(
             "l_returnflag",
@@ -234,8 +248,31 @@ def contribute(register) -> None:
                 F.min("tot").alias("tot"),
             )
         )
+        # one eager ≤|groups|-row action; the collected rows feed BOTH
+        # the pushed-literal prune and the (local) broadcast side, so
+        # pass 1 executes exactly once
+        tgt_rows = target.collect()
+        target_local = spark.createDataFrame(
+            tgt_rows,
+            "l_returnflag string, tb bigint, prefix bigint, tot bigint",
+        )
+        prune = F.lit(False)
+        for r in tgt_rows:
+            lo = (r["tb"] * bucket_width) / 100.0 - 0.01
+            hi = ((r["tb"] + 1) * bucket_width) / 100.0 + 0.01
+            prune = prune | (
+                (F.col("l_returnflag") == F.lit(r["l_returnflag"]))
+                & (F.col("l_extendedprice") >= F.lit(lo))
+                & (F.col("l_extendedprice") < F.lit(hi))
+            )
+        pruned = load_table(spark, "lineitem", sf).filter(prune).select(
+            "l_returnflag",
+            F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            .alias("v"),
+            F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("w"),
+        )
         in_bucket = (
-            li.join(F.broadcast(target), "l_returnflag")
+            pruned.join(F.broadcast(target_local), "l_returnflag")
             .filter(bkt == F.col("tb"))
             .groupBy("l_returnflag", "v", "prefix", "tot")
             .agg(F.sum("w").alias("sw"))

@@ -44,6 +44,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # end-to-end this round; the driver never runs sf0.1).
 SESSION_CHUNK = int(__import__("os").environ.get("SESSION_CHUNK", "25"))
 
+# DRIVER_ORDER=1 switches the sweep from the alphabetical full-registry
+# pass to the grading driver's EXACT execution pattern: the first 50
+# registry entries (the _DRIVER_WINDOW slice) in REGISTRATION order,
+# one vanilla session, no recycling. The alphabetical chunked sweep
+# cannot reproduce that pattern (different order, different session
+# boundaries), and round 8 showed order/session-lifetime effects are
+# real — run this mode once per round after the window rotates.
+DRIVER_ORDER = int(__import__("os").environ.get("DRIVER_ORDER", "0"))
+
 
 def make_session() -> SparkSession:
     s = (SparkSession.builder.master("local[8]")
@@ -95,8 +104,9 @@ print(f"entry(): {n} rows", "OK" if n == 25 else "UNEXPECTED (want 25)")
 # 2. parity sweep
 qs, osql = E.queries(), E.oracle_sql()
 fails = []
-for qi, name in enumerate(sorted(qs)):
-    if SESSION_CHUNK and qi and qi % SESSION_CHUNK == 0:
+sweep_names = list(qs)[:50] if DRIVER_ORDER else sorted(qs)
+for qi, name in enumerate(sweep_names):
+    if not DRIVER_ORDER and SESSION_CHUNK and qi and qi % SESSION_CHUNK == 0:
         spark.stop()
         spark = make_session()
     try:
@@ -190,4 +200,6 @@ if fails:
     for n_, m in fails:
         print(f"  FAIL  {n_}: {m}")
     sys.exit(1)
-print(f"ALL GREEN: {len(qs)} queries, {len(osql)} oracle-checked")
+print(f"ALL GREEN: {len(sweep_names)} queries, "
+      f"{len([n for n in sweep_names if n in osql])} oracle-checked"
+      + (" [driver-order window mode]" if DRIVER_ORDER else ""))

@@ -361,6 +361,22 @@ def main() -> None:
                  "psi_drift_monitor"):
         timed(f"round10:{name}", r10[name](spark, out))
 
+    # Round-10 scale-shape rewrites. weighted_median's bucket pass
+    # shuffles ≤ groups × n_buckets rows and its two ordered windows
+    # walk ≤ max(n_buckets, bucket_width) rows at ANY N — the N×
+    # timing should track the two column scans, where the replaced
+    # single-pass form grew its 3-task window linearly in distinct
+    # prices. basket_lift's one collect_set exchange grows linearly in
+    # orders; pair generation and both count aggregates partial-
+    # aggregate into ≤C(25,2) keys before any further exchange.
+    from building_permissions_etl_spark.plans import round8b_queries
+
+    r8b = {}
+    stage8b = lambda name, fn, sql: r8b.__setitem__(name, fn)  # noqa: E731
+    round8b_queries.contribute(stage8b)
+    for name in ("weighted_median_unit_price", "basket_lift_brands"):
+        timed(f"round10-rewrite:{name}", r8b[name](spark, out))
+
     _planted_long_doc_repetition(spark)
     _planted_long_chain_components(spark)
     _crs_codegen_throughput(spark)
