@@ -3,8 +3,11 @@
 JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is materialized through the JVM-side noop sink so the timing
-measures plan execution (scan → shuffle → agg), not Python-side row
-serialization. value = total wall seconds across headline queries.
+measures plan work (scan → shuffle → agg), not Python-side row
+serialization. The timed window covers CONSTRUCTION + execution, so
+queries doing eager work while building the plan (collect-based scan
+prunes, iterative driver loops, index builds) are charged in full.
+value = total wall seconds across headline queries.
 """
 
 from __future__ import annotations
@@ -318,23 +321,25 @@ def main() -> None:
     # Per-query fault isolation: one broken query records null and the
     # rest still get measured — round 2 lost ALL its evidence to a single
     # AnalysisException aborting this loop.
-    # Timing window = plan EXECUTION (construction excluded): measured,
-    # including construction adds 0.3-1 s of parquet-footer reads +
-    # analysis per query — pure driver latency that doubles the suite
-    # total and drowns the engine signal (and would vanish behind a
-    # warm catalog on a real cluster). Caveat, documented in SCALE.md
-    # §11: ITERATIVE queries (connected-components survivors) run their
-    # driver-side loop during construction, so their recorded figure is
-    # the final stage only; their end-to-end cost is recorded separately
-    # in SCALE.md.
+    # Timing window = CONSTRUCTION + EXECUTION (t0 before the query
+    # callable). Round 10 moved real work into eager construction
+    # (weighted-median's pass-1 scan+collect, iterative loops, index
+    # builds), so an execution-only window under-reports exactly the
+    # queries whose shape changed (ADVICE r10) — the construct+exec
+    # window makes every recorded figure the full cost of asking the
+    # question. The price is ~0.1-0.5 s of parquet-footer reads +
+    # analysis per query (driver latency a warm catalog would hide on
+    # a real cluster) — accepted for honesty; the methodology BREAK vs
+    # BENCH_r01-r10 (execution-only) is recorded in SCALE.md §11, so
+    # round-over-round comparisons must not span it per-query.
     timings: dict[str, float | None] = {}
     failures = 0
     for name in names:
         best = None
         try:
             for _ in range(2):
-                df = queries[name](spark, SF_DIR)
                 t0 = time.perf_counter()
+                df = queries[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
@@ -358,6 +363,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # r01-r10 timed execution only; r11+ times construct+exec so
+        # eager-construction work (collect-prunes, iterative loops,
+        # index builds) is inside the window (ADVICE r10)
+        "timing_window": "construct+exec",
     }))
     spark.stop()
 
@@ -389,7 +398,9 @@ def _diff_vs_previous_round(timings: dict[str, float]) -> None:
             break
     if not prev:
         return
-    lines = [f"--- vs {prev_name} (per-query, best-of-2) ---"]
+    lines = [f"--- vs {prev_name} (per-query, best-of-2; NOTE: r11 "
+             "widened the timing window to construct+exec, so diffs vs "
+             "r10-and-earlier include ~0.1-0.5s construction per query) ---"]
     flagged = 0
     for name, now in timings.items():
         was = prev.get(name)

@@ -70,10 +70,20 @@ def bloom_registers(
 def merge_bloom_registers(*tables: DataFrame) -> DataFrame:
     """OR-merge register tables: union + one ≤``words``-row groupBy.
     Associative and commutative, so partials fold in any batch order —
-    the property the streaming maintainer relies on."""
+    the property the streaming maintainer relies on. Inputs must share
+    the (word_idx, bits) column SET (checked) and fold by NAME — the
+    same misalignment contract ``merge_extent_tables`` carries: a
+    register table that arrives column-swapped would pass a positional
+    union's count/type check (both columns are bigint-compatible) and
+    silently OR word indexes into bit masks."""
     if not tables:
         raise ValueError("need at least one register table")
-    u = reduce(DataFrame.unionAll, tables)
+    for i, t in enumerate(tables):
+        if set(t.columns) != {"word_idx", "bits"}:
+            raise ValueError(
+                f"register table {i} columns {sorted(t.columns)} != "
+                "['bits', 'word_idx']")
+    u = reduce(DataFrame.unionByName, tables)
     return u.groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits"))
 
 

@@ -254,8 +254,9 @@ def psi_drift(
     ``histogram_snapshot`` tables over the SAME domain contract:
     PSI = Σ_bins (p - q)·ln(p / q), probabilities floored at
     ``min_prob`` so bins empty on one side contribute a large-but-
-    finite term instead of ±inf. Returns one row:
-    (psi, n_base, n_cur). Industry reading: < 0.1 stable, 0.1–0.25
+    finite term instead of ±inf. A snapshot side whose counts sum to
+    ZERO raises at execution (RAISE_ERROR) rather than emitting a
+    silent NaN psi. Returns one row: (psi, n_base, n_cur). Industry reading: < 0.1 stable, 0.1–0.25
     moderate shift, > 0.25 major shift (Siddiqi 2006, credit-scoring
     folklore — public knowledge).
 
@@ -282,6 +283,22 @@ def psi_drift(
         )
     )
     w = Window.partitionBy()
+
+    # Guard: a snapshot side that sums to zero (empty current period,
+    # wrong artifact joined) makes cb/nb 0/0 — NaN under non-ANSI
+    # double division, which propagates SILENTLY into psi and defeats
+    # threshold-based monitoring (ADVICE r10). Raise instead: an empty
+    # snapshot is an upstream pipeline fault, not "no drift".
+    def _prob(cnt: str, tot: str, side: str):
+        return F.when(
+            F.col(tot) > 0,
+            F.greatest(F.col(cnt) / F.col(tot), F.lit(min_prob)),
+        ).otherwise(
+            F.raise_error(F.lit(
+                f"psi_drift: {side} snapshot sums to zero — "
+                "PSI is undefined against an empty side")).cast("double")
+        )
+
     scored = (
         j.select(
             "cb", "cc",
@@ -290,8 +307,8 @@ def psi_drift(
         )
         .select(
             "nb", "nc",
-            F.greatest(F.col("cb") / F.col("nb"), F.lit(min_prob)).alias("p"),
-            F.greatest(F.col("cc") / F.col("nc"), F.lit(min_prob)).alias("q"),
+            _prob("cb", "nb", "base").alias("p"),
+            _prob("cc", "nc", "current").alias("q"),
         )
         .select("nb", "nc",
                 ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))

@@ -188,7 +188,15 @@ def contribute(register) -> None:
     # Quantity-weighted median unit price per return flag: the smallest
     # price v where cumulative quantity at v reaches half the total.
     # Two passes, both fully parallel:
-    #   1. per-(group, bucket) weight sums, bucket = v div 2^16 cents —
+    #   1. per-(group, bucket) weight sums, bucket = floordiv(v, 2^16
+    #      cents) — FLOOR division (integer-exact via pmod), not `div`:
+    #      `div` truncates toward zero, so bucket 0 would span
+    #      (-W, +W) and the pushed literal range [tb*W, (tb+1)*W)
+    #      would EXCLUDE negative values inside the median bucket,
+    #      silently skewing the median on any value domain that dips
+    #      below zero (ADVICE r10). With floor semantics every bucket
+    #      spans exactly [tb*W, (tb+1)*W) for all signs, so the
+    #      literal prune stays a true superset. This is
     #      a map-side-combinable aggregate whose shuffle carries at most
     #      groups × n_buckets rows; a tiny window over the bucket
     #      summary finds the bucket whose cumulative weight crosses
@@ -229,7 +237,12 @@ def contribute(register) -> None:
             .alias("v"),
             F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("w"),
         )
-        bkt = F.expr(f"v div {bucket_width}")
+        # integer-exact floor division: pmod(v, W) ∈ [0, W), so
+        # (v - pmod) is an exact multiple of W and `div` cannot
+        # truncate — equals floor(v / W) for every sign without the
+        # double-precision hazard of floor(v / W) past 2^53
+        bkt = F.expr(
+            f"(v - pmod(v, {bucket_width})) div {bucket_width}")
         buckets = li.groupBy(
             "l_returnflag", bkt.alias("b")
         ).agg(F.sum("w").alias("bw"))

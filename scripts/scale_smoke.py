@@ -100,28 +100,34 @@ def main() -> None:
     from building_permissions_etl_spark.operators import dedup as D
     from building_permissions_etl_spark.plans.flagship import flagship_single_pass
 
-    def timed(label, df):
+    def timed(label, df_or_thunk):
+        # thunks are timed construct+exec (same window as bench.py r11+,
+        # ADVICE r10: eager-construction work must be inside the timer);
+        # a pre-built DataFrame times execution only — only used where
+        # construction is a pure plan build
         t0 = time.time()
+        df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
         df.write.format("noop").mode("overwrite").save()
         print(f"{label}: {round(time.time() - t0, 2)} s")
 
-    timed("flagship_single_pass", flagship_single_pass(spark, out))
+    timed("flagship_single_pass", lambda: flagship_single_pass(spark, out))
     docs = spark.read.parquet(f"{out}/documents.parquet")
-    timed("dedup_exact", D.dedup_exact(docs, "text", "doc_id"))
-    timed("minhash_lsh_pairs", D.minhash_lsh_pairs(docs, "text", "doc_id", 64, 16))
+    timed("dedup_exact", lambda: D.dedup_exact(docs, "text", "doc_id"))
+    timed("minhash_lsh_pairs",
+          lambda: D.minhash_lsh_pairs(docs, "text", "doc_id", 64, 16))
     # the pipeline order that holds at scale: exact dedup BEFORE the
     # quadratic exact-verify stage
     surv = D.dedup_exact(docs, "text", "doc_id").withColumn(
         "block", F.concat_ws("_", "lang", F.expr("n_chars div 50"))
     )
     timed("ngram_jaccard_after_exact_dedup",
-          D.ngram_jaccard_pairs(surv, "text", "doc_id", "block"))
+          lambda: D.ngram_jaccard_pairs(surv, "text", "doc_id", "block"))
     # the RAW-corpus path the quadratic can't survive (83 s at 10×):
     # inverted index, pair work bounded by the df cutoff instead of
     # block occupancy — should scale ~linearly with the corpus
     timed("ngram_inverted_raw_corpus",
-          D.ngram_jaccard_pairs_inverted(docs, "text", "doc_id", "lang",
-                                         max_df=100))
+          lambda: D.ngram_jaccard_pairs_inverted(docs, "text", "doc_id",
+                                                 "lang", max_df=100))
 
     # hot-bucket probe: the N× corpus is a planted boilerplate flood
     # (every doc has N-1 identical twins → every band bucket is ≥ N
@@ -147,11 +153,11 @@ def main() -> None:
     # (one token explode + broadcast aggregate tables each)
     from building_permissions_etl_spark.operators import ranking as R
 
-    timed("tfidf_top_terms", R.tfidf_top_terms(docs, "text", "doc_id"))
-    timed("bigram_logprob", R.bigram_logprob(docs, "text", "doc_id"))
+    timed("tfidf_top_terms", lambda: R.tfidf_top_terms(docs, "text", "doc_id"))
+    timed("bigram_logprob", lambda: R.bigram_logprob(docs, "text", "doc_id"))
     timed("quality_classifier",
-          R.quality_classifier_score(docs, "text", "doc_id"))
-    timed("chunk_dup_fraction", R.chunk_dup_fraction(docs, "text", "doc_id"))
+          lambda: R.quality_classifier_score(docs, "text", "doc_id"))
+    timed("chunk_dup_fraction", lambda: R.chunk_dup_fraction(docs, "text", "doc_id"))
 
     # TPC-H family on the N× fact pair (lineitem + orders duplicated with
     # consistent keys): the decision-support joins/aggs should scale
@@ -163,7 +169,7 @@ def main() -> None:
     for name in ("order_priority_checking", "part_value_concentration",
                  "customer_order_distribution", "last_shipper_per_order",
                  "volume_shipping"):
-        timed(f"tpch:{name}", tq[name](spark, out))
+        timed(f"tpch:{name}", lambda fn=tq[name]: fn(spark, out))
 
     # Continuation families (round-4 additions), the 5 slowest: session
     # windows + transition matrix + VARIANT rollup ride the N× events
@@ -178,7 +184,7 @@ def main() -> None:
     streaming_queries.contribute(stage)
     for name in ("native_session_window", "monthly_cohort_retention",
                  "variant_props_rollup", "event_transition_matrix"):
-        timed(f"continuation:{name}", cq[name](spark, out))
+        timed(f"continuation:{name}", lambda fn=cq[name]: fn(spark, out))
 
     # recursive_key_chain's work scales with the number of chain STARTS,
     # not table bytes — probe 10× the key cap instead of 10× the rows
@@ -206,7 +212,7 @@ def main() -> None:
     round6_queries.contribute(stage56)
     for name in ("rolling_7d_order_stats", "changelog_snapshot",
                  "paragraph_dedup_reassembly"):
-        timed(f"round5:{name}", r56[name](spark, out))
+        timed(f"round5:{name}", lambda fn=r56[name]: fn(spark, out))
 
     # Batched-ANN amortization in M (query count), same corpus: one scan
     # regardless of M, so 8× the queries must cost far less than 8× the
@@ -217,8 +223,8 @@ def main() -> None:
     emb = spark.read.parquet(f"{out}/embeddings.parquet")
     for m in (8, 64):
         timed(f"ann_batch_topk M={m}",
-              S.topk_bruteforce_batch(emb, "embedding", "vec_id",
-                                      list(range(m)), k=5))
+              lambda m=m: S.topk_bruteforce_batch(
+                  emb, "embedding", "vec_id", list(range(m)), k=5))
 
     # Round-6 additions on the same N× tables: islands + running
     # distinct ride N× events (N× users, constant per-user depth),
@@ -230,7 +236,7 @@ def main() -> None:
                  "dedup_incremental_batch", "time_weighted_value",
                  "mad_outliers_by_type", "snapshot_diff_census",
                  "minhash_estimate_calibration"):
-        timed(f"round6:{name}", r56[name](spark, out))
+        timed(f"round6:{name}", lambda fn=r56[name]: fn(spark, out))
 
     # concurrent_purchase_errors is the density probe: N× events in the
     # SAME 30-day span means N× the intervals per bucket, so the pair
@@ -266,7 +272,7 @@ def main() -> None:
                  "triangle_count_trade_graph", "weekly_user_overlap_exact",
                  "weekly_anchor_interpolation", "quarterly_distinct_users",
                  "hll_quarterly_users_rollup", "priority_sample_by_lang"):
-        timed(f"round678:{name}", r678[name](spark, out))
+        timed(f"round678:{name}", lambda fn=r678[name]: fn(spark, out))
 
     emb_out = f"{out}_emb"
     shutil.rmtree(emb_out, ignore_errors=True)
@@ -281,7 +287,7 @@ def main() -> None:
         f"{emb_out}/embeddings.parquet")
     for name in ("semantic_dedup_census", "kmeans_lloyd_2iter"):
         timed(f"round678:{name} (N-plicate embeddings)",
-              r678[name](spark, emb_out))
+              lambda fn=r678[name]: fn(spark, emb_out))
     shutil.rmtree(emb_out, ignore_errors=True)
 
     # Round-8d additions. Bloom/zorder/checksum/Pareto ride the N×
@@ -303,7 +309,7 @@ def main() -> None:
                  "table_checksum_rollup", "pareto_customer_concentration",
                  "rfm_segment_counts", "cusum_changepoint_by_type",
                  "active_day_streaks"):
-        timed(f"round8d:{name}", r8d[name](spark, out))
+        timed(f"round8d:{name}", lambda fn=r8d[name]: fn(spark, out))
 
     # Round-8e graph queries ride the N× facts only through the edge
     # DERIVATION (one fact shuffle); the iterative LPA / peel rounds run
@@ -317,7 +323,7 @@ def main() -> None:
     round8e_queries.contribute(stage8e)
     for name in ("lpa_trade_communities", "kcore_trade_graph",
                  "dow_seasonality_outliers"):
-        timed(f"round8e:{name}", r8e[name](spark, out))
+        timed(f"round8e:{name}", lambda fn=r8e[name]: fn(spark, out))
 
     # Round-9 additions. The Bloom register union and z-order extent
     # merge ride the N× orders (linear: two partial-agg scans + a
@@ -342,7 +348,7 @@ def main() -> None:
     # flood bounded, same argument as the self-join's cap row above.
     for name in ("cusum_shard_merge", "bloom_incremental_union",
                  "zorder_extent_merge", "dedup_minhash_incremental"):
-        timed(f"round9:{name}", r9[name](spark, out))
+        timed(f"round9:{name}", lambda fn=r9[name]: fn(spark, out))
 
     # Round-10 additions: the drift-monitor histogram family rides the
     # N× orders with the same profile as the round-9 maintained
@@ -359,7 +365,7 @@ def main() -> None:
     round10_queries.contribute(stage10)
     for name in ("histogram_snapshot_price", "histogram_shard_merge",
                  "psi_drift_monitor"):
-        timed(f"round10:{name}", r10[name](spark, out))
+        timed(f"round10:{name}", lambda fn=r10[name]: fn(spark, out))
 
     # Round-10 scale-shape rewrites. weighted_median's bucket pass
     # shuffles ≤ groups × n_buckets rows and its two ordered windows
@@ -375,7 +381,7 @@ def main() -> None:
     stage8b = lambda name, fn, sql: r8b.__setitem__(name, fn)  # noqa: E731
     round8b_queries.contribute(stage8b)
     for name in ("weighted_median_unit_price", "basket_lift_brands"):
-        timed(f"round10-rewrite:{name}", r8b[name](spark, out))
+        timed(f"round10-rewrite:{name}", lambda fn=r8b[name]: fn(spark, out))
 
     _planted_long_doc_repetition(spark)
     _planted_long_chain_components(spark)

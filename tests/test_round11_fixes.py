@@ -1,0 +1,94 @@
+"""Round-11 regression pins for the round-10 ADVICE items.
+
+1. ``weighted_median_unit_price`` buckets by FLOOR division, not
+   truncate-toward-zero ``div``: on a value domain that dips below
+   zero, truncation made bucket 0 span (-W, +W) while the pushed
+   literal prune assumed [tb*W, (tb+1)*W), silently excluding
+   negative values inside the median bucket. Latent on the fixture
+   (l_extendedprice > 0), so the pin runs on a planted negative-price
+   table.
+2. ``psi_drift`` raises when a snapshot side sums to zero instead of
+   emitting a silent NaN psi (0/0 under double division does not
+   raise even under ANSI).
+3. ``merge_bloom_registers`` folds by NAME with a column-set check —
+   the same misalignment contract ``merge_extent_tables`` carries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _staged_round8b():
+    from building_permissions_etl_spark.plans.round8b_queries import (
+        contribute,
+    )
+
+    staged = {}
+    contribute(lambda n, fn, sql: staged.__setitem__(n, fn))
+    return staged
+
+
+def test_weighted_median_floor_buckets_on_negative_domain(spark, tmp_path):
+    # group A's median sits at -150 cents: floor buckets put it in
+    # bucket -2 and the pushed range [-2.01, -0.99) keeps it; the old
+    # truncating `div` targeted bucket -1 with a prune range that
+    # EXCLUDED -1.50, returning no row at all for the group
+    rows = [
+        ("A", -2.50, 1.0), ("A", -1.50, 1.0),
+        ("A", -0.50, 1.0), ("A", 0.50, 1.0),
+        ("B", 1.00, 1.0), ("B", 2.00, 1.0), ("B", 3.00, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, "
+              "l_quantity double")
+    df.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+
+    fn = _staged_round8b()["weighted_median_unit_price"]
+    got = {
+        r["l_returnflag"]: (r["wmedian_cents"], r["total_qty"])
+        for r in fn(spark, str(tmp_path), bucket_width=100).collect()
+    }
+    # brute force: smallest v where cumulative weight reaches half
+    assert got == {"A": (-150, 4), "B": (200, 3)}
+
+
+def test_psi_drift_raises_on_zero_sum_snapshot(spark):
+    from building_permissions_etl_spark.operators.validation import (
+        psi_drift,
+    )
+
+    h = spark.createDataFrame(
+        [(0, 10), (1, 20)], "bin int, cnt bigint")
+    zero = spark.createDataFrame([(0, 0), (1, 0)], "bin int, cnt bigint")
+    with pytest.raises(Exception, match="sums to zero"):
+        psi_drift(h, zero).collect()
+    with pytest.raises(Exception, match="sums to zero"):
+        psi_drift(zero, h).collect()
+    # the guard must not disturb the green path
+    assert psi_drift(h, h).first().psi == 0.0
+
+
+def test_merge_bloom_registers_folds_by_name_and_checks_columns(spark):
+    from building_permissions_etl_spark.operators.maintenance import (
+        bloom_registers,
+        merge_bloom_registers,
+    )
+
+    keys = spark.range(64).select(F.col("id").cast("string").alias("k"))
+    a = bloom_registers(keys, "k")
+    # same column SET, different physical order: a positional union
+    # would OR word indexes into bit masks; by-name fold keeps the
+    # merge idempotent (a OR a == a)
+    swapped_order = a.select("bits", "word_idx")
+    merged = {r["word_idx"]: r["bits"]
+              for r in merge_bloom_registers(a, swapped_order).collect()}
+    base = {r["word_idx"]: r["bits"] for r in a.collect()}
+    assert merged == base
+    # a register table with a drifted column name is rejected up front
+    with pytest.raises(ValueError, match="columns"):
+        merge_bloom_registers(a, a.withColumnRenamed("word_idx", "idx"))
