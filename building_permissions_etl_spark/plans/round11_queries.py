@@ -1,0 +1,132 @@
+"""Round-11 batch: drift monitoring in its PERSISTED-artifact shape.
+
+``psi_drift_monitor`` (round 10) proved the PSI algebra against a
+DuckDB oracle, but built both histogram snapshots from base-table
+scans inside the query — so its driver evidence never demonstrated
+the claim that makes the monitor affordable at 100 TB: once the
+snapshot artifacts EXIST as tables, monitoring cost is independent of
+base-table size. ``psi_drift_persisted`` closes that gap with the
+same build/probe split the ANN index family uses
+(``operators/similarity.py``: build once, probe many):
+
+* a session-scoped PREP step builds the pre-/post-1998 histogram
+  snapshots of orders.o_totalprice (one partial-agg scan each,
+  ≤ n_bins + 3 rows) and WRITES them as parquet artifact tables —
+  the "publish a snapshot per ingest day" step of a real deployment;
+* the registered query reads ONLY the two artifact tables and runs
+  ``psi_drift`` on them. Its plan contains exactly two FileScans,
+  both over the artifact directory and neither over the fixture
+  tables — pinned by ``tests/test_round11_plan_shape.py``, so the
+  zero-base-scan property is mechanical, not narrative.
+
+The DuckDB oracle recomputes the same PSI from the base table (DuckDB
+has no artifact store), which is exactly the merge-equals-rebuild
+discipline the round-9/10 maintained tables follow: any divergence
+between the artifact path and a from-scratch rebuild is a value
+mismatch.
+
+Scale shape: at 100 TB the prep cost is one column scan per snapshot
+(amortized over every monitor run and shared with the ingest
+pipeline's own stats pass), and the monitor itself touches ≤ 2·19
+artifact rows — constant regardless of table growth.
+
+Reference scope: beyond the reference surface (helpers:* has no
+drift-monitoring tooling); PSI per Siddiqi (2006), snapshot artifacts
+per the mergeable-summary maintenance shape (Cormode et al.,
+"Synopses for Massive Data", 2012).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.operators.validation import (
+    histogram_snapshot,
+    psi_drift,
+)
+from building_permissions_etl_spark.plans.round10_queries import (
+    _BINS,
+    _HI,
+    _LO,
+    _SPLIT,
+    _W,
+    _hist_sql,
+)
+
+# Session-scoped artifact cache, same lifecycle as the ANN index cache
+# (plans/extensions.py::_ANN_CACHE): the prep scan runs once per
+# (session, sf); every subsequent call — including the driver's
+# determinism re-run — is artifact-read-only.
+_ARTIFACT_CACHE: dict = {}
+
+
+def _snapshot_artifacts(spark, sf: str) -> tuple[str, str]:
+    """Build-and-publish step: write the two snapshot artifacts for
+    ``sf`` (if this session hasn't yet) and return their paths."""
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ARTIFACT_CACHE:
+        tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf).strip("_")
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"drift_artifacts_{spark.sparkContext.applicationId}_{tag}")
+        od = load_table(spark, "orders", sf)
+        split_ts = F.lit(_SPLIT).cast("timestamp")
+        paths = {}
+        for name, side in (
+            ("hist_base", od.filter(F.col("o_orderdate") < split_ts)),
+            ("hist_cur", od.filter(F.col("o_orderdate") >= split_ts)),
+        ):
+            p = os.path.join(root, f"{name}.parquet")
+            # ≤ n_bins + 3 rows: one output file per artifact
+            (histogram_snapshot(side, "o_totalprice", _LO, _HI, _BINS)
+             .coalesce(1).write.mode("overwrite").parquet(p))
+            paths[name] = p
+        _ARTIFACT_CACHE[key] = (paths["hist_base"], paths["hist_cur"])
+    return _ARTIFACT_CACHE[key]
+
+
+def contribute(register) -> None:
+    # ---- PSI drift over PERSISTED snapshot artifacts -----------------------
+    def drift_persisted(spark, sf):
+        base_path, cur_path = _snapshot_artifacts(spark, sf)
+        return psi_drift(spark.read.parquet(base_path),
+                         spark.read.parquet(cur_path))
+
+    register(
+        "psi_drift_persisted",
+        drift_persisted,
+        f"""
+        WITH hb AS (
+          SELECT bin, CAST(count(*) AS BIGINT) AS cb
+          FROM ({_hist_sql(_LO, _W, _BINS,
+                           f"WHERE o_orderdate < TIMESTAMP '{_SPLIT}'")})
+          GROUP BY 1
+        ),
+        hc AS (
+          SELECT bin, CAST(count(*) AS BIGINT) AS cc
+          FROM ({_hist_sql(_LO, _W, _BINS,
+                           f"WHERE o_orderdate >= TIMESTAMP '{_SPLIT}'")})
+          GROUP BY 1
+        ),
+        j AS (
+          SELECT coalesce(hb.cb, 0) AS cb, coalesce(hc.cc, 0) AS cc
+          FROM hb FULL OUTER JOIN hc ON hb.bin = hc.bin
+        ),
+        terms AS (
+          SELECT cb, cc,
+                 sum(cb) OVER () AS nb, sum(cc) OVER () AS nc
+          FROM j
+        )
+        SELECT round(sum((greatest(cb / nb, 1e-6) - greatest(cc / nc, 1e-6))
+                         * ln(greatest(cb / nb, 1e-6)
+                              / greatest(cc / nc, 1e-6))), 9) AS psi,
+               CAST(max(nb) AS BIGINT) AS n_base,
+               CAST(max(nc) AS BIGINT) AS n_cur
+        FROM terms
+        """,
+    )

@@ -38,6 +38,7 @@ MODULES = [
     ("round8e_queries", "Label-propagation communities, k-core peeling, day-of-week seasonality residual outliers"),
     ("round9_queries", "Incremental maintenance + shard-merge: mergeable per-shard CUSUM, Bloom register union, z-order extent merge"),
     ("round10_queries", "Drift monitoring as maintained tables: fixed-domain histogram snapshot, shard merge == rebuild, PSI drift"),
+    ("round11_queries", "Drift monitoring in its persisted-artifact shape: snapshots written as tables, monitor reads only artifacts"),
 ]
 
 

@@ -39,57 +39,67 @@ def test_rows_only_set_is_exactly_the_documented_one():
     assert rows_only == ROWS_ONLY
 
 
-def test_driver_window_matches_round10_rotation():
+def test_driver_window_matches_round11_rotation():
     """The first 50 registry entries (the slice the driver verifies)
-    must match _DRIVER_WINDOW exactly, and the round-10 window must
-    front-load (a) the three round-10 additions (drift-monitor
-    histogram family) plus the three queries round 10 CHANGED
-    (rfm_segment_counts' cache-residue fix; the weighted-median and
-    basket-lift scale-shape rewrites — a changed query's old verdict
-    is dead evidence), and (b) 44 of the 50 r05-cohort queries (five
-    rounds without a verdict — the registry's oldest evidence); the
-    six deferred r05 point-ops are pinned by name so the round-11
-    queue stays mechanical."""
+    must match _DRIVER_WINDOW exactly, and the round-11 window must
+    front-load (a) the round-11 addition (`psi_drift_persisted`) plus
+    the three queries round 11 CHANGED (floor-bucket fix, PSI
+    zero-side guard, register-merge refold — a changed query's old
+    verdict is dead evidence), (b) the 14 deferred point-ops (8 r04 —
+    six rounds without a verdict, the oldest evidence in the
+    registry — and 6 r05), and (c) 32 of the 49-query r07 cohort,
+    alphabetical; the 17 r07 leftovers are pinned by name so the
+    round-12 queue stays mechanical."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
     o = set(oracle_sql())
     assert len(_DRIVER_WINDOW) == 50
     assert names[:50] == _DRIVER_WINDOW
-    # every round-10 windowed query is oracle-backed (the rows-only
-    # sketch twins all took their designed rows-only verdict in r08
-    # and rotate out — a window slot spent on a hash-uncheckable row
-    # is a slot wasted)
+    # every windowed query is oracle-backed (the rows-only sketch
+    # twins all took their designed rows-only verdict in r08 and
+    # rotate out — a window slot spent on a hash-uncheckable row is a
+    # slot wasted)
     assert set(names[:50]) <= o
-    round10 = {
-        "histogram_snapshot_price", "histogram_shard_merge",
-        "psi_drift_monitor",                       # round-10 additions
-        "rfm_segment_counts",                      # changed (residue fix)
-        "weighted_median_unit_price",              # changed (bucket 2-pass)
-        "basket_lift_brands",                      # changed (in-row pairs)
+    round11 = {
+        "psi_drift_persisted",                     # round-11 addition
+        "weighted_median_unit_price",              # changed (floor buckets)
+        "psi_drift_monitor",                       # changed (zero-sum guard)
+        "bloom_incremental_union",                 # changed (unionByName fold)
     }
-    r05_head = {
-        "scd1_customer_upsert", "scd2_customer_upsert",
-        "stream_scd1_upsert", "stream_session_window",
-        "stream_window_counts", "event_funnel_conversion",
-        "event_sessionization", "event_transition_matrix",
-        "monthly_cohort_retention", "gapfill_daily_forward_fill",
-    }
-    deferred_r05 = {
-        "range_filter_halfopen", "days_lookback_window",
-        "value_counts_priority", "small_quantity_revenue",
-        "audit_metrics", "dim_completion_zero_rows",
-    }
-    displaced_r04 = {
+    deferred_point_ops = {
+        # r04 (displaced in round 9)
         "projection_rename", "upper_bound_filter", "not_in_set_filter",
         "union_schema_align", "roman_numeral_codec",
         "semi_join_known_keys", "anti_join_unknown_keys",
         "scalar_function_showcase",
+        # r05 (deferred in round 10)
+        "range_filter_halfopen", "days_lookback_window",
+        "value_counts_priority", "small_quantity_revenue",
+        "audit_metrics", "dim_completion_zero_rows",
+    }
+    r07_head = {
+        "activity_islands", "equi_depth_histogram",
+        "dedup_incremental_batch", "kmeans_assign_census",
+        "flagship_monthly_pivot", "dim_summary_left_join",
+        "minhash_estimate_calibration", "not_in_null_aware",
+    }
+    # round-12 queue: the r07 leftovers (pagerank_trade_graph ..
+    # validation_suite) stay registered but out of this window
+    r07_deferred = {
+        "pagerank_trade_graph", "semantic_dedup_census",
+        "similarity_topk_ivf", "similarity_topk_lsh",
+        "scd2_history_violations", "scd2_point_in_time_join",
+        "terc_decision_tree", "validation_suite", "top_k_parts",
+        "timestamp_parse_metrics", "time_weighted_value",
+        "snapshot_diff_census", "scalar_max_watermark",
+        "rolling_7d_order_stats", "running_distinct_users",
+        "quality_funnel_report", "paragraph_dedup_reassembly",
     }
     w = set(names[:50])
-    assert round10 | r05_head <= w
-    assert (deferred_r05 | displaced_r04) & w == set()
-    assert deferred_r05 | displaced_r04 <= set(names)  # deferred, not dropped
+    assert round11 | deferred_point_ops | r07_head <= w
+    assert r07_deferred & w == set()
+    assert r07_deferred <= set(names)  # deferred, not dropped
 
 
 def test_no_oracle_output_column_is_hugeint():
