@@ -395,6 +395,16 @@ def _diff_vs_previous_round(timings: dict[str, float]) -> None:
             # the driver wraps our JSON line under "parsed"
             cand = (doc.get("queries")
                     or (doc.get("parsed") or {}).get("queries") or {})
+            if not cand and isinstance(doc.get("tail"), str):
+                # the driver keeps only a TAIL of stdout: the JSON line
+                # often survives head-truncated ("parsed" null), but the
+                # per-query pairs inside it are still well-formed —
+                # recover them textually so the diff compares against
+                # the newest real evidence instead of a rounds-old file
+                pairs = re.findall(r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)',
+                                   doc["tail"])
+                cand = {k: float(v) for k, v in pairs
+                        if k not in ("value", "sf")}
         except (OSError, json.JSONDecodeError, AttributeError):
             continue
         if cand:
