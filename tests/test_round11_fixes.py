@@ -92,3 +92,29 @@ def test_merge_bloom_registers_folds_by_name_and_checks_columns(spark):
     # a register table with a drifted column name is rejected up front
     with pytest.raises(ValueError, match="columns"):
         merge_bloom_registers(a, a.withColumnRenamed("word_idx", "idx"))
+
+
+def test_catalog_schema_cache_serves_and_invalidates(spark, tmp_path):
+    import os
+    import time
+
+    from building_permissions_etl_spark import catalog
+
+    p = os.path.join(str(tmp_path), "region.parquet")
+    spark.createDataFrame([(1, "a")], "r_regionkey int, r_name string") \
+        .write.parquet(p)
+    df1 = catalog.load_table(spark, "region", str(tmp_path))
+    key = (p, os.path.getmtime(p))
+    assert key in catalog._SCHEMA_CACHE
+    df2 = catalog.load_table(spark, "region", str(tmp_path))
+    assert df2.schema == df1.schema
+    assert df2.count() == 1
+    # rewriting the path with a DIFFERENT schema must not serve the
+    # stale cached one: the (path, mtime) key misses and re-infers
+    time.sleep(0.05)
+    spark.createDataFrame([(2, "b", 9)],
+                          "r_regionkey int, r_name string, extra int") \
+        .write.mode("overwrite").parquet(p)
+    os.utime(p)  # directory mtime granularity guard
+    df3 = catalog.load_table(spark, "region", str(tmp_path))
+    assert "extra" in df3.columns and df3.count() == 1
