@@ -118,3 +118,52 @@ def test_catalog_schema_cache_serves_and_invalidates(spark, tmp_path):
     os.utime(p)  # directory mtime granularity guard
     df3 = catalog.load_table(spark, "region", str(tmp_path))
     assert "extra" in df3.columns and df3.count() == 1
+
+
+def test_weighted_median_invariant_to_bucket_width(spark, tmp_path):
+    """The bucket width is a pure execution parameter: for ANY width the
+    two-pass refinement must return the exact weighted median — the
+    smallest v with cumulative weight >= half the total. Seeded random
+    values spanning both signs stress bucket-edge alignment (medians
+    landing exactly on tb*W), the carried-in prefix, and the pushed
+    literal prune's superset-ness in a way the fixture (all-positive
+    prices) never does."""
+    import os
+    import random
+
+    rng = random.Random(411)
+    rows = []
+    for g in ("A", "B", "C"):
+        for _ in range(200):
+            # cents in [-50000, 50000]; weights 1..5
+            v = rng.randint(-50_000, 50_000)
+            rows.append((g, v / 100.0, float(rng.randint(1, 5))))
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, "
+              "l_quantity double"
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+
+    # brute force in exact integer arithmetic (floor cents, floor qty)
+    expected = {}
+    agg: dict = {}
+    for g, price, qty in rows:
+        v = int(__import__("math").floor(price * 100))
+        agg.setdefault(g, {}).setdefault(v, 0)
+        agg[g][v] += int(qty)
+    for g, byv in agg.items():
+        tot = sum(byv.values())
+        cum = 0
+        for v in sorted(byv):
+            cum += byv[v]
+            if 2 * cum >= tot:
+                expected[g] = (v, tot)
+                break
+
+    fn = _staged_round8b()["weighted_median_unit_price"]
+    for width in (1, 3, 100, 4096, 1 << 16):
+        got = {
+            r["l_returnflag"]: (r["wmedian_cents"], r["total_qty"])
+            for r in fn(spark, str(tmp_path), bucket_width=width).collect()
+        }
+        assert got == expected, f"width={width}"
