@@ -31,17 +31,39 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 # for every table of every call, so a warm process pays it hundreds of
 # times for identical files. This is the local stand-in for a warehouse
 # metastore: at 100 TB the table schema comes from the catalog service,
-# never from re-reading footers per query. Keyed by (path, mtime) so a
+# never from re-reading footers per query. Keyed by (path, mtime_ns) —
+# nanosecond-resolution stat where the filesystem provides it — so a
 # rewritten path (scale harnesses overwrite synthetic fixtures in
-# place) can never serve a stale schema.
+# place) misses the cache and re-infers. Caveat shared with every
+# mtime-based cache: on a filesystem with coarse mtime granularity, an
+# overwrite landing inside the same tick as the previous write can
+# collide; harnesses that rewrite-and-reread in a tight loop should
+# touch the path (os.utime) after rewriting, as the regression test
+# demonstrates.
 _SCHEMA_CACHE: dict = {}
 
 
-def _mtime(path: str) -> float:
+def _mtime(path: str) -> int:
     try:
-        return os.path.getmtime(path)
+        return os.stat(path).st_mtime_ns
     except OSError:
-        return -1.0
+        return -1
+
+
+def _read_parquet_cached(spark: SparkSession, path: str,
+                         cacheable=None) -> DataFrame:
+    """spark.read.parquet with the (path, mtime_ns)-keyed schema cache.
+    ``cacheable(df) -> bool`` gates ADMISSION only (a read whose schema
+    is valid solely under session-scoped confs must not be replayed
+    into other sessions); cache hits always replay."""
+    key = (path, _mtime(path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    if cacheable is None or cacheable(df):
+        _SCHEMA_CACHE[key] = df.schema
+    return df
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
@@ -50,13 +72,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events(spark, path)
-    key = (path, _mtime(path))
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
-        df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
-        return df
-    return spark.read.schema(schema).parquet(path)
+    return _read_parquet_cached(spark, path)
+
+
+def _events_schema_cacheable(df: DataFrame) -> bool:
+    """An events schema is safe to replay across sessions only when ts
+    did NOT surface as bigint: the bigint surface exists solely under
+    the SESSION-scoped nanosAsLong conf (set by the fallback below), so
+    a recycled session replaying it would fail at scan time with
+    PARQUET_TYPE_ILLEGAL. This guards BOTH fallback reads and ordinary
+    reads in a session where the conf is already set — without it, the
+    second call in a conf-set session would poison the cache for every
+    later session in the process."""
+    return dict(df.dtypes).get("ts") != "bigint"
 
 
 def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:
@@ -65,18 +93,11 @@ def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:
     ones stored TIMESTAMP(NANOS), which Spark's vectorized reader rejects
     (PARQUET_TYPE_ILLEGAL) unless the legacy nanosAsLong conf surfaces it
     as bigint — set only on that fallback path, never as a blanket side
-    effect. Successful reads cache their schema (same (path, mtime)
-    contract as ``load_table``); on the ns-era fallback the legacy conf
-    is already set by the time the schema is cached, so replaying the
-    cached schema keeps reading the bigint surface correctly."""
-    key = (path, _mtime(path))
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is not None:
-        return spark.read.schema(schema).parquet(path)
+    effect. µs-era schemas join the (path, mtime_ns) cache; any read
+    whose ts surfaces as bigint is refused admission
+    (``_events_schema_cacheable``)."""
     try:
-        df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
-        return df
+        return _read_parquet_cached(spark, path, _events_schema_cacheable)
     except Exception as exc:
         # ONLY the ns-era footer rejection takes the legacy-conf path: a
         # bare retry would set the session-wide conf on ANY failure
@@ -85,12 +106,8 @@ def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:
         msg = str(exc)
         if "PARQUET_TYPE_ILLEGAL" not in msg and "Illegal Parquet type" not in msg:
             raise
-        # deliberately NOT cached: the bigint surface exists only under
-        # the SESSION-scoped nanosAsLong conf, and a recycled session
-        # replaying a cached bigint schema without the conf would fail
-        # at scan time — the legacy path re-pays footer inference
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+        return _read_parquet_cached(spark, path, _events_schema_cacheable)
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

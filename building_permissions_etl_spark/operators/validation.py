@@ -314,8 +314,22 @@ def psi_drift(
                 ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
                 .alias("term"))
     )
-    return scored.groupBy().agg(
+    agg = scored.groupBy().agg(
         F.round(F.sum("term"), 9).alias("psi"),
         F.max("nb").cast("bigint").alias("n_base"),
         F.max("nc").cast("bigint").alias("n_cur"),
+    )
+    # Zero-ROW inputs escape the per-row guard (no row ever evaluates
+    # it): two empty histogram tables join to an empty frame and the
+    # global agg still emits one all-NULL row — a NULL psi a threshold
+    # monitor would silently read as "no drift". Same contract as the
+    # zero-SUM case: raise.
+    return agg.select(
+        F.when(F.col("n_base").isNotNull() & F.col("n_cur").isNotNull(),
+               F.col("psi"))
+        .otherwise(F.raise_error(F.lit(
+            "psi_drift: empty snapshot inputs — PSI is undefined"))
+            .cast("double"))
+        .alias("psi"),
+        "n_base", "n_cur",
     )

@@ -60,20 +60,28 @@ from building_permissions_etl_spark.plans.round10_queries import (
 
 # Session-scoped artifact cache, same lifecycle as the ANN index cache
 # (plans/extensions.py::_ANN_CACHE): the prep scan runs once per
-# (session, sf); every subsequent call — including the driver's
-# determinism re-run — is artifact-read-only.
+# (session, sf, base-table mtime); every subsequent call — including
+# the driver's determinism re-run — is artifact-read-only. The mtime
+# component (same contract as catalog._SCHEMA_CACHE) keeps an
+# in-session rewrite of the base table from serving snapshots of the
+# OLD data — a stale artifact is exactly the monitoring failure this
+# query exists to rule out.
 _ARTIFACT_CACHE: dict = {}
 
 
 def _snapshot_artifacts(spark, sf: str) -> tuple[str, str]:
     """Build-and-publish step: write the two snapshot artifacts for
     ``sf`` (if this session hasn't yet) and return their paths."""
-    key = (spark.sparkContext.applicationId, sf)
+    from building_permissions_etl_spark.catalog import _mtime
+
+    base_mtime = _mtime(os.path.join(sf, "orders.parquet"))
+    key = (spark.sparkContext.applicationId, sf, base_mtime)
     if key not in _ARTIFACT_CACHE:
         tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf).strip("_")
         root = os.path.join(
             tempfile.gettempdir(),
-            f"drift_artifacts_{spark.sparkContext.applicationId}_{tag}")
+            f"drift_artifacts_{spark.sparkContext.applicationId}_{tag}"
+            f"_{base_mtime}")
         od = load_table(spark, "orders", sf)
         split_ts = F.lit(_SPLIT).cast("timestamp")
         paths = {}

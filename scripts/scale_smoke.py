@@ -100,14 +100,12 @@ def main() -> None:
     from building_permissions_etl_spark.operators import dedup as D
     from building_permissions_etl_spark.plans.flagship import flagship_single_pass
 
-    def timed(label, df_or_thunk):
-        # thunks are timed construct+exec (same window as bench.py r11+,
-        # ADVICE r10: eager-construction work must be inside the timer);
-        # a pre-built DataFrame times execution only — only used where
-        # construction is a pure plan build
+    def timed(label, thunk):
+        # construct+exec window (same as bench.py r11+, ADVICE r10):
+        # the thunk builds the plan inside the timer, so eager
+        # construction work (collect prunes, iterative loops) is charged
         t0 = time.time()
-        df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
-        df.write.format("noop").mode("overwrite").save()
+        thunk().write.format("noop").mode("overwrite").save()
         print(f"{label}: {round(time.time() - t0, 2)} s")
 
     timed("flagship_single_pass", lambda: flagship_single_pass(spark, out))

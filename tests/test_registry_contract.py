@@ -65,7 +65,8 @@ def test_driver_window_matches_round11_rotation():
         "psi_drift_persisted",                     # round-11 addition
         "weighted_median_unit_price",              # changed (floor buckets)
         "psi_drift_monitor",                       # changed (zero-sum guard)
-        "bloom_incremental_union",                 # changed (unionByName fold)
+        "bloom_incremental_union",                 # changed (routed through
+                                                   # the refolded operators)
     }
     deferred_point_ops = {
         # r04 (displaced in round 9)

@@ -104,7 +104,7 @@ def test_catalog_schema_cache_serves_and_invalidates(spark, tmp_path):
     spark.createDataFrame([(1, "a")], "r_regionkey int, r_name string") \
         .write.parquet(p)
     df1 = catalog.load_table(spark, "region", str(tmp_path))
-    key = (p, os.path.getmtime(p))
+    key = (p, catalog._mtime(p))
     assert key in catalog._SCHEMA_CACHE
     df2 = catalog.load_table(spark, "region", str(tmp_path))
     assert df2.schema == df1.schema
@@ -167,3 +167,35 @@ def test_weighted_median_invariant_to_bucket_width(spark, tmp_path):
             for r in fn(spark, str(tmp_path), bucket_width=width).collect()
         }
         assert got == expected, f"width={width}"
+
+
+def test_psi_drift_raises_on_zero_row_snapshots(spark):
+    """Zero-ROW inputs escape the per-row zero-sum guard (no row ever
+    evaluates it) — the global agg would emit one all-NULL row that a
+    threshold monitor reads as 'no drift'. Pinned: raise instead."""
+    from building_permissions_etl_spark.operators.validation import (
+        psi_drift,
+    )
+
+    empty = spark.createDataFrame([], "bin int, cnt bigint")
+    with pytest.raises(Exception, match="empty snapshot"):
+        psi_drift(empty, empty).collect()
+
+
+def test_events_bigint_schema_never_enters_cache(spark):
+    """The ns-era bigint ts surface exists only under the session-scoped
+    nanosAsLong conf; caching it would poison recycled sessions. The
+    admission predicate refuses ANY read whose ts surfaced as bigint —
+    including ordinary reads in a session where the conf is already
+    set (the second-call poisoning path)."""
+    from building_permissions_etl_spark.catalog import (
+        _events_schema_cacheable,
+    )
+
+    ns_era = spark.createDataFrame([(1, 2)], "event_id long, ts long")
+    us_era = spark.createDataFrame(
+        [(1,)], "event_id long").withColumn(
+        "ts", __import__("pyspark.sql.functions", fromlist=["F"])
+        .current_timestamp())
+    assert not _events_schema_cacheable(ns_era)
+    assert _events_schema_cacheable(us_era)
