@@ -269,6 +269,7 @@ EXTENSION_HEADLINE = [
     # (prep writes the tables once per session; the timed figure after
     # the first best-of-2 run is the artifact-only monitor cost)
     "psi_drift_persisted",
+    "histogram_persisted_delta_update",
     # previously-unbenched mid-weight queries (full-fact aggs, set ops,
     # multi-join trees). The ONLY registry queries deliberately left
     # unbenched are trivial scalar/filter/rename point-ops whose cost is

@@ -25,6 +25,13 @@ discipline the round-9/10 maintained tables follow: any divergence
 between the artifact path and a from-scratch rebuild is a value
 mismatch.
 
+``histogram_persisted_delta_update`` is the same split applied to
+histogram MAINTENANCE — the per-ingest shape: the base partition's
+histogram is a persisted artifact, the query scans only the delta
+rows and folds with ``merge_histograms``, and the full-rebuild oracle
+plus a one-fixture-scan plan pin prove the base rows are never
+re-read.
+
 Scale shape: at 100 TB the prep cost is one column scan per snapshot
 (amortized over every monitor run and shared with the ingest
 pipeline's own stats pass), and the monitor itself touches ≤ 2·19
@@ -45,6 +52,9 @@ import tempfile
 from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.operators.maintenance import (
+    merge_histograms,
+)
 from building_permissions_etl_spark.operators.validation import (
     histogram_snapshot,
     psi_drift,
@@ -99,6 +109,37 @@ def _snapshot_artifacts(spark, sf: str) -> tuple[str, str]:
 
 
 def contribute(register) -> None:
+    # ---- maintained histogram: persisted artifact + delta fold ------------
+    # The INGEST shape of histogram maintenance, complementing
+    # `histogram_shard_merge` (which proved merge == rebuild with all
+    # shards built inline): here the base partition's histogram is a
+    # PERSISTED artifact (written once by the prep step) and the query
+    # scans ONLY the delta rows — one pushed-date fixture scan + one
+    # ≤ n_bins+3-row artifact read + a fixed-size merge_histograms
+    # fold. The full-rebuild oracle proves artifact + delta fold ==
+    # re-scanning everything; the plan pin proves the base rows were
+    # never touched. At 100 TB this is the per-ingest maintenance
+    # cost: a scan of the day's batch plus a constant-size merge.
+    def hist_delta_update(spark, sf):
+        base_path, _ = _snapshot_artifacts(spark, sf)
+        od = load_table(spark, "orders", sf)
+        delta = od.filter(
+            F.col("o_orderdate") >= F.lit(_SPLIT).cast("timestamp"))
+        delta_hist = histogram_snapshot(delta, "o_totalprice",
+                                        _LO, _HI, _BINS)
+        return merge_histograms(
+            spark.read.parquet(base_path), delta_hist).orderBy("bin")
+
+    register(
+        "histogram_persisted_delta_update",
+        hist_delta_update,
+        f"""
+        SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS cnt
+        FROM ({_hist_sql(_LO, _W, _BINS)})
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
+
     # ---- PSI drift over PERSISTED snapshot artifacts -----------------------
     def drift_persisted(spark, sf):
         base_path, cur_path = _snapshot_artifacts(spark, sf)

@@ -62,7 +62,8 @@ def test_driver_window_matches_round11_rotation():
     # slot wasted)
     assert set(names[:50]) <= o
     round11 = {
-        "psi_drift_persisted",                     # round-11 addition
+        "psi_drift_persisted",                     # round-11 additions
+        "histogram_persisted_delta_update",
         "weighted_median_unit_price",              # changed (floor buckets)
         "psi_drift_monitor",                       # changed (zero-sum guard)
         "bloom_incremental_union",                 # changed (routed through
@@ -83,12 +84,12 @@ def test_driver_window_matches_round11_rotation():
         "activity_islands", "equi_depth_histogram",
         "dedup_incremental_batch", "kmeans_assign_census",
         "flagship_monthly_pivot", "dim_summary_left_join",
-        "minhash_estimate_calibration", "not_in_null_aware",
+        "minhash_estimate_calibration",
     }
     # round-12 queue: the r07 leftovers (pagerank_trade_graph ..
     # validation_suite) stay registered but out of this window
     r07_deferred = {
-        "pagerank_trade_graph", "semantic_dedup_census",
+        "not_in_null_aware", "pagerank_trade_graph", "semantic_dedup_census",
         "similarity_topk_ivf", "similarity_topk_lsh",
         "scd2_history_violations", "scd2_point_in_time_join",
         "terc_decision_tree", "validation_suite", "top_k_parts",

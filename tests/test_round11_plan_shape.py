@@ -48,3 +48,30 @@ def test_psi_persisted_equals_inline_monitor(spark):
         assert row.psi == inline.psi
         assert row.n_base == inline.n_base
         assert row.n_cur == inline.n_cur
+
+
+def test_histogram_delta_update_never_rescans_base(spark):
+    """The ingest-shape pin: one fixture scan (the delta, with the
+    split date pushed to parquet) + one artifact scan; merge ==
+    rebuild is the oracle's job, never-touching-base is this one's."""
+    df = Q["histogram_persisted_delta_update"](spark, SF_DIR)
+    plan = _static_plan(df)
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    assert len(scans) == 2, plan
+    art = [s for s in scans if "drift_artifacts_" in s]
+    fixture = [s for s in scans if "/root/testdata" in s]
+    assert len(art) == 1 and len(fixture) == 1, scans
+    # the delta scan pushes the split-date bound to the reader
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", fixture[0])
+    assert m and "o_orderdate" in m.group(1), fixture[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_histogram_delta_update_equals_inline_snapshot(spark):
+    """Artifact + delta fold == the one-shot full snapshot, row for
+    row (merge-equals-rebuild on the persisted path)."""
+    inline = {(r.bin, r.cnt) for r in
+              Q["histogram_snapshot_price"](spark, SF_DIR).collect()}
+    folded = {(r.bin, r.cnt) for r in
+              Q["histogram_persisted_delta_update"](spark, SF_DIR).collect()}
+    assert folded == inline and folded
