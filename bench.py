@@ -376,6 +376,16 @@ def main() -> None:
     spark.stop()
 
 
+def _recover_tail_pairs(tail: str, timings: dict) -> dict[str, float]:
+    """Recover per-query timing pairs from a truncated driver stdout
+    tail. Admits only keys naming a query in THIS run's ``timings`` —
+    the tail can carry unrelated '"key": float' pairs (stderr
+    fragments, other JSON) that a name denylist would let in as
+    phantom queries and spurious diff lines."""
+    pairs = re.findall(r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', tail)
+    return {k: float(v) for k, v in pairs if k in timings}
+
+
 def _diff_vs_previous_round(timings: dict[str, float]) -> None:
     """Round-over-round tracking: compare per-query against the newest
     BENCH_r{N}.json the driver recorded and flag >1.5x changes — to
@@ -401,11 +411,12 @@ def _diff_vs_previous_round(timings: dict[str, float]) -> None:
                 # often survives head-truncated ("parsed" null), but the
                 # per-query pairs inside it are still well-formed —
                 # recover them textually so the diff compares against
-                # the newest real evidence instead of a rounds-old file
-                pairs = re.findall(r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)',
-                                   doc["tail"])
-                cand = {k: float(v) for k, v in pairs
-                        if k not in ("value", "sf")}
+                # the newest real evidence instead of a rounds-old file.
+                # Admit only keys that name a query in THIS run's
+                # timings dict — the tail can carry unrelated
+                # '"key": float' pairs (stderr fragments, other JSON)
+                # that a name denylist would let in as phantom queries
+                cand = _recover_tail_pairs(doc["tail"], timings)
         except (OSError, json.JSONDecodeError, AttributeError):
             continue
         if cand:

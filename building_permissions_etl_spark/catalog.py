@@ -34,13 +34,21 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 # never from re-reading footers per query. Keyed by (path, mtime_ns) —
 # nanosecond-resolution stat where the filesystem provides it — so a
 # rewritten path (scale harnesses overwrite synthetic fixtures in
-# place) misses the cache and re-infers. Caveat shared with every
-# mtime-based cache: on a filesystem with coarse mtime granularity, an
-# overwrite landing inside the same tick as the previous write can
-# collide; harnesses that rewrite-and-reread in a tight loop should
-# touch the path (os.utime) after rewriting, as the regression test
-# demonstrates.
-_SCHEMA_CACHE: dict = {}
+# place) misses the cache and re-infers. The key also carries st_size
+# (total bytes under the path), which shrinks the same-tick collision
+# window: an in-place rewrite that lands inside one mtime tick still
+# misses the cache unless it also reproduces the byte count. Residual
+# caveat: a same-tick same-size rewrite can collide; harnesses that
+# rewrite-and-reread in a tight loop should touch the path (os.utime)
+# after rewriting, as the regression test demonstrates.
+#
+# Bounded LRU (VERDICT r11): one entry per (path, mtime, size) would
+# otherwise grow forever in a long-lived service driver that cycles
+# through many fixture rewrites. 256 entries ≫ the 10 tables × a few
+# sf dirs a driver process touches, so the bound never evicts a live
+# schema in practice.
+_SCHEMA_CACHE_MAX = 256
+_SCHEMA_CACHE: dict = {}  # insertion order IS recency order (hits re-insert)
 
 
 def _mtime(path: str) -> int:
@@ -50,20 +58,49 @@ def _mtime(path: str) -> int:
         return -1
 
 
+def _stat_key(path: str) -> tuple[int, int]:
+    """(mtime_ns, total_bytes) of a path. For a parquet DIRECTORY the
+    mtime is the directory's own (changes when part files are added or
+    replaced) and the size sums the direct children — enough to
+    distinguish an in-place rewrite that keeps the mtime tick."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (-1, -1)
+    size = st.st_size
+    if os.path.isdir(path):
+        try:
+            with os.scandir(path) as it:
+                size = sum(e.stat().st_size for e in it if e.is_file())
+        except OSError:
+            pass
+    return (st.st_mtime_ns, size)
+
+
 def _read_parquet_cached(spark: SparkSession, path: str,
                          cacheable=None) -> DataFrame:
-    """spark.read.parquet with the (path, mtime_ns)-keyed schema cache.
-    ``cacheable(df) -> bool`` gates ADMISSION only (a read whose schema
-    is valid solely under session-scoped confs must not be replayed
-    into other sessions); cache hits always replay."""
-    key = (path, _mtime(path))
+    """spark.read.parquet with the (path, mtime_ns, size)-keyed schema
+    cache. ``cacheable(df) -> bool`` gates ADMISSION only (a read whose
+    schema is valid solely under session-scoped confs must not be
+    replayed into other sessions); cache hits always replay."""
+    key = (path, *_stat_key(path))
     schema = _SCHEMA_CACHE.get(key)
     if schema is not None:
+        _SCHEMA_CACHE[key] = _SCHEMA_CACHE.pop(key)  # LRU touch
         return spark.read.schema(schema).parquet(path)
     df = spark.read.parquet(path)
     if cacheable is None or cacheable(df):
-        _SCHEMA_CACHE[key] = df.schema
+        _cache_put(key, df.schema)
     return df
+
+
+def _cache_put(key, schema) -> None:
+    """Admit ``key`` → ``schema``, evicting least-recently-used
+    entries to stay under ``_SCHEMA_CACHE_MAX`` (hits re-insert, so
+    plain dict order IS recency order)."""
+    while len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+        _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+    _SCHEMA_CACHE[key] = schema
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

@@ -46,12 +46,13 @@ per the mergeable-summary maintenance shape (Cormode et al.,
 from __future__ import annotations
 
 import os
-import re
-import tempfile
 
 from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.plans.artifact_store import (
+    publish_artifacts,
+)
 from building_permissions_etl_spark.operators.maintenance import (
     merge_histograms,
 )
@@ -68,30 +69,16 @@ from building_permissions_etl_spark.plans.round10_queries import (
     _hist_sql,
 )
 
-# Session-scoped artifact cache, same lifecycle as the ANN index cache
-# (plans/extensions.py::_ANN_CACHE): the prep scan runs once per
-# (session, sf, base-table mtime); every subsequent call — including
-# the driver's determinism re-run — is artifact-read-only. The mtime
-# component (same contract as catalog._SCHEMA_CACHE) keeps an
-# in-session rewrite of the base table from serving snapshots of the
-# OLD data — a stale artifact is exactly the monitoring failure this
-# query exists to rule out.
-_ARTIFACT_CACHE: dict = {}
-
-
 def _snapshot_artifacts(spark, sf: str) -> tuple[str, str]:
     """Build-and-publish step: write the two snapshot artifacts for
-    ``sf`` (if this session hasn't yet) and return their paths."""
-    from building_permissions_etl_spark.catalog import _mtime
-
-    base_mtime = _mtime(os.path.join(sf, "orders.parquet"))
-    key = (spark.sparkContext.applicationId, sf, base_mtime)
-    if key not in _ARTIFACT_CACHE:
-        tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf).strip("_")
-        root = os.path.join(
-            tempfile.gettempdir(),
-            f"drift_artifacts_{spark.sparkContext.applicationId}_{tag}"
-            f"_{base_mtime}")
+    ``sf`` (if this session hasn't yet) and return their paths. The
+    session-scoped cache, the base-mtime invalidation (an in-session
+    rewrite of orders must not serve snapshots of the OLD data — a
+    stale artifact is exactly the monitoring failure this query exists
+    to rule out), superseded-dir eviction, and exit cleanup all live
+    in ``plans/artifact_store.py``, shared with the Bloom-register
+    family (round 12)."""
+    def _write(root: str) -> dict:
         od = load_table(spark, "orders", sf)
         split_ts = F.lit(_SPLIT).cast("timestamp")
         paths = {}
@@ -104,8 +91,11 @@ def _snapshot_artifacts(spark, sf: str) -> tuple[str, str]:
             (histogram_snapshot(side, "o_totalprice", _LO, _HI, _BINS)
              .coalesce(1).write.mode("overwrite").parquet(p))
             paths[name] = p
-        _ARTIFACT_CACHE[key] = (paths["hist_base"], paths["hist_cur"])
-    return _ARTIFACT_CACHE[key]
+        return paths
+
+    paths = publish_artifacts(spark, sf, "orders.parquet",
+                              "drift_artifacts", _write)
+    return paths["hist_base"], paths["hist_cur"]
 
 
 def contribute(register) -> None:

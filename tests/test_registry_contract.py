@@ -39,17 +39,17 @@ def test_rows_only_set_is_exactly_the_documented_one():
     assert rows_only == ROWS_ONLY
 
 
-def test_driver_window_matches_round11_rotation():
+def test_driver_window_matches_round12_rotation():
     """The first 50 registry entries (the slice the driver verifies)
-    must match _DRIVER_WINDOW exactly, and the round-11 window must
-    front-load (a) the round-11 addition (`psi_drift_persisted`) plus
-    the three queries round 11 CHANGED (floor-bucket fix, PSI
-    zero-side guard, register-merge refold — a changed query's old
-    verdict is dead evidence), (b) the 14 deferred point-ops (8 r04 —
-    six rounds without a verdict, the oldest evidence in the
-    registry — and 6 r05), and (c) 32 of the 49-query r07 cohort,
-    alphabetical; the 17 r07 leftovers are pinned by name so the
-    round-12 queue stays mechanical."""
+    must match _DRIVER_WINDOW exactly, and the round-12 window must
+    front-load (a) the round-12 addition
+    (`bloom_register_persisted_probe`) plus the two queries round 12
+    CHANGED (prep rerouted through the shared artifact store — a
+    changed query's old verdict is dead evidence), (b) the 18
+    r07-cohort leftovers (four rounds without a verdict, the oldest
+    evidence in the registry), and (c) 29 of the 41-query r08 cohort,
+    alphabetical; the 12 r08 leftovers are pinned by name so the
+    round-13 queue stays mechanical."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
@@ -61,34 +61,12 @@ def test_driver_window_matches_round11_rotation():
     # rotate out — a window slot spent on a hash-uncheckable row is a
     # slot wasted)
     assert set(names[:50]) <= o
-    round11 = {
-        "psi_drift_persisted",                     # round-11 additions
-        "histogram_persisted_delta_update",
-        "weighted_median_unit_price",              # changed (floor buckets)
-        "psi_drift_monitor",                       # changed (zero-sum guard)
-        "bloom_incremental_union",                 # changed (routed through
-                                                   # the refolded operators)
+    round12 = {
+        "bloom_register_persisted_probe",          # round-12 addition
+        "psi_drift_persisted",                     # changed (artifact store)
+        "histogram_persisted_delta_update",        # changed (artifact store)
     }
-    deferred_point_ops = {
-        # r04 (displaced in round 9)
-        "projection_rename", "upper_bound_filter", "not_in_set_filter",
-        "union_schema_align", "roman_numeral_codec",
-        "semi_join_known_keys", "anti_join_unknown_keys",
-        "scalar_function_showcase",
-        # r05 (deferred in round 10)
-        "range_filter_halfopen", "days_lookback_window",
-        "value_counts_priority", "small_quantity_revenue",
-        "audit_metrics", "dim_completion_zero_rows",
-    }
-    r07_head = {
-        "activity_islands", "equi_depth_histogram",
-        "dedup_incremental_batch", "kmeans_assign_census",
-        "flagship_monthly_pivot", "dim_summary_left_join",
-        "minhash_estimate_calibration",
-    }
-    # round-12 queue: the r07 leftovers (pagerank_trade_graph ..
-    # validation_suite) stay registered but out of this window
-    r07_deferred = {
+    r07_leftovers = {
         "not_in_null_aware", "pagerank_trade_graph", "semantic_dedup_census",
         "similarity_topk_ivf", "similarity_topk_lsh",
         "scd2_history_violations", "scd2_point_in_time_join",
@@ -98,10 +76,25 @@ def test_driver_window_matches_round11_rotation():
         "rolling_7d_order_stats", "running_distinct_users",
         "quality_funnel_report", "paragraph_dedup_reassembly",
     }
+    r08_head = {
+        "active_day_streaks", "bloom_pruned_segment_revenue",
+        "cusum_changepoint_by_type", "kmeans_lloyd_2iter",
+        "multimodal_features", "pareto_frontier_parts",
+        "quarterly_distinct_users",
+    }
+    # round-13 queue: the r08 leftovers (repetition_stats ..
+    # zorder_extent_pruning) stay registered but out of this window
+    r08_deferred = {
+        "repetition_stats", "rollup_order_totals", "sparse_dot_topk_pairs",
+        "stratified_sample_by_lang", "table_checksum_rollup",
+        "text_quality_filter", "text_quality_stats", "token_counts",
+        "triangle_count_trade_graph", "weekly_churned_users_exact",
+        "weekly_user_overlap_exact", "zorder_extent_pruning",
+    }
     w = set(names[:50])
-    assert round11 | deferred_point_ops | r07_head <= w
-    assert r07_deferred & w == set()
-    assert r07_deferred <= set(names)  # deferred, not dropped
+    assert round12 | r07_leftovers | r08_head <= w
+    assert r08_deferred & w == set()
+    assert r08_deferred <= set(names)  # deferred, not dropped
 
 
 def test_no_oracle_output_column_is_hugeint():

@@ -104,7 +104,7 @@ def test_catalog_schema_cache_serves_and_invalidates(spark, tmp_path):
     spark.createDataFrame([(1, "a")], "r_regionkey int, r_name string") \
         .write.parquet(p)
     df1 = catalog.load_table(spark, "region", str(tmp_path))
-    key = (p, catalog._mtime(p))
+    key = (p, *catalog._stat_key(p))
     assert key in catalog._SCHEMA_CACHE
     df2 = catalog.load_table(spark, "region", str(tmp_path))
     assert df2.schema == df1.schema

@@ -1,0 +1,153 @@
+"""Plan-shape pins for the round-12 persisted Bloom-register probe and
+regression tests for the shared artifact store (ADVICE r11: supersede
+eviction + exit cleanup) and the bounded catalog schema cache.
+
+``bloom_register_persisted_probe``'s whole point is the claim its
+round-9/11 sibling (`bloom_incremental_union`) could not evidence:
+once the register artifact exists as a table, a probe never touches
+the BASE partition — one ≤1024-row artifact read (consumed at
+construction by ``registers_to_bits``) plus a delta-only fixture scan.
+The pins make that mechanical.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.plans.registry import queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+Q = queries()
+
+
+def _static_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bloom_probe_scans_only_the_delta(spark):
+    df = Q["bloom_register_persisted_probe"](spark, SF_DIR)
+    plan = _static_plan(df)
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    # exactly ONE scan: the delta over orders — the register artifact
+    # was consumed at construction (bounded ≤1024-row driver read) and
+    # enters the plan as a literal probe array, and the BASE partition
+    # never appears anywhere
+    assert len(scans) == 1, plan
+    assert "orders.parquet" in scans[0], scans
+    # the delta bound is pushed to the parquet reader, so only
+    # post-split row groups are ever decoded
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", scans[0])
+    assert m and "o_orderdate" in m.group(1), scans[0]
+    # the probe predicate itself stays JVM-side codegen
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_probe_is_exact_on_definitely_new_keys(spark):
+    """A Bloom filter has no false negatives, so every customer the
+    probe emits must truly have zero base-partition orders — and the
+    probe may only LOSE truly-new keys to false positives, never
+    invent one. At this geometry (777 keys in 64512 bits) the
+    fixture's fill is ~2%, so the emitted set should also be nearly
+    all of the truly-new set."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.plans.round12_queries import (
+        _BASE_END,
+        _SPLIT,
+    )
+
+    od = load_table(spark, "orders", SF_DIR)
+    base_keys = {r.o_custkey for r in od.filter(
+        F.col("o_orderdate") < F.lit(_BASE_END)).select("o_custkey")
+        .distinct().collect()}
+    delta_keys = {r.o_custkey for r in od.filter(
+        F.col("o_orderdate") >= F.lit(_SPLIT)).select("o_custkey")
+        .distinct().collect()}
+    truly_new = delta_keys - base_keys
+    emitted = {r.o_custkey for r in
+               Q["bloom_register_persisted_probe"](spark, SF_DIR).collect()}
+    assert emitted <= truly_new
+    assert emitted and len(emitted) >= 0.9 * len(truly_new)
+
+
+def test_artifact_store_supersedes_and_republishes(spark, tmp_path):
+    """ADVICE r11: a base-table rewrite must (a) republish — the new
+    artifact reflects the NEW data, never a stale snapshot — and
+    (b) evict the superseded artifact directory from disk, so a
+    rewrite loop holds at most one live dir per family."""
+    import os
+    import time
+
+    from building_permissions_etl_spark.plans import artifact_store
+    from building_permissions_etl_spark.plans.round12_queries import (
+        _register_artifact,
+    )
+
+    sf = str(tmp_path)
+    base = spark.range(100).select(
+        F.col("id").alias("o_custkey"),
+        F.lit("1995-01-01").cast("timestamp").alias("o_orderdate"),
+        F.lit(10.0).alias("o_totalprice"))
+    base.write.parquet(os.path.join(sf, "orders.parquet"))
+    p1 = _register_artifact(spark, sf)
+    root1 = os.path.dirname(p1)
+    assert os.path.isdir(root1)
+    n1 = spark.read.parquet(p1).count()
+
+    # rewrite the base with a disjoint, larger key set
+    time.sleep(0.05)
+    spark.range(1000, 1400).select(
+        F.col("id").alias("o_custkey"),
+        F.lit("1995-01-01").cast("timestamp").alias("o_orderdate"),
+        F.lit(10.0).alias("o_totalprice")
+    ).write.mode("overwrite").parquet(os.path.join(sf, "orders.parquet"))
+    os.utime(os.path.join(sf, "orders.parquet"))  # mtime-tick guard
+    p2 = _register_artifact(spark, sf)
+    assert p2 != p1
+    n2 = spark.read.parquet(p2).count()
+    assert n2 != n1  # republished from the NEW data (400 vs 100 keys)
+    assert not os.path.exists(root1)  # superseded dir evicted
+    # exactly one live key for this (app, sf, kind)
+    live = [k for k in artifact_store._CACHE
+            if k[1] == sf and k[2] == "bloom_registers"]
+    assert len(live) == 1
+
+
+def test_schema_cache_is_bounded():
+    """VERDICT r11: the catalog schema cache must not grow without
+    bound in a long-lived service driver. Evicts LRU-first."""
+    from building_permissions_etl_spark import catalog
+
+    saved = dict(catalog._SCHEMA_CACHE)
+    try:
+        catalog._SCHEMA_CACHE.clear()
+        for i in range(catalog._SCHEMA_CACHE_MAX + 50):
+            catalog._cache_put((f"/p{i}", i, i), object())
+        assert len(catalog._SCHEMA_CACHE) == catalog._SCHEMA_CACHE_MAX
+        # oldest keys evicted, newest retained
+        assert ("/p0", 0, 0) not in catalog._SCHEMA_CACHE
+        last = catalog._SCHEMA_CACHE_MAX + 49
+        assert (f"/p{last}", last, last) in catalog._SCHEMA_CACHE
+    finally:
+        catalog._SCHEMA_CACHE.clear()
+        catalog._SCHEMA_CACHE.update(saved)
+
+
+def test_bench_tail_recovery_admits_only_known_queries():
+    """ADVICE r11: the truncated-tail recovery must not ingest
+    arbitrary '"key": float' pairs (stderr fragments, other JSON in
+    the tail) as phantom baseline queries."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    timings = {"flagship_monthly_pivot": 1.0, "pricing_summary": 2.0}
+    tail = ('... "loss": 0.125, "flagship_monthly_pivot": 1.375, '
+            '"sf": 0.1, "value": 164.6, "pricing_summary": 0.875 ...')
+    got = bench._recover_tail_pairs(tail, timings)
+    assert got == {"flagship_monthly_pivot": 1.375,
+                   "pricing_summary": 0.875}
