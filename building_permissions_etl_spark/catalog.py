@@ -104,6 +104,14 @@ def _cache_put(key, schema) -> None:
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    # Evaluated and REJECTED (round 12): memoizing the returned
+    # DataFrame per (applicationId, path, mtime, size) on top of the
+    # schema cache. Measured — flagship construction 570.2 ms cold vs
+    # 567.4 ms memoized (60 reps, warm JVM), i.e. ~3 ms/query: with an
+    # explicit schema the spark.read is already lazy and
+    # listing/analysis dominate construction, which a DF memo cannot
+    # help. Below the ≥10% keep-bar (VERDICT r11 item 4); details in
+    # SCALE.md §"construction latency".
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")

@@ -381,6 +381,28 @@ def main() -> None:
     for name in ("weighted_median_unit_price", "basket_lift_brands"):
         timed(f"round10-rewrite:{name}", lambda fn=r8b[name]: fn(spark, out))
 
+    # Round-11/12 persisted-artifact monitors at N×. Each family's
+    # FIRST timed call charges the prep (one partial-agg scan of the
+    # N× base + a ≤1024-row artifact write — linear in N, amortized
+    # over every later run); the SECOND call is the design point:
+    # artifact-only monitor/probe cost, which must be ~constant at any
+    # N (psi: two ≤19-row artifact reads; histogram delta: one pushed
+    # delta scan + artifact fold; bloom probe: ≤1024-row artifact read
+    # + delta-only scan with the probe predicate inside codegen).
+    from building_permissions_etl_spark.plans import (round11_queries,
+                                                      round12_queries)
+
+    r1112 = {}
+    stage1112 = lambda name, fn, sql: r1112.__setitem__(name, fn)  # noqa: E731
+    round11_queries.contribute(stage1112)
+    round12_queries.contribute(stage1112)
+    for name in ("psi_drift_persisted", "histogram_persisted_delta_update",
+                 "bloom_register_persisted_probe"):
+        timed(f"round12:{name} (first call, incl. any prep)",
+              lambda fn=r1112[name]: fn(spark, out))
+        timed(f"round12:{name} (artifact-only)",
+              lambda fn=r1112[name]: fn(spark, out))
+
     _planted_long_doc_repetition(spark)
     _planted_long_chain_components(spark)
     _crs_codegen_throughput(spark)

@@ -135,6 +135,32 @@ def test_schema_cache_is_bounded():
         catalog._SCHEMA_CACHE.update(saved)
 
 
+def test_schema_cache_misses_on_same_tick_different_size(spark, tmp_path):
+    """ADVICE r11 (events cache nit): the cache key carries total byte
+    size next to mtime_ns, so an in-place rewrite landing in the SAME
+    mtime tick still misses the cache when the bytes changed — the
+    realistic rewrite case (only a same-tick byte-identical-length
+    rewrite can still collide, the documented residual)."""
+    import os
+
+    from building_permissions_etl_spark import catalog
+
+    p = os.path.join(str(tmp_path), "part.parquet")
+    spark.createDataFrame([(1, "a")], "p_partkey int, p_name string") \
+        .write.parquet(p)
+    df1 = catalog.load_table(spark, "part", str(tmp_path))
+    assert "extra" not in df1.columns
+    mt = os.stat(p).st_mtime_ns
+    spark.createDataFrame([(2, "b", 9)],
+                          "p_partkey int, p_name string, extra int") \
+        .write.mode("overwrite").parquet(p)
+    # force the SAME directory mtime tick as the first write
+    os.utime(p, ns=(mt, mt))
+    assert os.stat(p).st_mtime_ns == mt
+    df2 = catalog.load_table(spark, "part", str(tmp_path))
+    assert "extra" in df2.columns  # size component caught the rewrite
+
+
 def test_bench_tail_recovery_admits_only_known_queries():
     """ADVICE r11: the truncated-tail recovery must not ingest
     arbitrary '"key": float' pairs (stderr fragments, other JSON in
