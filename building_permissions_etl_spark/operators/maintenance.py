@@ -31,6 +31,16 @@ from building_permissions_etl_spark.functions.portable import portable_hash64
 BLOOM_WORDS = 1024
 BLOOM_BITS = 63
 
+# Affine second-probe constants (k=2 without a second md5). ONE
+# definition shared by the build (``bloom_registers``), the probe
+# (``might_contain_registers``), and the DuckDB oracle twin
+# (``plans/sketch_oracles.bloom_regs_sql``), so the three cannot
+# drift: MOD keeps the product inside BIGINT under ANSI
+# (≤ (2^30)·2654435761 ≈ 2.9e18), MUL is Knuth's 2654435761.
+BLOOM_AFFINE_MOD = 2**30 - 35
+BLOOM_AFFINE_MUL = 2654435761
+BLOOM_AFFINE_ADD = 97
+
 
 def bloom_registers(
     df: DataFrame,
@@ -54,8 +64,8 @@ def bloom_registers(
     probes = keyed.select(
         F.explode(F.array(
             F.col("h1"),
-            # ≤ (2^30)·2654435761 ≈ 2.9e18: inside BIGINT under ANSI
-            F.expr(f"(h1 % {2**30 - 35}L) * 2654435761L + 97L"),
+            F.expr(f"(h1 % {BLOOM_AFFINE_MOD}L) * {BLOOM_AFFINE_MUL}L "
+                   f"+ {BLOOM_AFFINE_ADD}L"),
         )).alias("h"))
     return (
         probes.select(
@@ -123,7 +133,8 @@ def might_contain_registers(key, bits_arr: list[int],
     arr = F.lit([int(w) for w in bits_arr])
     h1 = portable_hash64(key.cast("string"))
     pred = None
-    for h in (h1, (h1 % F.lit(2**30 - 35)) * F.lit(2654435761) + F.lit(97)):
+    for h in (h1, (h1 % F.lit(BLOOM_AFFINE_MOD)) * F.lit(BLOOM_AFFINE_MUL)
+              + F.lit(BLOOM_AFFINE_ADD)):
         word = h.bitwiseAND(F.lit(words - 1)).cast("int")
         bit = F.call_function(
             "shiftleft", F.lit(1).cast("bigint"),

@@ -60,22 +60,26 @@ from building_permissions_etl_spark.functions.portable import (
     PORTABLE_HASH_SQL,
 )
 from building_permissions_etl_spark.operators.maintenance import (
+    BLOOM_AFFINE_ADD,
+    BLOOM_AFFINE_MOD,
+    BLOOM_AFFINE_MUL,
     BLOOM_BITS,
     BLOOM_WORDS,
     bloom_registers,
     might_contain_registers,
     registers_to_bits,
 )
+from building_permissions_etl_spark.plans import sketch_oracles as SK
 from building_permissions_etl_spark.plans.artifact_store import (
     publish_artifacts,
 )
+from building_permissions_etl_spark.plans.round9_queries import _SPLIT
 
 # Base partition: the fixture's first ~6 months (777 of 1500 custkeys
 # at sf0.01 — enough churn that the delta has a substantive
-# definitely-new set). Delta: the family's standing incremental split
-# (round9_queries._SPLIT).
+# definitely-new set). Delta: the family's standing incremental split,
+# imported from round9_queries so the Bloom family shares ONE split.
 _BASE_END = "1995-07-01"
-_SPLIT = "1997-06-01"
 
 
 def _register_artifact(spark, sf: str) -> str:
@@ -123,17 +127,8 @@ def contribute(register) -> None:
         "bloom_register_persisted_probe",
         bloom_probe,
         f"""
-        WITH regs AS (
-          SELECT CAST(h % {BLOOM_WORDS} AS INT) AS word_idx,
-                 bit_or(CAST(1 AS BIGINT)
-                        << CAST((h // {BLOOM_WORDS}) % {BLOOM_BITS}
-                                AS INT)) AS bits
-          FROM (
-            SELECT unnest([h1,
-                           (h1 % {2**30 - 35}) * {2654435761} + 97]) AS h
-            FROM (SELECT {_h1} AS h1 FROM orders
-                  WHERE o_orderdate < TIMESTAMP '{_BASE_END}')
-          ) GROUP BY 1
+        WITH regs AS ({SK.bloom_regs_sql(
+            f"o_orderdate < TIMESTAMP '{_BASE_END}'")}
         ),
         delta_keys AS (
           SELECT DISTINCT o_custkey FROM orders
@@ -141,7 +136,8 @@ def contribute(register) -> None:
         ),
         probes AS (
           SELECT o_custkey,
-                 unnest([h1, (h1 % {2**30 - 35}) * {2654435761} + 97]) AS h
+                 unnest([h1, (h1 % {BLOOM_AFFINE_MOD}) * {BLOOM_AFFINE_MUL}
+                             + {BLOOM_AFFINE_ADD}]) AS h
           FROM (SELECT o_custkey, {_h1} AS h1 FROM delta_keys)
         ),
         hits AS (

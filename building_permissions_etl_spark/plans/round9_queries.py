@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.catalog import load_table
 from building_permissions_etl_spark.functions.portable import (
-    PORTABLE_HASH_SQL,
     portable_hash64,
 )
 from building_permissions_etl_spark.functions.zorder import z_interleave_sql
@@ -46,9 +45,13 @@ from building_permissions_etl_spark.plans.extensions import _SHINGLES3
 
 # Blocked-Bloom geometry: 1024 words × 63 usable bits (DuckDB's BIGINT
 # ``<<`` raises on a shift of 63 — the sign bit — so both engines use
-# positions 0..62 and the word never goes negative).
-_BLOOM_WORDS = 1024
-_BLOOM_BITS = 63
+# positions 0..62 and the word never goes negative). Since round 12 a
+# single definition lives in operators/maintenance.py (the oracle twin
+# reads it through sketch_oracles.bloom_regs_sql).
+from building_permissions_etl_spark.operators.maintenance import (
+    BLOOM_BITS as _BLOOM_BITS,
+    BLOOM_WORDS as _BLOOM_WORDS,
+)
 
 # Incremental split: base partition vs delta batch.
 _SPLIT = "1997-06-01"
@@ -240,23 +243,12 @@ def contribute(register) -> None:
             .orderBy("word_idx")
         )
 
-    _h1 = PORTABLE_HASH_SQL.format(x="CAST(o_custkey AS VARCHAR)")
-    _regs_sql = f"""
-          SELECT CAST(h % {_BLOOM_WORDS} AS INT) AS word_idx,
-                 bit_or(CAST(1 AS BIGINT)
-                        << CAST((h // {_BLOOM_WORDS}) % {_BLOOM_BITS}
-                                AS INT)) AS bits
-          FROM (
-            SELECT unnest([h1,
-                           (h1 % {2**30 - 35}) * {2654435761} + 97]) AS h
-            FROM (SELECT {_h1} AS h1 FROM orders WHERE {{pred}})
-          ) GROUP BY 1"""
     register(
         "bloom_incremental_union",
         bloom_union,
         f"""
-        WITH base AS ({_regs_sql.format(pred=f"o_orderdate < DATE '{_SPLIT}'")}),
-        delta AS ({_regs_sql.format(pred=f"o_orderdate >= DATE '{_SPLIT}'")}),
+        WITH base AS ({SK.bloom_regs_sql(f"o_orderdate < DATE '{_SPLIT}'")}),
+        delta AS ({SK.bloom_regs_sql(f"o_orderdate >= DATE '{_SPLIT}'")}),
         merged AS (
           SELECT coalesce(b.word_idx, d.word_idx) AS word_idx,
                  CAST(coalesce(b.bits, 0) AS BIGINT) AS base_bits,

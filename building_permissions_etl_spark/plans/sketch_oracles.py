@@ -404,3 +404,37 @@ def fingerprint_sql(toks_sql: str, window: int = 4) -> str:
         SELECT doc_id AS id, {_ph(mins_str)} AS fingerprint
         FROM m ORDER BY id
     """
+
+
+def bloom_regs_sql(pred: str,
+                   key_sql: str = "CAST(o_custkey AS VARCHAR)",
+                   table: str = "orders") -> str:
+    """Blocked-Bloom register build over ``table`` rows matching
+    ``pred`` — the DuckDB twin of
+    ``operators/maintenance.bloom_registers`` (portable md5-prefix
+    hash, affine second probe, word/bit split), hoisted here in round
+    12 so the algebra lives in ONE place for the round-9 union oracle
+    and the round-12 persisted-probe oracle; the geometry and affine
+    constants are imported from the operator module, so a change there
+    changes both engines together. Emits round-9's exact text, so
+    ``bloom_incremental_union``'s oracle is byte-stable across the
+    hoist (pinned by tests/test_round12_plan_shape.py)."""
+    from building_permissions_etl_spark.operators.maintenance import (
+        BLOOM_AFFINE_ADD,
+        BLOOM_AFFINE_MOD,
+        BLOOM_AFFINE_MUL,
+        BLOOM_BITS,
+        BLOOM_WORDS,
+    )
+
+    h1 = _ph(key_sql)
+    return f"""
+          SELECT CAST(h % {BLOOM_WORDS} AS INT) AS word_idx,
+                 bit_or(CAST(1 AS BIGINT)
+                        << CAST((h // {BLOOM_WORDS}) % {BLOOM_BITS}
+                                AS INT)) AS bits
+          FROM (
+            SELECT unnest([h1,
+                           (h1 % {BLOOM_AFFINE_MOD}) * {BLOOM_AFFINE_MUL} + {BLOOM_AFFINE_ADD}]) AS h
+            FROM (SELECT {h1} AS h1 FROM {table} WHERE {pred})
+          ) GROUP BY 1"""

@@ -73,10 +73,12 @@ def test_bloom_probe_is_exact_on_definitely_new_keys(spark):
 
 
 def test_artifact_store_supersedes_and_republishes(spark, tmp_path):
-    """ADVICE r11: a base-table rewrite must (a) republish — the new
-    artifact reflects the NEW data, never a stale snapshot — and
-    (b) evict the superseded artifact directory from disk, so a
-    rewrite loop holds at most one live dir per family."""
+    """ADVICE r11 + round-12 review: a base-table rewrite must
+    (a) republish — the new artifact reflects the NEW data, never a
+    stale snapshot; (b) retire the superseded directory (queued for
+    exit cleanup) WITHOUT deleting it under a lazy plan constructed
+    before the rewrite; and (c) keep exactly one live cache key per
+    family."""
     import os
     import time
 
@@ -86,21 +88,32 @@ def test_artifact_store_supersedes_and_republishes(spark, tmp_path):
     )
 
     sf = str(tmp_path)
+    # rows on BOTH sides of every family's split (bloom base < 1995-07,
+    # bloom delta >= 1997-06, drift split 1998-01): a one-sided fixture
+    # would make the held psi plan legitimately raise on a zero-count
+    # snapshot side instead of exercising the retirement path
     base = spark.range(100).select(
         F.col("id").alias("o_custkey"),
-        F.lit("1995-01-01").cast("timestamp").alias("o_orderdate"),
+        F.when(F.col("id") % 2 == 0, F.lit("1995-01-01"))
+        .otherwise(F.lit("1999-01-01"))
+        .cast("timestamp").alias("o_orderdate"),
         F.lit(10.0).alias("o_totalprice"))
     base.write.parquet(os.path.join(sf, "orders.parquet"))
     p1 = _register_artifact(spark, sf)
     root1 = os.path.dirname(p1)
     assert os.path.isdir(root1)
     n1 = spark.read.parquet(p1).count()
+    # a lazy plan over the old artifacts, held across the rewrite
+    # (the psi_drift_persisted shape scans artifacts at COLLECT time)
+    held = Q["psi_drift_persisted"](spark, sf)
 
     # rewrite the base with a disjoint, larger key set
     time.sleep(0.05)
     spark.range(1000, 1400).select(
         F.col("id").alias("o_custkey"),
-        F.lit("1995-01-01").cast("timestamp").alias("o_orderdate"),
+        F.when(F.col("id") % 2 == 0, F.lit("1995-01-01"))
+        .otherwise(F.lit("1999-01-01"))
+        .cast("timestamp").alias("o_orderdate"),
         F.lit(10.0).alias("o_totalprice")
     ).write.mode("overwrite").parquet(os.path.join(sf, "orders.parquet"))
     os.utime(os.path.join(sf, "orders.parquet"))  # mtime-tick guard
@@ -108,11 +121,72 @@ def test_artifact_store_supersedes_and_republishes(spark, tmp_path):
     assert p2 != p1
     n2 = spark.read.parquet(p2).count()
     assert n2 != n1  # republished from the NEW data (400 vs 100 keys)
-    assert not os.path.exists(root1)  # superseded dir evicted
+    # superseded dir retired (exit-cleaned), NOT deleted mid-session
+    assert os.path.isdir(root1)
+    assert root1 in artifact_store._RETIRED
     # exactly one live key for this (app, sf, kind)
     live = [k for k in artifact_store._CACHE
             if k[1] == sf and k[2] == "bloom_registers"]
     assert len(live) == 1
+    # the drift family superseded too — and the held plan still
+    # collects, because its directories were retired, not removed
+    psi2 = _register_drift_and_supersede_check(spark, sf, held)
+    assert psi2 is not None
+
+
+def _register_drift_and_supersede_check(spark, sf, held):
+    Q["psi_drift_persisted"](spark, sf)  # republish for the new base
+    return held.first()  # old plan reads the RETIRED artifacts
+
+
+def test_artifact_store_cleans_up_failed_prep(spark, tmp_path):
+    """Round-12 review: a writer that fails mid-prep never enters the
+    cache, so exit cleanup would leak its half-written root — the
+    store must remove it on the failure path."""
+    import os
+
+    import pytest
+
+    from building_permissions_etl_spark.plans import artifact_store
+
+    sf = str(tmp_path)
+    open(os.path.join(sf, "base.parquet"), "w").write("x")
+    seen = {}
+
+    def bad_writer(root):
+        os.makedirs(root)
+        open(os.path.join(root, "partial"), "w").write("partial")
+        seen["root"] = root
+        raise RuntimeError("disk full")
+
+    with pytest.raises(RuntimeError, match="disk full"):
+        artifact_store.publish_artifacts(spark, sf, "base.parquet",
+                                         "failkind", bad_writer)
+    assert not os.path.exists(seen["root"])
+    assert not [k for k in artifact_store._CACHE if k[2] == "failkind"]
+
+
+def test_artifact_store_exit_cleanup_removes_live_and_retired(tmp_path):
+    import os
+
+    from building_permissions_etl_spark.plans import artifact_store
+
+    live = os.path.join(str(tmp_path), "live_dir")
+    retired = os.path.join(str(tmp_path), "retired_dir")
+    os.makedirs(live)
+    os.makedirs(retired)
+    saved_cache = dict(artifact_store._CACHE)
+    saved_retired = list(artifact_store._RETIRED)
+    try:
+        artifact_store._CACHE.clear()
+        artifact_store._RETIRED.clear()
+        artifact_store._CACHE[("app", "sf", "k", (1, 1))] = (live, {})
+        artifact_store._RETIRED.append(retired)
+        artifact_store._cleanup_all()
+        assert not os.path.exists(live) and not os.path.exists(retired)
+    finally:
+        artifact_store._CACHE.update(saved_cache)
+        artifact_store._RETIRED.extend(saved_retired)
 
 
 def test_schema_cache_is_bounded():
