@@ -270,10 +270,12 @@ EXTENSION_HEADLINE = [
     # the first best-of-2 run is the artifact-only monitor cost)
     "psi_drift_persisted",
     "histogram_persisted_delta_update",
-    # round-12 addition: the Bloom register table in its persisted-probe
-    # shape (same prep-once-per-session contract as psi_drift_persisted;
-    # the best-of-2 figure is the artifact-read + delta-probe cost)
+    # round-12 additions: the Bloom register table in its persisted-probe
+    # shape and the extent table driving an actually-pruned box aggregate
+    # (same prep-once-per-session contract as psi_drift_persisted; the
+    # best-of-2 figure is the artifact-read + pruned-scan cost)
     "bloom_register_persisted_probe",
+    "zorder_extent_persisted_prune",
     # previously-unbenched mid-weight queries (full-fact aggs, set ops,
     # multi-join trees). The ONLY registry queries deliberately left
     # unbenched are trivial scalar/filter/rename point-ops whose cost is

@@ -27,6 +27,27 @@ tooling); Morton (1966), and the public Delta OPTIMIZE ZORDER design.
 from __future__ import annotations
 
 
+# Canonical 8-bit quantizers of the (order day, whole-dollar price)
+# plane used by the z-order demo family (round-8d inline extents +
+# box-pruning candidacy, round-9 extent merge, round-12 persisted
+# prune). Values are CLAMPED to the 8-bit domain the interleave's
+# nonnegative bits-wide contract requires: without the clamp a
+# pre-1995 date or a >512k price would silently alias into an
+# unrelated bucket. `plans/round8d_queries.py` predates this hoist
+# and carries byte-identical inline copies (_X_SPARK.._Y_DUCK);
+# fold them onto these names the next time that module's queries
+# re-enter the driver window (dead-evidence rule — don't touch a
+# windowed-out query's file for a pure hoist).
+ZQ_DAY_SPARK = ("greatest(0L, least(255L, "
+                "datediff(o_orderdate, DATE '1995-01-01') div 10))")
+ZQ_PRICE_SPARK = ("greatest(0L, least(255L, "
+                  "CAST(floor(o_totalprice) AS BIGINT) div 2000))")
+ZQ_DAY_DUCK = ("greatest(0, least(255, "
+               "date_diff('day', DATE '1995-01-01', o_orderdate) // 10))")
+ZQ_PRICE_DUCK = ("greatest(0, least(255, "
+                 "CAST(floor(o_totalprice) AS BIGINT) // 2000))")
+
+
 def z_interleave_sql(x_expr: str, y_expr: str, bits: int = 8,
                      engine: str = "spark") -> str:
     """SQL text computing the Morton interleave of two `bits`-wide

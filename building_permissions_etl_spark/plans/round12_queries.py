@@ -44,13 +44,33 @@ md5-prefix hash, probes with the identical word/bit algebra, and
 aggregates the same definitely-new set: any divergence between the
 persisted-probe path and a from-scratch rebuild is a value mismatch.
 
+``zorder_extent_persisted_prune`` completes the same arc for the
+THIRD maintained family (after the round-11 histograms and the Bloom
+probe above): the z-order extent table as a PERSISTED artifact driving
+data skipping. ``zorder_extent_pruning`` (round 8d) proved the extent
+algebra and emitted the per-bucket skipping PREDICATE; this query
+actually SKIPS with it: prep publishes the ≤1024-row extent artifact
+(built through the real ``extent_table`` operator), the query derives
+the candidate-bucket IN-list from the artifact alone (bounded
+driver-side read, the ``registers_to_bits`` precedent), prunes the
+fact scan to candidate buckets, and answers a 2-D box aggregate. The
+DuckDB oracle computes the box aggregate WITHOUT any pruning (plus the
+candidate counts from its own extent rebuild) — so value parity IS the
+losslessness proof: extent pruning is a superset filter that never
+drops a qualifying row. At 100 TB the artifact is footer-stats-shaped
+(one row per file/bucket), the candidate derivation touches only it,
+and the scan reads candidate buckets only — on a z-sorted table that
+is file skipping, which neither a 1-D sort nor a full scan gives.
+
 Reference scope: beyond the reference surface (helpers:* has no
 maintained-table tooling); Bloom (1970), blocked layout per Putze,
-Sanders & Singler (2007).
+Sanders & Singler (2007); Morton (1966) and the public Delta/Iceberg
+OPTIMIZE ZORDER + file-statistics design.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 
 from pyspark.sql import functions as F
@@ -59,6 +79,13 @@ from building_permissions_etl_spark.catalog import load_table
 from building_permissions_etl_spark.functions.portable import (
     PORTABLE_HASH_SQL,
 )
+from building_permissions_etl_spark.functions.zorder import (
+    ZQ_DAY_DUCK,
+    ZQ_DAY_SPARK,
+    ZQ_PRICE_DUCK,
+    ZQ_PRICE_SPARK,
+    z_interleave_sql,
+)
 from building_permissions_etl_spark.operators.maintenance import (
     BLOOM_AFFINE_ADD,
     BLOOM_AFFINE_MOD,
@@ -66,6 +93,7 @@ from building_permissions_etl_spark.operators.maintenance import (
     BLOOM_BITS,
     BLOOM_WORDS,
     bloom_registers,
+    extent_table,
     might_contain_registers,
     registers_to_bits,
 )
@@ -163,5 +191,120 @@ def contribute(register) -> None:
           USING (o_custkey)
         WHERE o.o_orderdate >= TIMESTAMP '{_SPLIT}'
         GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+    _contribute_extent(register)
+
+
+# 2-D box for the extent-pruned aggregate, in the same quantized plane
+# as the round-8d candidacy predicate: day ∈ [800, 1200) since
+# 1995-01-01, whole-dollar price ∈ [100000, 200000). The row-level
+# filter uses the RAW columns (date literals push to the parquet
+# reader); the bucket-candidacy test uses the artifact's extents of
+# the same day/price values, so every box row's bucket is a candidate
+# (superset property — proven by the prune-free oracle).
+_DAY_LO, _DAY_HI = 800, 1200
+_PRICE_LO, _PRICE_HI = 100_000, 200_000
+_Z_EPOCH = _dt.date(1995, 1, 1)
+_DATE_LO = (_Z_EPOCH + _dt.timedelta(days=_DAY_LO)).isoformat()
+_DATE_HI = (_Z_EPOCH + _dt.timedelta(days=_DAY_HI)).isoformat()
+
+
+def _extent_artifact(spark, sf: str) -> str:
+    """Build-and-publish step for the z-order family: the base table's
+    per-bucket extent table (one row per occupied 64-z-value bucket,
+    ≤1024 rows for the 16-bit interleave), built through the real
+    ``extent_table`` operator and written as a parquet artifact — the
+    footer-stats table a z-sorted warehouse layout maintains per
+    file."""
+    def _write(root: str) -> dict:
+        od = load_table(spark, "orders", sf)
+        z_sql = z_interleave_sql(ZQ_DAY_SPARK, ZQ_PRICE_SPARK, 8, "spark")
+        rows = od.select(
+            F.expr(f"CAST({z_sql} div 64 AS BIGINT)").alias("zbucket"),
+            F.expr("datediff(o_orderdate, DATE '1995-01-01')")
+            .cast("bigint").alias("day"),
+            F.expr("CAST(floor(o_totalprice) AS BIGINT)").alias("price"))
+        p = os.path.join(root, "orders_extents.parquet")
+        (extent_table(rows, "zbucket", ["day", "price"])
+         .coalesce(1).write.mode("overwrite").parquet(p))
+        return {"orders_extents": p}
+
+    return publish_artifacts(spark, sf, "orders.parquet",
+                             "zorder_extents", _write)["orders_extents"]
+
+
+def _contribute_extent(register) -> None:
+    # ---- persisted extent table driving an actually-pruned scan ----------
+    def extent_probe(spark, sf):
+        # ≤1024-row ARTIFACT read at construction (never base rows):
+        # the candidate set is derived from the persisted extents
+        # alone, exactly as a reader derives a file list from footer
+        # stats
+        ext_rows = spark.read.parquet(_extent_artifact(spark, sf)).collect()
+        cand = sorted(int(r["bucket"]) for r in ext_rows
+                      if r["max_day"] >= _DAY_LO and r["min_day"] < _DAY_HI
+                      and r["max_price"] >= _PRICE_LO
+                      and r["min_price"] < _PRICE_HI)
+        od = load_table(spark, "orders", sf)
+        z_sql = z_interleave_sql(ZQ_DAY_SPARK, ZQ_PRICE_SPARK, 8, "spark")
+        zbucket = F.expr(f"CAST({z_sql} div 64 AS BIGINT)")
+        pruned = od.filter(zbucket.isin(cand)) if cand else od.filter(
+            F.lit(False))
+        box = pruned.filter(
+            (F.col("o_orderdate") >= F.lit(_DATE_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_DATE_HI).cast("timestamp"))
+            & (F.col("o_totalprice") >= F.lit(float(_PRICE_LO)))
+            & (F.col("o_totalprice") < F.lit(float(_PRICE_HI))))
+        return box.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")),
+                F.lit(0)).cast("bigint").alias("revenue_cents"),
+        ).select(
+            "*",
+            F.lit(len(cand)).cast("bigint").alias("n_candidate_buckets"),
+            F.lit(len(ext_rows)).cast("bigint").alias("n_total_buckets"))
+
+    register(
+        "zorder_extent_persisted_prune",
+        extent_probe,
+        f"""
+        WITH rows_q AS (
+          SELECT {z_interleave_sql(ZQ_DAY_DUCK, ZQ_PRICE_DUCK, 8, "duckdb")}
+                   // 64 AS zbucket,
+                 CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
+                   AS BIGINT) AS day,
+                 CAST(floor(o_totalprice) AS BIGINT) AS price
+          FROM orders
+        ),
+        ext AS (
+          SELECT zbucket, min(day) AS min_day, max(day) AS max_day,
+                 min(price) AS min_price, max(price) AS max_price
+          FROM rows_q GROUP BY 1
+        ),
+        cand AS (
+          SELECT CAST(count(*) FILTER (
+                   WHERE max_day >= {_DAY_LO} AND min_day < {_DAY_HI}
+                     AND max_price >= {_PRICE_LO}
+                     AND min_price < {_PRICE_HI}) AS BIGINT)
+                   AS n_candidate_buckets,
+                 CAST(count(*) AS BIGINT) AS n_total_buckets
+          FROM ext
+        ),
+        box AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(coalesce(sum(CAST(floor(o_totalprice * 100)
+                                        AS BIGINT)), 0) AS BIGINT)
+                   AS revenue_cents
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '{_DATE_LO}'
+            AND o_orderdate < TIMESTAMP '{_DATE_HI}'
+            AND o_totalprice >= {_PRICE_LO} AND o_totalprice < {_PRICE_HI}
+        )
+        SELECT box.n_rows, box.revenue_cents,
+               cand.n_candidate_buckets, cand.n_total_buckets
+        FROM box, cand
         """,
     )

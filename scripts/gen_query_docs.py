@@ -39,7 +39,7 @@ MODULES = [
     ("round9_queries", "Incremental maintenance + shard-merge: mergeable per-shard CUSUM, Bloom register union, z-order extent merge"),
     ("round10_queries", "Drift monitoring as maintained tables: fixed-domain histogram snapshot, shard merge == rebuild, PSI drift"),
     ("round11_queries", "Drift monitoring in its persisted-artifact shape: snapshots written as tables, monitor reads only artifacts"),
-    ("round12_queries", "Maintained Bloom registers in persisted-probe shape: prep publishes the register artifact, probe reads only artifact + delta"),
+    ("round12_queries", "Maintained Bloom registers + z-order extents in persisted shape: prep publishes the artifact, probe/prune reads only artifact + delta"),
 ]
 
 

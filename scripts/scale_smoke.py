@@ -397,7 +397,8 @@ def main() -> None:
     round11_queries.contribute(stage1112)
     round12_queries.contribute(stage1112)
     for name in ("psi_drift_persisted", "histogram_persisted_delta_update",
-                 "bloom_register_persisted_probe"):
+                 "bloom_register_persisted_probe",
+                 "zorder_extent_persisted_prune"):
         timed(f"round12:{name} (first call, incl. any prep)",
               lambda fn=r1112[name]: fn(spark, out))
         timed(f"round12:{name} (artifact-only)",

@@ -42,14 +42,14 @@ def test_rows_only_set_is_exactly_the_documented_one():
 def test_driver_window_matches_round12_rotation():
     """The first 50 registry entries (the slice the driver verifies)
     must match _DRIVER_WINDOW exactly, and the round-12 window must
-    front-load (a) the round-12 addition
-    (`bloom_register_persisted_probe`) plus the two queries round 12
-    CHANGED (prep rerouted through the shared artifact store — a
-    changed query's old verdict is dead evidence), (b) the 18
-    r07-cohort leftovers (four rounds without a verdict, the oldest
-    evidence in the registry), and (c) 29 of the 41-query r08 cohort,
-    alphabetical; the 12 r08 leftovers are pinned by name so the
-    round-13 queue stays mechanical."""
+    front-load (a) the two round-12 additions
+    (`bloom_register_persisted_probe`, `zorder_extent_persisted_prune`)
+    plus the two queries round 12 CHANGED (prep rerouted through the
+    shared artifact store — a changed query's old verdict is dead
+    evidence), (b) the 18 r07-cohort leftovers (four rounds without a
+    verdict, the oldest evidence in the registry), and (c) 28 of the
+    41-query r08 cohort, alphabetical; the 13 r08 leftovers are pinned
+    by name so the round-13 queue stays mechanical."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
@@ -62,7 +62,8 @@ def test_driver_window_matches_round12_rotation():
     # slot wasted)
     assert set(names[:50]) <= o
     round12 = {
-        "bloom_register_persisted_probe",          # round-12 addition
+        "bloom_register_persisted_probe",          # round-12 additions
+        "zorder_extent_persisted_prune",
         "psi_drift_persisted",                     # changed (artifact store)
         "histogram_persisted_delta_update",        # changed (artifact store)
     }
@@ -80,11 +81,12 @@ def test_driver_window_matches_round12_rotation():
         "active_day_streaks", "bloom_pruned_segment_revenue",
         "cusum_changepoint_by_type", "kmeans_lloyd_2iter",
         "multimodal_features", "pareto_frontier_parts",
-        "quarterly_distinct_users",
+        "priority_sample_by_lang",
     }
-    # round-13 queue: the r08 leftovers (repetition_stats ..
+    # round-13 queue: the r08 leftovers (quarterly_distinct_users ..
     # zorder_extent_pruning) stay registered but out of this window
     r08_deferred = {
+        "quarterly_distinct_users",
         "repetition_stats", "rollup_order_totals", "sparse_dot_topk_pairs",
         "stratified_sample_by_lang", "table_checksum_rollup",
         "text_quality_filter", "text_quality_stats", "token_counts",

@@ -72,6 +72,51 @@ def test_bloom_probe_is_exact_on_definitely_new_keys(spark):
     assert emitted and len(emitted) >= 0.9 * len(truly_new)
 
 
+def test_extent_probe_scans_once_with_pushed_box(spark):
+    df = Q["zorder_extent_persisted_prune"](spark, SF_DIR)
+    plan = _static_plan(df)
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    # exactly ONE scan: orders — the extent artifact was consumed at
+    # construction (bounded ≤1024-row read) and enters the plan only
+    # as the candidate-bucket IN-list
+    assert len(scans) == 1, plan
+    assert "orders.parquet" in scans[0], scans
+    # both box dimensions push to the parquet reader (the long IN-list
+    # truncates the rendered PushedFilters with '…', so match to
+    # end-of-line rather than to a closing bracket)
+    m = re.search(r"PushedFilters: \[([^\n]*)", scans[0])
+    assert m, scans[0]
+    pushed = m.group(1)
+    assert "GreaterThanOrEqual(o_orderdate" in pushed, scans[0]
+    assert "IsNotNull(o_totalprice)" in pushed, scans[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_extent_probe_prunes_losslessly_and_nonvacuously(spark):
+    """The candidate IN-list must actually skip buckets (candidacy is
+    a strict subset) while the pruned box aggregate equals the
+    prune-free one — the oracle proves the same equality at the
+    driver, this pins it in-process against the registry's own
+    prune-free siblings."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.plans.round12_queries import (
+        _DATE_HI,
+        _DATE_LO,
+        _PRICE_HI,
+        _PRICE_LO,
+    )
+
+    row = Q["zorder_extent_persisted_prune"](spark, SF_DIR).first()
+    assert 0 < row.n_candidate_buckets < row.n_total_buckets
+    od = load_table(spark, "orders", SF_DIR)
+    full = od.filter(
+        (F.col("o_orderdate") >= F.lit(_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_DATE_HI).cast("timestamp"))
+        & (F.col("o_totalprice") >= float(_PRICE_LO))
+        & (F.col("o_totalprice") < float(_PRICE_HI)))
+    assert row.n_rows == full.count()
+
+
 def test_artifact_store_supersedes_and_republishes(spark, tmp_path):
     """ADVICE r11 + round-12 review: a base-table rewrite must
     (a) republish — the new artifact reflects the NEW data, never a
