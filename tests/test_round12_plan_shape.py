@@ -73,22 +73,31 @@ def test_bloom_probe_is_exact_on_definitely_new_keys(spark):
 
 
 def test_extent_probe_scans_once_with_pushed_box(spark):
-    df = Q["zorder_extent_persisted_prune"](spark, SF_DIR)
-    plan = _static_plan(df)
+    # Spark renders each plan-node metadata field (PushedFilters
+    # included) truncated to spark.sql.maxMetadataStringLength (100)
+    # — widen it for this test so BOTH box dimensions' range bounds
+    # are assertable, not just whatever fits in the first 100 chars
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        df = Q["zorder_extent_persisted_prune"](spark, SF_DIR)
+        plan = _static_plan(df)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     scans = re.findall(r"FileScan parquet[^\n]*", plan)
     # exactly ONE scan: orders — the extent artifact was consumed at
     # construction (bounded ≤1024-row read) and enters the plan only
-    # as the candidate-bucket IN-list
+    # as the candidate-bucket IN-list (over a DERIVED expression, so
+    # it never reaches PushedFilters; the date/price bounds do)
     assert len(scans) == 1, plan
     assert "orders.parquet" in scans[0], scans
-    # both box dimensions push to the parquet reader (the long IN-list
-    # truncates the rendered PushedFilters with '…', so match to
-    # end-of-line rather than to a closing bracket)
-    m = re.search(r"PushedFilters: \[([^\n]*)", scans[0])
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", scans[0])
     assert m, scans[0]
     pushed = m.group(1)
-    assert "GreaterThanOrEqual(o_orderdate" in pushed, scans[0]
-    assert "IsNotNull(o_totalprice)" in pushed, scans[0]
+    assert "GreaterThanOrEqual(o_orderdate" in pushed, pushed
+    assert "LessThan(o_orderdate" in pushed, pushed
+    assert "GreaterThanOrEqual(o_totalprice" in pushed, pushed
+    assert "LessThan(o_totalprice" in pushed, pushed
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
