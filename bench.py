@@ -276,6 +276,12 @@ EXTENSION_HEADLINE = [
     # best-of-2 figure is the artifact-read + pruned-scan cost)
     "bloom_register_persisted_probe",
     "zorder_extent_persisted_prune",
+    # round-13 additions: the z-file-PARTITIONED layout whose candidate
+    # IN-list lands in PartitionFilters (directory-level skipping, not a
+    # row filter), and the CUSUM family's persisted-state probe (fold a
+    # delta-only scan into the published shard partials)
+    "zorder_partitioned_file_skip",
+    "cusum_state_persisted_probe",
     # previously-unbenched mid-weight queries (full-fact aggs, set ops,
     # multi-join trees). The ONLY registry queries deliberately left
     # unbenched are trivial scalar/filter/rename point-ops whose cost is

@@ -70,8 +70,21 @@ def _stat_key(path: str) -> tuple[int, int]:
     size = st.st_size
     if os.path.isdir(path):
         try:
+            size = 0
             with os.scandir(path) as it:
-                size = sum(e.stat().st_size for e in it if e.is_file())
+                for e in it:
+                    if e.is_file():
+                        size += e.stat().st_size
+                    elif e.is_dir():
+                        # one level down (ADVICE r12): a
+                        # Hive-partitioned layout (key=.../part-*)
+                        # keeps all its bytes in first-level subdirs —
+                        # summing only direct children would report ~0
+                        # and defeat the same-tick rewrite detection
+                        # the size component exists for
+                        with os.scandir(e.path) as sub:
+                            size += sum(c.stat().st_size
+                                        for c in sub if c.is_file())
         except OSError:
             pass
     return (st.st_mtime_ns, size)

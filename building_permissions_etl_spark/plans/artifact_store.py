@@ -79,6 +79,12 @@ def publish_artifacts(spark, sf: str, base_file: str, kind: str,
                       if k[:3] == (app, sf, kind) and k != key]:
             old_root, _ = _CACHE.pop(stale)
             _RETIRED.append(old_root)
+        # ADVICE r12: a base restored to an identical (mtime_ns, size)
+        # re-derives the SAME root name as a directory already queued
+        # in _RETIRED; drop it from the queue so the live cache is the
+        # path's sole owner (the writer just rebuilt it in place)
+        while root in _RETIRED:
+            _RETIRED.remove(root)
         _CACHE[key] = (root, paths)
     return _CACHE[key][1]
 

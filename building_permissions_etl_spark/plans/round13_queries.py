@@ -1,0 +1,381 @@
+"""Round-13 batch: the two persisted-artifact gaps the round-12
+verdict named — z-order extents driving ACTUAL file skipping, and the
+CUSUM family's persisted-state probe (the last maintained family
+without one).
+
+``zorder_partitioned_file_skip`` — ``zorder_extent_persisted_prune``
+(round 12) proved the persisted extent artifact derives a LOSSLESS
+candidate set, but on the unpartitioned fixture its "prune" is a
+row-level filter over a derived z-bucket expression: the scan still
+reads every row (SCALE.md's own Nx row grew 0.34→2.38 s at 1×→20×).
+This query converts the claim from narrative to measured by making the
+LAYOUT real: prep writes the base table z-file-partitioned
+(``write.partitionBy("zfile")`` — zfile = the top 6 interleaved bits,
+i.e. an 8×8 grid of the quantized (day, price) plane, the
+one-file-per-z-range layout ``OPTIMIZE ZORDER`` produces) next to its
+per-file extent table. The probe derives the candidate-file IN-list
+from the ≤64-row extent artifact alone and scans the partitioned
+layout — so the IN-list lands in **PartitionFilters** (directory-level
+skipping, pinned by tests/test_round13_plan_shape.py) while the box
+bounds land in PushedFilters, and the scan reads ONLY candidate files:
+the plan a 1000-executor cluster needs at 100 TB, where the extent
+table is the file-footer-stats catalog and non-candidate files are
+never opened. The DuckDB oracle computes the box aggregate with NO
+pruning (plus candidate counts from its own extent rebuild), so value
+parity is the losslessness proof — same discipline as round 12.
+
+``cusum_state_persisted_probe`` — completes the persisted arc for the
+LAST maintained family (after round-11 histograms/PSI and the round-12
+Bloom registers + extents): ``cusum_shard_merge`` (round 9) proved the
+max-plus shard algebra but builds BOTH sides from fixture scans
+in-query. Here prep publishes the base partition's CUSUM state as two
+artifacts — the per-type reference level (n0, Σx — the μ0 a real CUSUM
+fixes in advance; deviations are cross-multiplied d = n0·x − Σx so
+everything stays BIGINT) and the per-(type, day-shard) partials
+(a = Σd, b = shard-end state from 0, rmax, b0max) — and the query
+folds ONLY the delta batch into them: one pushed-filter delta scan,
+a broadcast join against the ≤5-row reference artifact, per-shard
+partials over the delta days, then the associative max-plus fold
+(S_t = c_t + max_{i≤t}(b_i − c_i)) over base + delta shard summaries.
+The plan never re-reads the base partition (pinned: exactly one
+events scan, split in PushedFilters). The DuckDB oracle recomputes
+the WHOLE series with the single-pass closed form
+S_j = run_j − min(0, min run) against the same fixed reference level,
+so any error in the persisted-state path or the merge algebra is a
+value mismatch. Unlike round 9's in-query merge, Σd ≠ 0 here — the
+delta drifting from the base level is exactly what the monitor
+detects — and the closed form holds without that identity.
+
+Reference scope: beyond the reference surface (helpers:* has no
+layout or incremental-maintenance tooling; the clustering INTENT at
+/root/reference/dags/aggregates_python_helpers.py:733 is the seed the
+z-file layout takes to its Spark conclusion). Morton (1966) and the
+public Delta/Iceberg OPTIMIZE ZORDER + file-statistics design;
+CUSUM is Page (1954), the prefix-min closed form is folklore scan
+algebra (Blelloch 1990 prefix-sums).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.catalog import load_table
+from building_permissions_etl_spark.functions.zorder import (
+    ZQ_DAY_DUCK,
+    ZQ_DAY_SPARK,
+    ZQ_PRICE_DUCK,
+    ZQ_PRICE_SPARK,
+    z_interleave_sql,
+)
+from building_permissions_etl_spark.operators.maintenance import (
+    extent_table,
+)
+from building_permissions_etl_spark.plans.artifact_store import (
+    publish_artifacts,
+)
+from building_permissions_etl_spark.plans.round12_queries import (
+    _DATE_HI,
+    _DATE_LO,
+    _DAY_HI,
+    _DAY_LO,
+    _PRICE_HI,
+    _PRICE_LO,
+)
+
+# zfile = the z-value's top 6 bits (z is the 16-bit day/price
+# interleave, so div 1024): 64 possible files, each an aligned 32×32
+# rectangle of the quantized plane — the granularity a real layout
+# writes one file per. Coarser than round 12's 64-z bucket (981
+# occupied at sf0.01) so the partitioned write stays a sane file count
+# at every sf while the box still prunes to a small candidate minority.
+_ZFILE_DIV = 1024
+
+
+def _layout_artifact(spark, sf: str) -> dict:
+    """Build-and-publish step for the z-ordered LAYOUT: the base table
+    rewritten partitioned by zfile (the OPTIMIZE ZORDER output shape)
+    plus its ≤64-row per-file extent table. Cache/invalidation/exit
+    cleanup live in plans/artifact_store.py, shared with every
+    persisted family."""
+    def _write(root: str) -> dict:
+        od = load_table(spark, "orders", sf)
+        z_sql = z_interleave_sql(ZQ_DAY_SPARK, ZQ_PRICE_SPARK, 8, "spark")
+        rows = od.select(
+            "o_orderdate", "o_totalprice",
+            F.expr(f"CAST({z_sql} div {_ZFILE_DIV} AS BIGINT)")
+            .alias("zfile"),
+            F.expr("datediff(o_orderdate, DATE '1995-01-01')")
+            .cast("bigint").alias("day"),
+            F.expr("CAST(floor(o_totalprice) AS BIGINT)").alias("price"))
+        base_p = os.path.join(root, "orders_by_zfile.parquet")
+        # repartition BY the partition column first: each zfile's rows
+        # land in one task, so partitionBy writes one file per
+        # directory instead of (tasks × files) fragments
+        (rows.select("o_orderdate", "o_totalprice", "zfile")
+         .repartition("zfile")
+         .write.mode("overwrite").partitionBy("zfile").parquet(base_p))
+        ext_p = os.path.join(root, "zfile_extents.parquet")
+        (extent_table(rows, "zfile", ["day", "price"])
+         .coalesce(1).write.mode("overwrite").parquet(ext_p))
+        return {"orders_by_zfile": base_p, "zfile_extents": ext_p}
+
+    return publish_artifacts(spark, sf, "orders.parquet",
+                             "zorder_layout", _write)
+
+
+def _cusum_artifact(spark, sf: str) -> dict:
+    """Build-and-publish step for the CUSUM family: the base
+    partition's per-type reference level (n0, tot0 — ≤5 rows) and its
+    per-(type, day-shard) max-plus partials (≤ types × base days
+    rows), both through the same shard algebra the probe applies to
+    the delta."""
+    def _write(root: str) -> dict:
+        base = _events_ts_filtered(spark, sf, lambda ts, split: ts < split)
+        q = base.select(
+            "event_type", "ts", "event_id",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("x"))
+        ref = q.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+            F.sum("x").cast("bigint").alias("tot0"))
+        ref_p = os.path.join(root, "cusum_ref.parquet")
+        ref.coalesce(1).write.mode("overwrite").parquet(ref_p)
+        shards_p = os.path.join(root, "cusum_shards.parquet")
+        (_cusum_shard_partials(spark.read.parquet(ref_p), q)
+         .coalesce(1).write.mode("overwrite").parquet(shards_p))
+        return {"cusum_ref": ref_p, "cusum_shards": shards_p}
+
+    return publish_artifacts(spark, sf, "events.parquet",
+                             "cusum_state", _write)
+
+
+# Base/delta split for the persisted CUSUM state (day-aligned so no
+# day shard straddles it): ~80% of every fixture's January feeds the
+# persisted state, the trailing ~6 days are the delta batch.
+_CUSUM_SPLIT = "2024-01-25"
+
+
+def _events_ts_filtered(spark, sf: str, cmp):
+    """Events scan with a ts-split predicate applied to the RAW
+    physical column — BEFORE ``normalize_events_ts`` rebuilds ts as an
+    expression — so the bound reaches the parquet reader as a plain
+    column comparison (PushedFilters), not a derived-expr DataFilter
+    over ``timestamp_micros(...)`` that decodes every row group. The
+    µs fixtures store ts as TIMESTAMP_NTZ: its naive wall clock is
+    compared against a naive literal, which is exactly DuckDB's view
+    of the same file; normalization preserves field values, so
+    filter-then-normalize == normalize-then-filter. ``cmp`` receives
+    (raw ts column, split literal in the raw column's type)."""
+    from building_permissions_etl_spark.catalog import (
+        _read_events_raw,
+        normalize_events_ts,
+    )
+
+    raw = _read_events_raw(spark, os.path.join(sf, "events.parquet"))
+    dt = dict(raw.dtypes).get("ts")
+    if dt == "timestamp_ntz":
+        lit = F.expr(f"TIMESTAMP_NTZ '{_CUSUM_SPLIT} 00:00:00'")
+    elif dt == "bigint":
+        # ns-as-long fixture era: the naive wall clock as UTC epoch ns
+        epoch = _dt.datetime.fromisoformat(_CUSUM_SPLIT).replace(
+            tzinfo=_dt.timezone.utc)
+        lit = F.lit(int(epoch.timestamp()) * 1_000_000_000)
+    else:
+        lit = F.lit(_CUSUM_SPLIT).cast("timestamp")
+    return normalize_events_ts(raw.filter(cmp(F.col("ts"), lit)))
+
+
+def _cusum_shard_partials(ref, q):
+    """Per-(type, day-shard) max-plus partials of a one-sided CUSUM
+    over rows ``q`` (event_type, ts, event_id, x) against the fixed
+    reference level ``ref`` (event_type, n0, tot0): deviations
+    d = n0·x − tot0 (cross-multiplied — integer-exact), and per shard
+    a = Σd, b = shard-end state from 0 = Σd − min(0, min run),
+    rmax = max run, b0max = max(run − min(0, cummin run)) — the
+    excursion terms the fold needs. The ordered scan is per
+    (type, day): bounded shard size, all shards in parallel. Same
+    algebra as round 9's ``cusum_shard_merge`` (oracle-proven there);
+    only the centering differs (fixed base level vs global mean)."""
+    d = (
+        q.join(F.broadcast(ref), "event_type")
+        .select(
+            "event_type", "ts", "event_id",
+            F.date_trunc("day", "ts").cast("date").alias("shard"),
+            (F.col("x") * F.col("n0") - F.col("tot0")).alias("dd"),
+        )
+    )
+    w_in = (Window.partitionBy("event_type", "shard")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rows = (
+        d.withColumn("r", F.sum("dd").over(w_in))
+        .withColumn("m", F.least(F.lit(0).cast("bigint"),
+                                 F.min("r").over(w_in)))
+    )
+    return rows.groupBy("event_type", "shard").agg(
+        F.sum("dd").alias("a"),
+        F.max("r").alias("rmax"),
+        F.max(F.col("r") - F.col("m")).alias("b0max"),
+        (F.sum("dd") - F.least(F.lit(0).cast("bigint"), F.min("r")))
+        .alias("b"),
+    )
+
+
+def contribute(register) -> None:
+    # ---- persisted z-file layout driving PartitionFilters skipping --------
+    def zfile_skip(spark, sf):
+        paths = _layout_artifact(spark, sf)
+        # ≤64-row ARTIFACT read at construction (never base rows): the
+        # candidate FILE list is derived from the persisted extents
+        # alone, exactly as a reader derives a file list from footer
+        # stats
+        ext_rows = spark.read.parquet(paths["zfile_extents"]).collect()
+        cand = sorted(int(r["bucket"]) for r in ext_rows
+                      if r["max_day"] >= _DAY_LO and r["min_day"] < _DAY_HI
+                      and r["max_price"] >= _PRICE_LO
+                      and r["min_price"] < _PRICE_HI)
+        base = spark.read.parquet(paths["orders_by_zfile"])
+        # zfile is the PARTITION column of the layout, so the IN-list
+        # is directory-level skipping (PartitionFilters), not a
+        # row-level filter — non-candidate files are never opened
+        pruned = (base.filter(F.col("zfile").isin(cand)) if cand
+                  else base.filter(F.lit(False)))
+        box = pruned.filter(
+            (F.col("o_orderdate") >= F.lit(_DATE_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_DATE_HI).cast("timestamp"))
+            & (F.col("o_totalprice") >= F.lit(float(_PRICE_LO)))
+            & (F.col("o_totalprice") < F.lit(float(_PRICE_HI))))
+        return box.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")),
+                F.lit(0)).cast("bigint").alias("revenue_cents"),
+        ).select(
+            "*",
+            F.lit(len(cand)).cast("bigint").alias("n_candidate_files"),
+            F.lit(len(ext_rows)).cast("bigint").alias("n_total_files"))
+
+    register(
+        "zorder_partitioned_file_skip",
+        zfile_skip,
+        f"""
+        WITH rows_q AS (
+          SELECT {z_interleave_sql(ZQ_DAY_DUCK, ZQ_PRICE_DUCK, 8, "duckdb")}
+                   // {_ZFILE_DIV} AS zfile,
+                 CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
+                   AS BIGINT) AS day,
+                 CAST(floor(o_totalprice) AS BIGINT) AS price
+          FROM orders
+        ),
+        ext AS (
+          SELECT zfile, min(day) AS min_day, max(day) AS max_day,
+                 min(price) AS min_price, max(price) AS max_price
+          FROM rows_q GROUP BY 1
+        ),
+        cand AS (
+          SELECT CAST(count(*) FILTER (
+                   WHERE max_day >= {_DAY_LO} AND min_day < {_DAY_HI}
+                     AND max_price >= {_PRICE_LO}
+                     AND min_price < {_PRICE_HI}) AS BIGINT)
+                   AS n_candidate_files,
+                 CAST(count(*) AS BIGINT) AS n_total_files
+          FROM ext
+        ),
+        box AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(coalesce(sum(CAST(floor(o_totalprice * 100)
+                                        AS BIGINT)), 0) AS BIGINT)
+                   AS revenue_cents
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '{_DATE_LO}'
+            AND o_orderdate < TIMESTAMP '{_DATE_HI}'
+            AND o_totalprice >= {_PRICE_LO} AND o_totalprice < {_PRICE_HI}
+        )
+        SELECT box.n_rows, box.revenue_cents,
+               cand.n_candidate_files, cand.n_total_files
+        FROM box, cand
+        """,
+    )
+
+    # ---- persisted CUSUM state folded with a delta-only scan --------------
+    def cusum_probe(spark, sf):
+        paths = _cusum_artifact(spark, sf)
+        ref = spark.read.parquet(paths["cusum_ref"])
+        base_shards = spark.read.parquet(paths["cusum_shards"])
+        delta = _events_ts_filtered(spark, sf,
+                                    lambda ts, split: ts >= split)
+        q = delta.select(
+            "event_type", "ts", "event_id",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("x"))
+        shards = base_shards.unionByName(_cusum_shard_partials(ref, q))
+        w_ord = (Window.partitionBy("event_type").orderBy("shard")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+        w_lag = Window.partitionBy("event_type").orderBy("shard")
+        folded = (
+            shards.withColumn("c", F.sum("a").over(w_ord))
+            .withColumn("s_after",
+                        F.col("c")
+                        + F.max(F.col("b") - F.col("c")).over(w_ord))
+            .withColumn("s_in", F.coalesce(
+                F.lag("s_after", 1).over(w_lag),
+                F.lit(0).cast("bigint")))
+            .withColumn("exc", F.greatest(
+                F.col("b0max"), F.col("s_in") + F.col("rmax")))
+        )
+        return (
+            folded.groupBy("event_type")
+            .agg(F.expr("max_by(s_after, shard)").cast("bigint")
+                 .alias("final_state"),
+                 F.max("exc").cast("bigint").alias("max_excursion"))
+            .orderBy("event_type")
+        )
+
+    register(
+        "cusum_state_persisted_probe",
+        cusum_probe,
+        f"""
+        WITH q AS (
+          SELECT event_type, ts, event_id,
+                 CAST(floor(value * 100) AS BIGINT) AS x
+          FROM events
+        ),
+        ref AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n0,
+                 CAST(sum(x) AS BIGINT) AS tot0
+          FROM q WHERE ts < TIMESTAMP '{_CUSUM_SPLIT}' GROUP BY 1
+        ),
+        d AS (
+          SELECT q.event_type, q.ts, q.event_id,
+                 q.x * ref.n0 - ref.tot0 AS dd
+          FROM q JOIN ref USING (event_type)
+        ),
+        r1 AS (
+          SELECT event_type, ts, event_id, dd,
+                 CAST(sum(dd) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS run
+          FROM d
+        ),
+        r2 AS (
+          SELECT event_type, dd, run,
+                 least(0, min(run) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)) AS mn
+          FROM r1
+        )
+        SELECT event_type,
+               -- final state = run at the last row minus the global
+               -- floor; Σdd ≠ 0 here (the delta may drift from the
+               -- base level), so keep the sum explicit
+               CAST(sum(dd) - least(0, min(run)) AS BIGINT)
+                 AS final_state,
+               CAST(max(run - mn) AS BIGINT) AS max_excursion
+        FROM r2 GROUP BY 1 ORDER BY 1
+        """,
+    )

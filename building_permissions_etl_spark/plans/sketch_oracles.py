@@ -418,7 +418,11 @@ def bloom_regs_sql(pred: str,
     constants are imported from the operator module, so a change there
     changes both engines together. Emits round-9's exact text, so
     ``bloom_incremental_union``'s oracle is byte-stable across the
-    hoist (pinned by tests/test_round12_plan_shape.py)."""
+    hoist (pinned by tests/test_round13_plan_shape.py::
+    test_bloom_union_oracle_text_is_stable — a sha256 over the emitted
+    SQL, so a drift in the maintenance-module geometry/affine
+    constants fails a test instead of silently rewriting a
+    windowed-out oracle)."""
     from building_permissions_etl_spark.operators.maintenance import (
         BLOOM_AFFINE_ADD,
         BLOOM_AFFINE_MOD,

@@ -40,6 +40,7 @@ MODULES = [
     ("round10_queries", "Drift monitoring as maintained tables: fixed-domain histogram snapshot, shard merge == rebuild, PSI drift"),
     ("round11_queries", "Drift monitoring in its persisted-artifact shape: snapshots written as tables, monitor reads only artifacts"),
     ("round12_queries", "Maintained Bloom registers + z-order extents in persisted shape: prep publishes the artifact, probe/prune reads only artifact + delta"),
+    ("round13_queries", "Persisted arcs completed: z-file-PARTITIONED layout with PartitionFilters skipping; CUSUM persisted-state probe folding a delta-only scan"),
 ]
 
 

@@ -1,0 +1,253 @@
+"""Plan-shape pins for the round-13 persisted-family queries and
+regression tests for the round-12 ADVICE items (bloom-oracle byte
+stability, partitioned-layout _stat_key bytes, _RETIRED re-entry
+dedupe).
+
+``zorder_partitioned_file_skip``'s whole point is the claim its
+round-12 sibling (`zorder_extent_persisted_prune`) could not evidence
+on the unpartitioned fixture: with the layout real (base written
+``partitionBy("zfile")``), the artifact-derived candidate IN-list is
+DIRECTORY-level skipping — it lands in **PartitionFilters**, so
+non-candidate files are never opened and scan cost tracks the
+candidate fraction, not N. ``cusum_state_persisted_probe`` closes the
+last maintained family: the probe folds a pushed-filter DELTA scan
+into published shard partials and never re-reads the base.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.plans.registry import oracle_sql, queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+Q = queries()
+
+
+def _static_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bloom_union_oracle_text_is_stable():
+    """ADVICE r12: `sketch_oracles.bloom_regs_sql` claims
+    `bloom_incremental_union`'s oracle is byte-stable across the
+    round-12 hoist — make the claim mechanical. A drift in the
+    maintenance-module geometry/affine constants (or in the emitted
+    SQL text) now fails here instead of silently rewriting a
+    windowed-out oracle; if this fires intentionally, re-window the
+    query (dead-evidence rule) and update the digest."""
+    sql = oracle_sql()["bloom_incremental_union"]
+    assert hashlib.sha256(sql.encode()).hexdigest() == (
+        "2f6bb7bd7c884ff482b3e82834eafaa1cf6a37897c58b8f7708368095442fd70")
+
+
+def test_zfile_skip_prunes_via_partition_filters(spark):
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        df = Q["zorder_partitioned_file_skip"](spark, SF_DIR)
+        plan = _static_plan(df)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    # exactly ONE scan — over the z-file-PARTITIONED layout artifact,
+    # never the fixture: the extent artifact was consumed at
+    # construction (bounded ≤64-row read)
+    assert len(scans) == 1, plan
+    assert "orders_by_zfile.parquet" in scans[0], scans
+    assert "orders.parquet]" not in scans[0], scans
+    # the candidate IN-list is DIRECTORY-level skipping: it must land
+    # in PartitionFilters (round 12's unpartitioned prune was a
+    # row-level derived-expr filter — the gap this query closes)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", scans[0])
+    assert m and "zfile" in m.group(1) and " IN (" in m.group(1), scans[0]
+    # and the box bounds still reach the parquet reader for the
+    # candidate files that ARE opened
+    p = re.search(r"PushedFilters: \[([^\]]*)\]", scans[0])
+    assert p, scans[0]
+    pushed = p.group(1)
+    assert "GreaterThanOrEqual(o_orderdate" in pushed, pushed
+    assert "LessThan(o_orderdate" in pushed, pushed
+    assert "GreaterThanOrEqual(o_totalprice" in pushed, pushed
+    assert "LessThan(o_totalprice" in pushed, pushed
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zfile_skip_is_lossless_and_nonvacuous(spark):
+    """The pruned box aggregate must equal the prune-free one computed
+    from the fixture directly (the oracle proves the same equality at
+    the driver — this pins it in-process), and the candidate set must
+    be a strict subset so the skip is real, not vacuous."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.plans.round12_queries import (
+        _DATE_HI,
+        _DATE_LO,
+        _PRICE_HI,
+        _PRICE_LO,
+    )
+
+    row = Q["zorder_partitioned_file_skip"](spark, SF_DIR).first()
+    assert 0 < row.n_candidate_files < row.n_total_files
+    od = load_table(spark, "orders", SF_DIR)
+    full = od.filter(
+        (F.col("o_orderdate") >= F.lit(_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_DATE_HI).cast("timestamp"))
+        & (F.col("o_totalprice") >= float(_PRICE_LO))
+        & (F.col("o_totalprice") < float(_PRICE_HI)))
+    assert row.n_rows == full.count() > 0
+
+
+def test_cusum_probe_scans_only_the_delta(spark):
+    # widen the per-field metadata render so the Location paths and
+    # full PushedFilters are assertable (same as the extent-probe pin)
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        df = Q["cusum_state_persisted_probe"](spark, SF_DIR)
+        plan = _static_plan(df)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    # exactly THREE scans: the two artifacts (reference level + base
+    # shard partials) and ONE events scan — the delta, with the split
+    # pushed to the parquet reader; the base partition's rows are
+    # never re-read
+    assert len(scans) == 3, plan
+    ev = [s for s in scans if "events.parquet" in s]
+    assert len(ev) == 1, scans
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", ev[0])
+    assert m and "GreaterThanOrEqual(ts,2024-01-25" in m.group(1), ev[0]
+    art = [s for s in scans if "events.parquet" not in s]
+    assert any("cusum_ref.parquet" in s for s in art), scans
+    assert any("cusum_shards.parquet" in s for s in art), scans
+    # the ≤5-row reference level joins the delta broadcast, and
+    # everything stays JVM-side
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cusum_probe_equals_independent_python_rebuild(spark):
+    """Value check against a from-scratch, engine-free recomputation:
+    DuckDB reads the fixture's naive wall clock directly, Python
+    replays the one-sided CUSUM recurrence row by row against the
+    fixed base reference level — any error in the shard algebra, the
+    persisted-state path, or the delta fold diverges here."""
+    import duckdb
+
+    from building_permissions_etl_spark.plans.round13_queries import (
+        _CUSUM_SPLIT,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, ts, event_id, "
+        f"CAST(floor(value * 100) AS BIGINT) AS x "
+        f"FROM read_parquet('{SF_DIR}/events.parquet') "
+        f"ORDER BY event_type, ts, event_id").fetchall()
+    split = __import__("datetime").datetime.fromisoformat(_CUSUM_SPLIT)
+    ref: dict = {}
+    for t, ts, _eid, x in rows:
+        if ts < split:
+            n0, tot0 = ref.get(t, (0, 0))
+            ref[t] = (n0 + 1, tot0 + x)
+    expect = {}
+    state: dict = {}
+    for t, ts, _eid, x in rows:
+        if t not in ref:
+            continue
+        n0, tot0 = ref[t]
+        s, mx = state.get(t, (0, 0))
+        s = max(0, s + x * n0 - tot0)
+        state[t] = (s, max(mx, s))
+    expect = {t: (s, mx) for t, (s, mx) in state.items()}
+    got = {r.event_type: (r.final_state, r.max_excursion)
+           for r in Q["cusum_state_persisted_probe"](spark, SF_DIR).collect()}
+    assert got == expect
+
+
+def test_stat_key_counts_partitioned_layout_bytes(tmp_path):
+    """ADVICE r12: a Hive-partitioned parquet directory keeps its bytes
+    in key=... subdirs — _stat_key must count them (one level down),
+    or the size component the same-tick rewrite guard relies on would
+    report ~0 for partitioned layouts."""
+    import os
+
+    from building_permissions_etl_spark.catalog import _stat_key
+
+    d = tmp_path / "t.parquet"
+    (d / "zfile=1").mkdir(parents=True)
+    (d / "zfile=2").mkdir()
+    (d / "zfile=1" / "part-0.parquet").write_bytes(b"x" * 100)
+    (d / "zfile=2" / "part-0.parquet").write_bytes(b"y" * 50)
+    (d / "_SUCCESS").write_bytes(b"")
+    mt, size = _stat_key(str(d))
+    assert size == 150
+    # rewrite one partition's file in the SAME directory-mtime tick:
+    # the size component must still move
+    (d / "zfile=2" / "part-0.parquet").write_bytes(b"y" * 70)
+    os.utime(str(d), ns=(mt, mt))
+    assert _stat_key(str(d)) == (mt, 170)
+
+
+def test_artifact_store_reentry_dedupes_retired(tmp_path):
+    """ADVICE r12: a base restored to an identical (mtime_ns, size)
+    re-derives the SAME artifact root name as a directory already in
+    _RETIRED; re-admission must remove it from the retired queue, or
+    the exit sweep would delete the LIVE artifact through the stale
+    queue entry (latent double-ownership of one path)."""
+    import os
+    import shutil
+
+    from building_permissions_etl_spark.plans import artifact_store
+
+    class _FakeCtx:
+        applicationId = "reentry-test-app"
+
+    class _FakeSpark:
+        sparkContext = _FakeCtx()
+
+    sf = str(tmp_path)
+    base = os.path.join(sf, "base.parquet")
+
+    def writer(root):
+        os.makedirs(root, exist_ok=True)
+        open(os.path.join(root, "a"), "w").write("a")
+        return {"a": os.path.join(root, "a")}
+
+    def publish():
+        return artifact_store.publish_artifacts(
+            _FakeSpark(), sf, "base.parquet", "reentrykind", writer)
+
+    roots = []
+    try:
+        open(base, "w").write("v1")
+        st1 = os.stat(base)
+        p1 = publish()
+        root1 = os.path.dirname(p1["a"])
+        roots.append(root1)
+        # rewrite: different size → different key → root1 retired
+        open(base, "w").write("v2-longer")
+        p2 = publish()
+        roots.append(os.path.dirname(p2["a"]))
+        assert root1 in artifact_store._RETIRED
+        # restore byte-identical content + original mtime: the key —
+        # and therefore the root NAME — matches the retired dir
+        open(base, "w").write("v1")
+        os.utime(base, ns=(st1.st_mtime_ns, st1.st_mtime_ns))
+        p3 = publish()
+        assert os.path.dirname(p3["a"]) == root1
+        assert root1 not in artifact_store._RETIRED
+        live = [k for k in artifact_store._CACHE if k[2] == "reentrykind"]
+        assert len(live) == 1
+    finally:
+        for k in [k for k in artifact_store._CACHE
+                  if k[2] == "reentrykind"]:
+            artifact_store._CACHE.pop(k)
+        artifact_store._RETIRED[:] = [
+            r for r in artifact_store._RETIRED if r not in roots]
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
