@@ -39,17 +39,16 @@ def test_rows_only_set_is_exactly_the_documented_one():
     assert rows_only == ROWS_ONLY
 
 
-def test_driver_window_matches_round12_rotation():
+def test_driver_window_matches_round13_rotation():
     """The first 50 registry entries (the slice the driver verifies)
-    must match _DRIVER_WINDOW exactly, and the round-12 window must
-    front-load (a) the two round-12 additions
-    (`bloom_register_persisted_probe`, `zorder_extent_persisted_prune`)
-    plus the two queries round 12 CHANGED (prep rerouted through the
-    shared artifact store — a changed query's old verdict is dead
-    evidence), (b) the 18 r07-cohort leftovers (four rounds without a
-    verdict, the oldest evidence in the registry), and (c) 28 of the
-    41-query r08 cohort, alphabetical; the 13 r08 leftovers are pinned
-    by name so the round-13 queue stays mechanical."""
+    must match _DRIVER_WINDOW exactly, and the round-13 window must
+    front-load (a) the two round-13 additions
+    (`zorder_partitioned_file_skip`, `cusum_state_persisted_probe` —
+    never verified), (b) the 13 r08-cohort leftovers (five rounds
+    without a verdict, the oldest evidence in the registry), and
+    (c) 35 of the 48-query r09 cohort, alphabetical; the 13 r09
+    leftovers are pinned by name so the round-14 queue stays
+    mechanical."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
@@ -61,31 +60,11 @@ def test_driver_window_matches_round12_rotation():
     # rotate out — a window slot spent on a hash-uncheckable row is a
     # slot wasted)
     assert set(names[:50]) <= o
-    round12 = {
-        "bloom_register_persisted_probe",          # round-12 additions
-        "zorder_extent_persisted_prune",
-        "psi_drift_persisted",                     # changed (artifact store)
-        "histogram_persisted_delta_update",        # changed (artifact store)
+    round13 = {
+        "zorder_partitioned_file_skip",            # round-13 additions
+        "cusum_state_persisted_probe",
     }
-    r07_leftovers = {
-        "not_in_null_aware", "pagerank_trade_graph", "semantic_dedup_census",
-        "similarity_topk_ivf", "similarity_topk_lsh",
-        "scd2_history_violations", "scd2_point_in_time_join",
-        "terc_decision_tree", "validation_suite", "top_k_parts",
-        "timestamp_parse_metrics", "time_weighted_value",
-        "snapshot_diff_census", "scalar_max_watermark",
-        "rolling_7d_order_stats", "running_distinct_users",
-        "quality_funnel_report", "paragraph_dedup_reassembly",
-    }
-    r08_head = {
-        "active_day_streaks", "bloom_pruned_segment_revenue",
-        "cusum_changepoint_by_type", "kmeans_lloyd_2iter",
-        "multimodal_features", "pareto_frontier_parts",
-        "priority_sample_by_lang",
-    }
-    # round-13 queue: the r08 leftovers (quarterly_distinct_users ..
-    # zorder_extent_pruning) stay registered but out of this window
-    r08_deferred = {
+    r08_leftovers = {
         "quarterly_distinct_users",
         "repetition_stats", "rollup_order_totals", "sparse_dot_topk_pairs",
         "stratified_sample_by_lang", "table_checksum_rollup",
@@ -93,10 +72,25 @@ def test_driver_window_matches_round12_rotation():
         "triangle_count_trade_graph", "weekly_churned_users_exact",
         "weekly_user_overlap_exact", "zorder_extent_pruning",
     }
+    r09_head = {
+        "asof_join_next_error", "cusum_shard_merge", "dedup_exact",
+        "dedup_cluster_survivors_star", "flagship_merge_shape",
+        "pricing_summary", "region_rollup_with_default",
+    }
+    # round-14 queue: the r09 leftovers (salted_group_count ..
+    # zorder_extent_merge) stay registered but out of this window
+    r09_deferred = {
+        "salted_group_count", "salted_join_segments",
+        "shipping_priority_topk", "similarity_topk_bruteforce",
+        "sql_revenue_by_status", "stream_dedup_keys",
+        "stream_stream_join", "tfidf_top_terms", "topk_per_group",
+        "unigram_logprob", "unpivot_cells_long",
+        "weekly_anchor_interpolation", "zorder_extent_merge",
+    }
     w = set(names[:50])
-    assert round12 | r07_leftovers | r08_head <= w
-    assert r08_deferred & w == set()
-    assert r08_deferred <= set(names)  # deferred, not dropped
+    assert round13 | r08_leftovers | r09_head <= w
+    assert r09_deferred & w == set()
+    assert r09_deferred <= set(names)  # deferred, not dropped
 
 
 def test_no_oracle_output_column_is_hugeint():
