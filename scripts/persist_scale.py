@@ -1,8 +1,11 @@
 """Targeted N-times scale probe for the persisted-artifact families
-(round-11 drift monitors + round-12 Bloom probe): synthesize only the
-N-times orders table (the one base these queries touch), then time each
-query twice — first call charges prep, second is the artifact-only
-design point that must stay ~flat in N."""
+(round-11 drift monitors, round-12 Bloom/extent probes, round-13
+partitioned file-skip + CUSUM probe): synthesize the N-times orders and
+events tables (the two bases these queries touch), then time each query
+twice — first call charges prep, second is the artifact-only design
+point that must stay ~flat in N (monitors/probes) or track the
+candidate fraction instead of N (the partitioned file skip — contrast
+with round 12's unpartitioned row-filter prune, which grew with N)."""
 import os
 import shutil
 import sys
@@ -28,15 +31,28 @@ for i in range(1, n):
         od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * shift)))
 big.repartition(16).write.mode("overwrite").parquet(f"{out}/orders.parquet")
 
+ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+eshift = ev.agg(F.max("event_id")).first()[0] + 1
+bigev = ev
+for i in range(1, n):
+    bigev = bigev.unionByName(
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * eshift)))
+bigev.repartition(16).write.mode("overwrite").parquet(
+    f"{out}/events.parquet")
+
 from building_permissions_etl_spark.plans import (round11_queries,
-                                                  round12_queries)
+                                                  round12_queries,
+                                                  round13_queries)
 
 q = {}
 round11_queries.contribute(lambda name, fn, sql: q.__setitem__(name, fn))
 round12_queries.contribute(lambda name, fn, sql: q.__setitem__(name, fn))
+round13_queries.contribute(lambda name, fn, sql: q.__setitem__(name, fn))
 for name in ("psi_drift_persisted", "histogram_persisted_delta_update",
              "bloom_register_persisted_probe",
-             "zorder_extent_persisted_prune"):
+             "zorder_extent_persisted_prune",
+             "zorder_partitioned_file_skip",
+             "cusum_state_persisted_probe"):
     for tag in ("first call (incl. any prep)", "artifact-only"):
         t0 = time.time()
         q[name](spark, out).write.format("noop").mode("overwrite").save()

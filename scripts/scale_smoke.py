@@ -390,15 +390,23 @@ def main() -> None:
     # delta scan + artifact fold; bloom probe: ≤1024-row artifact read
     # + delta-only scan with the probe predicate inside codegen).
     from building_permissions_etl_spark.plans import (round11_queries,
-                                                      round12_queries)
+                                                      round12_queries,
+                                                      round13_queries)
 
     r1112 = {}
     stage1112 = lambda name, fn, sql: r1112.__setitem__(name, fn)  # noqa: E731
     round11_queries.contribute(stage1112)
     round12_queries.contribute(stage1112)
+    round13_queries.contribute(stage1112)
     for name in ("psi_drift_persisted", "histogram_persisted_delta_update",
                  "bloom_register_persisted_probe",
-                 "zorder_extent_persisted_prune"):
+                 "zorder_extent_persisted_prune",
+                 # round 13: the partitioned layout's artifact-only
+                 # call must track the candidate fraction (directory
+                 # skipping), not N; the CUSUM probe's must track the
+                 # delta scan only
+                 "zorder_partitioned_file_skip",
+                 "cusum_state_persisted_probe"):
         timed(f"round12:{name} (first call, incl. any prep)",
               lambda fn=r1112[name]: fn(spark, out))
         timed(f"round12:{name} (artifact-only)",
