@@ -69,12 +69,16 @@ def _stat_key(path: str) -> tuple[int, int]:
         return (-1, -1)
     size = st.st_size
     if os.path.isdir(path):
+        # accumulate into a LOCAL and assign only on success: an
+        # OSError mid-walk (a subdir vanishing under a concurrent
+        # rewrite — exactly the window this key guards) must fall back
+        # to the deterministic st_size, never commit a partial sum
         try:
-            size = 0
+            total = 0
             with os.scandir(path) as it:
                 for e in it:
                     if e.is_file():
-                        size += e.stat().st_size
+                        total += e.stat().st_size
                     elif e.is_dir():
                         # one level down (ADVICE r12): a
                         # Hive-partitioned layout (key=.../part-*)
@@ -83,8 +87,9 @@ def _stat_key(path: str) -> tuple[int, int]:
                         # and defeat the same-tick rewrite detection
                         # the size component exists for
                         with os.scandir(e.path) as sub:
-                            size += sum(c.stat().st_size
-                                        for c in sub if c.is_file())
+                            total += sum(c.stat().st_size
+                                         for c in sub if c.is_file())
+            size = total
         except OSError:
             pass
     return (st.st_mtime_ns, size)

@@ -104,22 +104,27 @@ def _layout_artifact(spark, sf: str) -> dict:
     def _write(root: str) -> dict:
         od = load_table(spark, "orders", sf)
         z_sql = z_interleave_sql(ZQ_DAY_SPARK, ZQ_PRICE_SPARK, 8, "spark")
-        rows = od.select(
-            "o_orderdate", "o_totalprice",
-            F.expr(f"CAST({z_sql} div {_ZFILE_DIV} AS BIGINT)")
-            .alias("zfile"),
-            F.expr("datediff(o_orderdate, DATE '1995-01-01')")
-            .cast("bigint").alias("day"),
-            F.expr("CAST(floor(o_totalprice) AS BIGINT)").alias("price"))
         base_p = os.path.join(root, "orders_by_zfile.parquet")
         # repartition BY the partition column first: each zfile's rows
         # land in one task, so partitionBy writes one file per
         # directory instead of (tasks × files) fragments
-        (rows.select("o_orderdate", "o_totalprice", "zfile")
+        (od.select(
+            "o_orderdate", "o_totalprice",
+            F.expr(f"CAST({z_sql} div {_ZFILE_DIV} AS BIGINT)")
+            .alias("zfile"))
          .repartition("zfile")
          .write.mode("overwrite").partitionBy("zfile").parquet(base_p))
+        # extents from the JUST-WRITTEN layout, not a second fixture
+        # scan: one base read total, and the stats describe the files
+        # actually on disk — exactly how a warehouse collects footer
+        # stats at write time
+        written = spark.read.parquet(base_p).select(
+            "zfile",
+            F.expr("datediff(o_orderdate, DATE '1995-01-01')")
+            .cast("bigint").alias("day"),
+            F.expr("CAST(floor(o_totalprice) AS BIGINT)").alias("price"))
         ext_p = os.path.join(root, "zfile_extents.parquet")
-        (extent_table(rows, "zfile", ["day", "price"])
+        (extent_table(written, "zfile", ["day", "price"])
          .coalesce(1).write.mode("overwrite").parquet(ext_p))
         return {"orders_by_zfile": base_p, "zfile_extents": ext_p}
 
@@ -176,15 +181,17 @@ def _events_ts_filtered(spark, sf: str, cmp):
 
     raw = _read_events_raw(spark, os.path.join(sf, "events.parquet"))
     dt = dict(raw.dtypes).get("ts")
+    epoch = _dt.datetime.fromisoformat(_CUSUM_SPLIT).replace(
+        tzinfo=_dt.timezone.utc)
     if dt == "timestamp_ntz":
         lit = F.expr(f"TIMESTAMP_NTZ '{_CUSUM_SPLIT} 00:00:00'")
     elif dt == "bigint":
         # ns-as-long fixture era: the naive wall clock as UTC epoch ns
-        epoch = _dt.datetime.fromisoformat(_CUSUM_SPLIT).replace(
-            tzinfo=_dt.timezone.utc)
         lit = F.lit(int(epoch.timestamp()) * 1_000_000_000)
     else:
-        lit = F.lit(_CUSUM_SPLIT).cast("timestamp")
+        # legacy ltz era: a zone-free epoch literal — a bare string
+        # cast would resolve midnight in the SESSION zone
+        lit = F.timestamp_seconds(F.lit(int(epoch.timestamp())))
     return normalize_events_ts(raw.filter(cmp(F.col("ts"), lit)))
 
 
@@ -199,11 +206,20 @@ def _cusum_shard_partials(ref, q):
     (type, day): bounded shard size, all shards in parallel. Same
     algebra as round 9's ``cusum_shard_merge`` (oracle-proven there);
     only the centering differs (fixed base level vs global mean)."""
+    # UTC-day shards via epoch arithmetic: date_trunc('day') on an ltz
+    # timestamp uses the SESSION zone's day boundaries, so on any
+    # non-UTC session the naive-UTC split would STRADDLE a shard —
+    # base and delta would both emit a row for the same (type, shard)
+    # and the fold's orderBy("shard") tie order is unspecified.
+    # floor(epoch/86400) is zone-free (the analytics.dau precedent)
+    # and matches the oracle's naive-as-UTC truncation exactly.
     d = (
         q.join(F.broadcast(ref), "event_type")
         .select(
             "event_type", "ts", "event_id",
-            F.date_trunc("day", "ts").cast("date").alias("shard"),
+            F.date_from_unix_date(
+                F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("int")
+            ).alias("shard"),
             (F.col("x") * F.col("n0") - F.col("tot0")).alias("dd"),
         )
     )

@@ -398,18 +398,19 @@ def main() -> None:
     round11_queries.contribute(stage1112)
     round12_queries.contribute(stage1112)
     round13_queries.contribute(stage1112)
-    for name in ("psi_drift_persisted", "histogram_persisted_delta_update",
-                 "bloom_register_persisted_probe",
-                 "zorder_extent_persisted_prune",
-                 # round 13: the partitioned layout's artifact-only
-                 # call must track the candidate fraction (directory
-                 # skipping), not N; the CUSUM probe's must track the
-                 # delta scan only
-                 "zorder_partitioned_file_skip",
-                 "cusum_state_persisted_probe"):
-        timed(f"round12:{name} (first call, incl. any prep)",
+    for tag, name in (
+            ("round12", "psi_drift_persisted"),
+            ("round12", "histogram_persisted_delta_update"),
+            ("round12", "bloom_register_persisted_probe"),
+            ("round12", "zorder_extent_persisted_prune"),
+            # round 13: the partitioned layout's artifact-only call
+            # must track the candidate fraction (directory skipping),
+            # not N; the CUSUM probe's must track the delta scan only
+            ("round13", "zorder_partitioned_file_skip"),
+            ("round13", "cusum_state_persisted_probe")):
+        timed(f"{tag}:{name} (first call, incl. any prep)",
               lambda fn=r1112[name]: fn(spark, out))
-        timed(f"round12:{name} (artifact-only)",
+        timed(f"{tag}:{name} (artifact-only)",
               lambda fn=r1112[name]: fn(spark, out))
 
     _planted_long_doc_repetition(spark)

@@ -154,19 +154,86 @@ def test_cusum_probe_equals_independent_python_rebuild(spark):
         if ts < split:
             n0, tot0 = ref.get(t, (0, 0))
             ref[t] = (n0 + 1, tot0 + x)
-    expect = {}
-    state: dict = {}
+    expect: dict = {}
     for t, ts, _eid, x in rows:
         if t not in ref:
             continue
         n0, tot0 = ref[t]
-        s, mx = state.get(t, (0, 0))
+        s, mx = expect.get(t, (0, 0))
         s = max(0, s + x * n0 - tot0)
-        state[t] = (s, max(mx, s))
-    expect = {t: (s, mx) for t, (s, mx) in state.items()}
+        expect[t] = (s, max(mx, s))
     got = {r.event_type: (r.final_state, r.max_excursion)
            for r in Q["cusum_state_persisted_probe"](spark, SF_DIR).collect()}
     assert got == expect
+
+
+def test_cusum_probe_is_timezone_independent(spark):
+    """Round-13 review: shards were date_trunc('day') on the ltz ts —
+    SESSION-zone day boundaries — so under a non-UTC session the
+    naive-UTC split straddled a shard (base and delta both emitting a
+    row for the same (type, day), fold tie-order unspecified). Shards
+    are now zone-free epoch days (the analytics.dau precedent): the
+    shard-key union must stay duplicate-free and the result identical
+    under any session zone."""
+    from building_permissions_etl_spark.plans.round13_queries import (
+        _cusum_artifact,
+        _cusum_shard_partials,
+        _events_ts_filtered,
+    )
+
+    utc_rows = sorted(map(tuple, Q["cusum_state_persisted_probe"](
+        spark, SF_DIR).collect()))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        paths = _cusum_artifact(spark, SF_DIR)
+        base_keys = [(r.event_type, r.shard) for r in
+                     spark.read.parquet(paths["cusum_shards"])
+                     .select("event_type", "shard").collect()]
+        ref = spark.read.parquet(paths["cusum_ref"])
+        delta = _events_ts_filtered(spark, SF_DIR,
+                                    lambda ts, split: ts >= split)
+        q = delta.select(
+            "event_type", "ts", "event_id",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("x"))
+        delta_keys = [(r.event_type, r.shard) for r in
+                      _cusum_shard_partials(ref, q)
+                      .select("event_type", "shard").collect()]
+        union = base_keys + delta_keys
+        assert len(union) == len(set(union)), (
+            "split straddles a shard — base and delta emitted the "
+            "same (type, day) key")
+        ny_rows = sorted(map(tuple, Q["cusum_state_persisted_probe"](
+            spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert ny_rows == utc_rows
+
+
+def test_stat_key_falls_back_whole_on_walk_error(tmp_path, monkeypatch):
+    """Round-13 review: an OSError mid-walk (a subdir vanishing under
+    a concurrent rewrite) must fall back to the deterministic
+    directory st_size, never commit 0 or a partial sum — two base
+    states observed during separate error windows would otherwise both
+    key as (mtime, 0) and serve a stale artifact."""
+    import os
+
+    from building_permissions_etl_spark import catalog
+
+    d = tmp_path / "t.parquet"
+    (d / "k=1").mkdir(parents=True)
+    (d / "k=1" / "part").write_bytes(b"x" * 100)
+    st = os.stat(str(d))
+
+    real_scandir = os.scandir
+
+    def failing_scandir(p):
+        if str(p) == str(d):
+            return real_scandir(p)
+        raise OSError("transient")
+
+    monkeypatch.setattr(catalog.os, "scandir", failing_scandir)
+    assert catalog._stat_key(str(d)) == (st.st_mtime_ns, st.st_size)
 
 
 def test_stat_key_counts_partitioned_layout_bytes(tmp_path):
