@@ -33,11 +33,13 @@ from __future__ import annotations
 # prune). Values are CLAMPED to the 8-bit domain the interleave's
 # nonnegative bits-wide contract requires: without the clamp a
 # pre-1995 date or a >512k price would silently alias into an
-# unrelated bucket. `plans/round8d_queries.py` predates this hoist
-# and carries byte-identical inline copies (_X_SPARK.._Y_DUCK);
-# fold them onto these names the next time that module's queries
-# re-enter the driver window (dead-evidence rule — don't touch a
-# windowed-out query's file for a pure hoist).
+# unrelated bucket. `plans/round8d_queries.py` predated this hoist
+# with byte-identical inline copies; they folded onto these names in
+# round 13, when zorder_extent_pruning re-entered the driver window
+# (the dead-evidence rule this note set). `plans/round9_queries.py`
+# still carries its own inline copies — fold them when
+# zorder_extent_merge re-enters the window (it heads the round-14
+# queue).
 ZQ_DAY_SPARK = ("greatest(0L, least(255L, "
                 "datediff(o_orderdate, DATE '1995-01-01') div 10))")
 ZQ_PRICE_SPARK = ("greatest(0L, least(255L, "

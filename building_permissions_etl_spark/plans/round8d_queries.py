@@ -38,7 +38,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from building_permissions_etl_spark.catalog import load_table
-from building_permissions_etl_spark.functions.zorder import z_interleave_sql
+from building_permissions_etl_spark.functions.zorder import (
+    ZQ_DAY_DUCK,
+    ZQ_DAY_SPARK,
+    ZQ_PRICE_DUCK,
+    ZQ_PRICE_SPARK,
+    z_interleave_sql,
+)
 from building_permissions_etl_spark.operators.bloom import (
     bloom_might_contain,
     build_bloom_bits,
@@ -108,19 +114,16 @@ def contribute(register) -> None:
     # the clamp, a pre-1995 date or a >512k price would silently alias
     # into an unrelated bucket and the extents would stop meaning
     # anything. Clamped identically in both dialects, so parity stays
-    # engine-exact even on out-of-range data.
-    _X_SPARK = ("greatest(0L, least(255L, "
-                "datediff(o_orderdate, DATE '1995-01-01') div 10))")
-    _Y_SPARK = ("greatest(0L, least(255L, "
-                "CAST(floor(o_totalprice) AS BIGINT) div 2000))")
-    _X_DUCK = ("greatest(0, least(255, "
-               "date_diff('day', DATE '1995-01-01', o_orderdate) // 10))")
-    _Y_DUCK = ("greatest(0, least(255, "
-               "CAST(floor(o_totalprice) AS BIGINT) // 2000))")
+    # engine-exact even on out-of-range data. The quantizer text was
+    # hoisted to functions/zorder.py (ZQ_*) in round 12; this module's
+    # byte-identical inline copies folded onto those names in round 13,
+    # when zorder_extent_pruning re-entered the driver window (the
+    # dead-evidence rule the hoist note set) — the emitted SQL is
+    # unchanged byte-for-byte.
 
     def zorder_extents(spark, sf):
         orders = load_table(spark, "orders", sf)
-        z_sql = z_interleave_sql(_X_SPARK, _Y_SPARK, 8, "spark")
+        z_sql = z_interleave_sql(ZQ_DAY_SPARK, ZQ_PRICE_SPARK, 8, "spark")
         rows = orders.select(
             F.expr(f"CAST({z_sql} div 64 AS BIGINT)").alias("zbucket"),
             F.expr("datediff(o_orderdate, DATE '1995-01-01')")
@@ -146,7 +149,7 @@ def contribute(register) -> None:
         zorder_extents,
         f"""
         WITH rows_q AS (
-          SELECT {z_interleave_sql(_X_DUCK, _Y_DUCK, 8, "duckdb")} // 64
+          SELECT {z_interleave_sql(ZQ_DAY_DUCK, ZQ_PRICE_DUCK, 8, "duckdb")} // 64
                    AS zbucket,
                  CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
                    AS BIGINT) AS day,
