@@ -101,6 +101,42 @@ def test_zfile_skip_is_lossless_and_nonvacuous(spark):
     assert row.n_rows == full.count() > 0
 
 
+def test_zfile_skip_reads_only_candidate_files_at_runtime(spark):
+    """Stronger than the plan-string pin: after execution, the scan
+    node's OWN metrics must show exactly n_candidate_files files read
+    (and that many partition directories) — directory-level skipping
+    measured by the engine, not inferred from the plan text."""
+    df = Q["zorder_partitioned_file_skip"](spark, SF_DIR)
+    # collect() (not first()) so the metrics below belong to the plan
+    # that actually executed — first() runs a separate limited job
+    row = df.collect()[0]
+
+    hits = []
+
+    def walk(node):
+        if "Scan" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                hits.append((kv._1(), kv._2().value()))
+        # AQE wraps stages (AdaptiveSparkPlan / QueryStage) — descend
+        # through their inner plans as well as ordinary children
+        for getter in ("executedPlan", "plan"):
+            try:
+                walk(getattr(node, getter)())
+            except Exception:
+                pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    metrics = dict(hits)
+    assert metrics.get("numFiles") == row.n_candidate_files, metrics
+    assert metrics.get("numPartitions") == row.n_candidate_files, metrics
+    assert row.n_candidate_files < row.n_total_files
+
+
 def test_cusum_probe_scans_only_the_delta(spark):
     # widen the per-field metadata render so the Location paths and
     # full PushedFilters are assertable (same as the extent-probe pin)
