@@ -281,6 +281,7 @@ EXTENSION_HEADLINE = [
     # row filter), and the CUSUM family's persisted-state probe (fold a
     # delta-only scan into the published shard partials)
     "zorder_partitioned_file_skip",
+    "zorder_layout_incremental_skip",
     "cusum_state_persisted_probe",
     # previously-unbenched mid-weight queries (full-fact aggs, set ops,
     # multi-join trees). The ONLY registry queries deliberately left

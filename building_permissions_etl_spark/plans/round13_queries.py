@@ -24,6 +24,21 @@ never opened. The DuckDB oracle computes the box aggregate with NO
 pruning (plus candidate counts from its own extent rebuild), so value
 parity is the losslessness proof — same discipline as round 12.
 
+``zorder_layout_incremental_skip`` — the same layout UNDER INGEST, the
+steady state a maintained z-ordered table actually lives in: prep
+simulates two loads (the base partition written ``partitionBy(zfile)``,
+then a delta batch APPENDED into the same partition directories — so
+candidate partitions hold multiple files) and maintains the extent
+table with the real ``merge_extent_tables`` operator (base extents ⊕
+delta extents, never a full re-derivation). The probe is byte-for-byte
+the same skip (shared ``_skip_box_aggregate``), and the single
+prune-free oracle proves BOTH maintained pieces at once: if the merge
+algebra were wrong the candidate/total counts would diverge from the
+full-rebuild counts, and if the append lost or duplicated rows the box
+values would diverge. At 100 TB this is the per-ingest shape:
+OPTIMIZE-ZORDER once, then appends + footer-stats merges, with
+skipping intact across ingests.
+
 ``cusum_state_persisted_probe`` — completes the persisted arc for the
 LAST maintained family (after round-11 histograms/PSI and the round-12
 Bloom registers + extents): ``cusum_shard_merge`` (round 9) proved the
@@ -130,6 +145,64 @@ def _layout_artifact(spark, sf: str) -> dict:
 
     return publish_artifacts(spark, sf, "orders.parquet",
                              "zorder_layout", _write)
+
+
+def _layout_incr_artifact(spark, sf: str) -> dict:
+    """Build-and-publish step for the z-file layout UNDER INGEST: two
+    simulated loads — the base partition written ``partitionBy(zfile)``
+    and a delta batch APPENDED into the same directories (so candidate
+    partitions hold multiple files, the steady-state of a maintained
+    layout) — with the extent table maintained by
+    ``merge_extent_tables`` (base extents ⊕ delta extents), never a
+    full re-derivation. The probe's oracle proves BOTH claims at once:
+    merged extents == a full extent rebuild (candidate/total counts
+    would diverge otherwise) and the appended layout is complete
+    (box values would diverge otherwise)."""
+    from building_permissions_etl_spark.operators.maintenance import (
+        merge_extent_tables,
+    )
+    from building_permissions_etl_spark.plans.round9_queries import _SPLIT
+
+    def _write(root: str) -> dict:
+        od = load_table(spark, "orders", sf)
+        z_sql = z_interleave_sql(ZQ_DAY_SPARK, ZQ_PRICE_SPARK, 8, "spark")
+        zfile = F.expr(f"CAST({z_sql} div {_ZFILE_DIV} AS BIGINT)")
+        layout_p = os.path.join(root, "orders_by_zfile_incr.parquet")
+
+        def rows(df):
+            return df.select("o_orderdate", "o_totalprice",
+                             zfile.alias("zfile"))
+
+        def extents(df):
+            return extent_table(
+                df.select(
+                    "zfile",
+                    F.expr("datediff(o_orderdate, DATE '1995-01-01')")
+                    .cast("bigint").alias("day"),
+                    F.expr("CAST(floor(o_totalprice) AS BIGINT)")
+                    .alias("price")),
+                "zfile", ["day", "price"])
+
+        # ingest 1: the base partition (pushed date bound on the scan)
+        base = rows(od.filter(F.col("o_orderdate") < F.lit(_SPLIT)))
+        (base.repartition("zfile")
+         .write.mode("overwrite").partitionBy("zfile").parquet(layout_p))
+        base_ext = extents(spark.read.parquet(layout_p))
+        # ingest 2: the delta batch APPENDS into the same partition
+        # dirs — its footer stats are computed from what it writes,
+        # exactly a real ingest's write-time statistics
+        delta = rows(od.filter(F.col("o_orderdate") >= F.lit(_SPLIT)))
+        (delta.repartition("zfile")
+         .write.mode("append").partitionBy("zfile").parquet(layout_p))
+        delta_ext = extents(delta)
+        ext_p = os.path.join(root, "zfile_extents_merged.parquet")
+        (merge_extent_tables(base_ext, delta_ext)
+         .coalesce(1).write.mode("overwrite").parquet(ext_p))
+        return {"orders_by_zfile_incr": layout_p,
+                "zfile_extents_merged": ext_p}
+
+    return publish_artifacts(spark, sf, "orders.parquet",
+                             "zorder_layout_incr", _write)
 
 
 def _cusum_artifact(spark, sf: str) -> dict:
@@ -240,44 +313,51 @@ def _cusum_shard_partials(ref, q):
     )
 
 
+def _skip_box_aggregate(spark, layout_path: str, ext_path: str):
+    """The probe both z-file queries share: derive the candidate-file
+    IN-list from the ≤64-row extent artifact alone (never base rows —
+    exactly a reader deriving a file list from footer stats), scan the
+    partitioned layout with the IN-list on the PARTITION column —
+    directory-level skipping (PartitionFilters), non-candidate files
+    never opened — and answer the 2-D box aggregate."""
+    ext_rows = spark.read.parquet(ext_path).collect()
+    cand = sorted(int(r["bucket"]) for r in ext_rows
+                  if r["max_day"] >= _DAY_LO and r["min_day"] < _DAY_HI
+                  and r["max_price"] >= _PRICE_LO
+                  and r["min_price"] < _PRICE_HI)
+    base = spark.read.parquet(layout_path)
+    pruned = (base.filter(F.col("zfile").isin(cand)) if cand
+              else base.filter(F.lit(False)))
+    box = pruned.filter(
+        (F.col("o_orderdate") >= F.lit(_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_DATE_HI).cast("timestamp"))
+        & (F.col("o_totalprice") >= F.lit(float(_PRICE_LO)))
+        & (F.col("o_totalprice") < F.lit(float(_PRICE_HI))))
+    return box.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")),
+            F.lit(0)).cast("bigint").alias("revenue_cents"),
+    ).select(
+        "*",
+        F.lit(len(cand)).cast("bigint").alias("n_candidate_files"),
+        F.lit(len(ext_rows)).cast("bigint").alias("n_total_files"))
+
+
 def contribute(register) -> None:
     # ---- persisted z-file layout driving PartitionFilters skipping --------
     def zfile_skip(spark, sf):
         paths = _layout_artifact(spark, sf)
-        # ≤64-row ARTIFACT read at construction (never base rows): the
-        # candidate FILE list is derived from the persisted extents
-        # alone, exactly as a reader derives a file list from footer
-        # stats
-        ext_rows = spark.read.parquet(paths["zfile_extents"]).collect()
-        cand = sorted(int(r["bucket"]) for r in ext_rows
-                      if r["max_day"] >= _DAY_LO and r["min_day"] < _DAY_HI
-                      and r["max_price"] >= _PRICE_LO
-                      and r["min_price"] < _PRICE_HI)
-        base = spark.read.parquet(paths["orders_by_zfile"])
-        # zfile is the PARTITION column of the layout, so the IN-list
-        # is directory-level skipping (PartitionFilters), not a
-        # row-level filter — non-candidate files are never opened
-        pruned = (base.filter(F.col("zfile").isin(cand)) if cand
-                  else base.filter(F.lit(False)))
-        box = pruned.filter(
-            (F.col("o_orderdate") >= F.lit(_DATE_LO).cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(_DATE_HI).cast("timestamp"))
-            & (F.col("o_totalprice") >= F.lit(float(_PRICE_LO)))
-            & (F.col("o_totalprice") < F.lit(float(_PRICE_HI))))
-        return box.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.coalesce(
-                F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")),
-                F.lit(0)).cast("bigint").alias("revenue_cents"),
-        ).select(
-            "*",
-            F.lit(len(cand)).cast("bigint").alias("n_candidate_files"),
-            F.lit(len(ext_rows)).cast("bigint").alias("n_total_files"))
+        return _skip_box_aggregate(spark, paths["orders_by_zfile"],
+                                   paths["zfile_extents"])
 
-    register(
-        "zorder_partitioned_file_skip",
-        zfile_skip,
-        f"""
+    # Both z-file probes answer the same box against the same logical
+    # table, so they share one oracle text: a prune-FREE box aggregate
+    # plus candidate/total counts from a full extent rebuild. For the
+    # incremental variant this checks BOTH maintained pieces — merged
+    # extents == rebuilt extents (counts diverge otherwise) and
+    # appended layout == the full table (box values diverge otherwise).
+    zfile_box_oracle = f"""
         WITH rows_q AS (
           SELECT {z_interleave_sql(ZQ_DAY_DUCK, ZQ_PRICE_DUCK, 8, "duckdb")}
                    // {_ZFILE_DIV} AS zfile,
@@ -313,8 +393,18 @@ def contribute(register) -> None:
         SELECT box.n_rows, box.revenue_cents,
                cand.n_candidate_files, cand.n_total_files
         FROM box, cand
-        """,
-    )
+        """
+
+    register("zorder_partitioned_file_skip", zfile_skip, zfile_box_oracle)
+
+    # ---- the layout under ingest: append + extent merge, skip intact ------
+    def zfile_incr_skip(spark, sf):
+        paths = _layout_incr_artifact(spark, sf)
+        return _skip_box_aggregate(spark, paths["orders_by_zfile_incr"],
+                                   paths["zfile_extents_merged"])
+
+    register("zorder_layout_incremental_skip", zfile_incr_skip,
+             zfile_box_oracle)
 
     # ---- persisted CUSUM state folded with a delta-only scan --------------
     def cusum_probe(spark, sf):

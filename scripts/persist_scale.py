@@ -52,6 +52,7 @@ for name in ("psi_drift_persisted", "histogram_persisted_delta_update",
              "bloom_register_persisted_probe",
              "zorder_extent_persisted_prune",
              "zorder_partitioned_file_skip",
+             "zorder_layout_incremental_skip",
              "cusum_state_persisted_probe"):
     for tag in ("first call (incl. any prep)", "artifact-only"):
         t0 = time.time()

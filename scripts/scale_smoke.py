@@ -407,6 +407,7 @@ def main() -> None:
             # must track the candidate fraction (directory skipping),
             # not N; the CUSUM probe's must track the delta scan only
             ("round13", "zorder_partitioned_file_skip"),
+            ("round13", "zorder_layout_incremental_skip"),
             ("round13", "cusum_state_persisted_probe")):
         timed(f"{tag}:{name} (first call, incl. any prep)",
               lambda fn=r1112[name]: fn(spark, out))

@@ -42,13 +42,13 @@ def test_rows_only_set_is_exactly_the_documented_one():
 def test_driver_window_matches_round13_rotation():
     """The first 50 registry entries (the slice the driver verifies)
     must match _DRIVER_WINDOW exactly, and the round-13 window must
-    front-load (a) the two round-13 additions
-    (`zorder_partitioned_file_skip`, `cusum_state_persisted_probe` —
-    never verified), (b) the 13 r08-cohort leftovers (five rounds
-    without a verdict, the oldest evidence in the registry), and
-    (c) 35 of the 48-query r09 cohort, alphabetical; the 13 r09
-    leftovers are pinned by name so the round-14 queue stays
-    mechanical."""
+    front-load (a) the three round-13 additions
+    (`zorder_partitioned_file_skip`, `zorder_layout_incremental_skip`,
+    `cusum_state_persisted_probe` — never verified), (b) the 13
+    r08-cohort leftovers (five rounds without a verdict, the oldest
+    evidence in the registry), and (c) 34 of the 48-query r09 cohort,
+    alphabetical; the 14 r09 leftovers are pinned by name so the
+    round-14 queue stays mechanical."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
@@ -62,6 +62,7 @@ def test_driver_window_matches_round13_rotation():
     assert set(names[:50]) <= o
     round13 = {
         "zorder_partitioned_file_skip",            # round-13 additions
+        "zorder_layout_incremental_skip",
         "cusum_state_persisted_probe",
     }
     r08_leftovers = {
@@ -75,11 +76,12 @@ def test_driver_window_matches_round13_rotation():
     r09_head = {
         "asof_join_next_error", "cusum_shard_merge", "dedup_exact",
         "dedup_cluster_survivors_star", "flagship_merge_shape",
-        "pricing_summary", "region_rollup_with_default",
+        "pricing_summary", "quality_classifier_score",
     }
-    # round-14 queue: the r09 leftovers (salted_group_count ..
+    # round-14 queue: the r09 leftovers (region_rollup_with_default ..
     # zorder_extent_merge) stay registered but out of this window
     r09_deferred = {
+        "region_rollup_with_default",
         "salted_group_count", "salted_join_segments",
         "shipping_priority_topk", "similarity_topk_bruteforce",
         "sql_revenue_by_status", "stream_dedup_keys",

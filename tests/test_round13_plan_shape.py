@@ -137,6 +137,46 @@ def test_zfile_skip_reads_only_candidate_files_at_runtime(spark):
     assert row.n_candidate_files < row.n_total_files
 
 
+def test_zfile_incremental_skip_survives_the_append(spark):
+    """The layout-under-ingest variant: after a delta batch is
+    APPENDED into the partition directories (so candidate partitions
+    hold multiple files) and the extent table is maintained by
+    merge_extent_tables, the skip must still read exactly the
+    candidate DIRECTORIES — and more files than directories, proving
+    the multi-file-per-partition steady state is what executed."""
+    df = Q["zorder_layout_incremental_skip"](spark, SF_DIR)
+    row = df.collect()[0]
+    assert 0 < row.n_candidate_files < row.n_total_files
+
+    hits = []
+
+    def walk(node):
+        if "Scan" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                hits.append((kv._1(), kv._2().value()))
+        for getter in ("executedPlan", "plan"):
+            try:
+                walk(getattr(node, getter)())
+            except Exception:
+                pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    metrics = dict(hits)
+    assert metrics.get("numPartitions") == row.n_candidate_files, metrics
+    # base write + delta append = ≥2 files in at least one candidate dir
+    assert metrics.get("numFiles") > row.n_candidate_files, metrics
+    # and the values equal the single-load layout's (same box, same
+    # logical table — the append and the extent merge changed nothing)
+    single = Q["zorder_partitioned_file_skip"](spark, SF_DIR).collect()[0]
+    assert (row.n_rows, row.revenue_cents) == (
+        single.n_rows, single.revenue_cents)
+
+
 def test_cusum_probe_scans_only_the_delta(spark):
     # widen the per-field metadata render so the Location paths and
     # full PushedFilters are assertable (same as the extent-probe pin)
