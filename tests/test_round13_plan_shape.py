@@ -32,6 +32,32 @@ def _static_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _scan_metrics(df) -> dict:
+    """Metrics of the (single) scan node in a df's EXECUTED plan —
+    call after an action so the values belong to the plan that ran.
+    Descends through AQE wrappers (AdaptiveSparkPlan / QueryStage)
+    via their inner-plan accessors as well as ordinary children."""
+    hits = []
+
+    def walk(node):
+        if "Scan" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                hits.append((kv._1(), kv._2().value()))
+        for getter in ("executedPlan", "plan"):
+            try:
+                walk(getattr(node, getter)())
+            except Exception:
+                pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return dict(hits)
+
+
 def test_bloom_union_oracle_text_is_stable():
     """ADVICE r12: `sketch_oracles.bloom_regs_sql` claims
     `bloom_incremental_union`'s oracle is byte-stable across the
@@ -110,28 +136,7 @@ def test_zfile_skip_reads_only_candidate_files_at_runtime(spark):
     # collect() (not first()) so the metrics below belong to the plan
     # that actually executed — first() runs a separate limited job
     row = df.collect()[0]
-
-    hits = []
-
-    def walk(node):
-        if "Scan" in node.nodeName():
-            it = node.metrics().iterator()
-            while it.hasNext():
-                kv = it.next()
-                hits.append((kv._1(), kv._2().value()))
-        # AQE wraps stages (AdaptiveSparkPlan / QueryStage) — descend
-        # through their inner plans as well as ordinary children
-        for getter in ("executedPlan", "plan"):
-            try:
-                walk(getattr(node, getter)())
-            except Exception:
-                pass
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i))
-
-    walk(df._jdf.queryExecution().executedPlan())
-    metrics = dict(hits)
+    metrics = _scan_metrics(df)
     assert metrics.get("numFiles") == row.n_candidate_files, metrics
     assert metrics.get("numPartitions") == row.n_candidate_files, metrics
     assert row.n_candidate_files < row.n_total_files
@@ -147,26 +152,7 @@ def test_zfile_incremental_skip_survives_the_append(spark):
     df = Q["zorder_layout_incremental_skip"](spark, SF_DIR)
     row = df.collect()[0]
     assert 0 < row.n_candidate_files < row.n_total_files
-
-    hits = []
-
-    def walk(node):
-        if "Scan" in node.nodeName():
-            it = node.metrics().iterator()
-            while it.hasNext():
-                kv = it.next()
-                hits.append((kv._1(), kv._2().value()))
-        for getter in ("executedPlan", "plan"):
-            try:
-                walk(getattr(node, getter)())
-            except Exception:
-                pass
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i))
-
-    walk(df._jdf.queryExecution().executedPlan())
-    metrics = dict(hits)
+    metrics = _scan_metrics(df)
     assert metrics.get("numPartitions") == row.n_candidate_files, metrics
     # base write + delta append = ≥2 files in at least one candidate dir
     assert metrics.get("numFiles") > row.n_candidate_files, metrics
