@@ -36,10 +36,10 @@ from __future__ import annotations
 # unrelated bucket. `plans/round8d_queries.py` predated this hoist
 # with byte-identical inline copies; they folded onto these names in
 # round 13, when zorder_extent_pruning re-entered the driver window
-# (the dead-evidence rule this note set). `plans/round9_queries.py`
-# still carries its own inline copies — fold them when
-# zorder_extent_merge re-enters the window (it heads the round-14
-# queue).
+# (the dead-evidence rule this note set), and `plans/round9_queries.py`
+# followed in round 14 when zorder_extent_merge re-entered — both
+# folds pinned sha256-identical on the emitted oracle SQL. No inline
+# copies remain.
 ZQ_DAY_SPARK = ("greatest(0L, least(255L, "
                 "datediff(o_orderdate, DATE '1995-01-01') div 10))")
 ZQ_PRICE_SPARK = ("greatest(0L, least(255L, "

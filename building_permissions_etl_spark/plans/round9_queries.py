@@ -38,7 +38,13 @@ from building_permissions_etl_spark.catalog import load_table
 from building_permissions_etl_spark.functions.portable import (
     portable_hash64,
 )
-from building_permissions_etl_spark.functions.zorder import z_interleave_sql
+from building_permissions_etl_spark.functions.zorder import (
+    ZQ_DAY_DUCK,
+    ZQ_DAY_SPARK,
+    ZQ_PRICE_DUCK,
+    ZQ_PRICE_SPARK,
+    z_interleave_sql,
+)
 from building_permissions_etl_spark.operators import dedup as D
 from building_permissions_etl_spark.plans import sketch_oracles as SK
 from building_permissions_etl_spark.plans.extensions import _SHINGLES3
@@ -298,19 +304,16 @@ def contribute(register) -> None:
     # are mergeable, so maintenance never re-reads the base partition.
     # The oracle is the FULL-REBUILD single-pass rollup: value parity
     # is the maintenance-equals-rebuild proof. Quantization is the
-    # clamped 8-bit scheme shared with round8d (same interleave text).
-    _xq = ("greatest(0L, least(255L, "
-           "datediff(o_orderdate, DATE '1995-01-01') div 10))")
-    _yq = ("greatest(0L, least(255L, "
-           "CAST(floor(o_totalprice) AS BIGINT) div 2000))")
-    _xq_d = ("greatest(0, least(255, "
-             "date_diff('day', DATE '1995-01-01', o_orderdate) // 10))")
-    _yq_d = ("greatest(0, least(255, "
-             "CAST(floor(o_totalprice) AS BIGINT) // 2000))")
+    # canonical clamped 8-bit scheme — the hoisted ZQ_* names in
+    # functions/zorder.py (this module predated the hoist with
+    # byte-identical inline copies; folded in round 14 under the
+    # dead-evidence rule, when zorder_extent_merge re-entered the
+    # driver window — emitted oracle SQL pinned sha256-identical by
+    # tests/test_round14_plan_shape.py).
 
     def zorder_merge(spark, sf):
         orders = load_table(spark, "orders", sf)
-        z_sql = z_interleave_sql(_xq, _yq, 8, "spark")
+        z_sql = z_interleave_sql(ZQ_DAY_SPARK, ZQ_PRICE_SPARK, 8, "spark")
 
         def extents(df):
             return (
@@ -346,7 +349,7 @@ def contribute(register) -> None:
         "zorder_extent_merge",
         zorder_merge,
         f"""
-        SELECT CAST({z_interleave_sql(_xq_d, _yq_d, 8, "duckdb")} // 64
+        SELECT CAST({z_interleave_sql(ZQ_DAY_DUCK, ZQ_PRICE_DUCK, 8, "duckdb")} // 64
                  AS BIGINT) AS zbucket,
                CAST(count(*) AS BIGINT) AS n,
                CAST(min(date_diff('day', DATE '1995-01-01', o_orderdate))

@@ -163,6 +163,55 @@ def test_zfile_incremental_skip_survives_the_append(spark):
         single.n_rows, single.revenue_cents)
 
 
+def test_zfile_incr_extents_not_double_counted(spark):
+    """ADVICE r13: base extents are MATERIALIZED (written to parquet)
+    before the delta append, so the merged extent table's n must sum
+    to exactly the fixture row count and the base side to exactly the
+    base partition — if the base extent plan instead listed layout
+    files AFTER the append (the lazy-listing hazard), delta rows would
+    be double-counted in n while min/max and the oracle's file counts
+    stayed unchanged (duplication-idempotent)."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.plans.round9_queries import _SPLIT
+    from building_permissions_etl_spark.plans.round13_queries import (
+        _layout_incr_artifact,
+    )
+
+    paths = _layout_incr_artifact(spark, SF_DIR)
+    od = load_table(spark, "orders", SF_DIR)
+    merged_n = (spark.read.parquet(paths["zfile_extents_merged"])
+                .agg(F.sum("n")).first()[0])
+    assert merged_n == od.count()
+    base_n = (spark.read.parquet(paths["zfile_extents_base"])
+              .agg(F.sum("n")).first()[0])
+    assert base_n == od.filter(F.col("o_orderdate") < F.lit(_SPLIT)).count()
+
+
+def test_cusum_headroom_guard_trips_near_overflow(spark):
+    """ADVICE r13: the cross-multiplied deviations grow ~quadratically
+    with partition size, and Spark (non-ANSI) wraps BIGINT silently
+    where DuckDB raises — the guard in _cusum_artifact must make the
+    Spark side loud before the wrap. Synthetic partials at the bound
+    must raise; the graded fixture's real partials must clear it with
+    wide margin."""
+    import pytest
+
+    from building_permissions_etl_spark.plans.round13_queries import (
+        _assert_bigint_headroom,
+        _cusum_artifact,
+    )
+
+    cols = ["event_type", "shard", "a", "rmax", "b0max", "b"]
+    ok = spark.createDataFrame([("x", 1, 10, 5, 7, 12)], cols)
+    _assert_bigint_headroom(ok)  # far from the bound: no raise
+    hot = spark.createDataFrame([("x", 1, 1 << 61, 5, 7, 12)], cols)
+    with pytest.raises(ValueError, match="overflow"):
+        _assert_bigint_headroom(hot)
+    # and the real artifact passes through the guard at build time
+    paths = _cusum_artifact(spark, SF_DIR)
+    _assert_bigint_headroom(spark.read.parquet(paths["cusum_shards"]))
+
+
 def test_cusum_probe_scans_only_the_delta(spark):
     # widen the per-field metadata render so the Location paths and
     # full PushedFilters are assertable (same as the extent-probe pin)
@@ -243,11 +292,24 @@ def test_cusum_probe_is_timezone_independent(spark):
         _events_ts_filtered,
     )
 
+    from building_permissions_etl_spark.plans import artifact_store
+
     utc_rows = sorted(map(tuple, Q["cusum_state_persisted_probe"](
         spark, SF_DIR).collect()))
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
+        # ADVICE r13: evict the cached artifact so PREP REBUILDS under
+        # the NY session — publish_artifacts would otherwise serve the
+        # UTC-built base (same app/sf/kind/stat key) and only the
+        # delta side would exercise the non-UTC path. Retire-then-
+        # republish follows the store's own supersede protocol; the
+        # rebuilt root re-derives the same name and is removed from
+        # _RETIRED on re-admission.
+        for k in [k for k in artifact_store._CACHE
+                  if k[2] == "cusum_state"]:
+            old_root, _ = artifact_store._CACHE.pop(k)
+            artifact_store._RETIRED.append(old_root)
         paths = _cusum_artifact(spark, SF_DIR)
         base_keys = [(r.event_type, r.shard) for r in
                      spark.read.parquet(paths["cusum_shards"])
