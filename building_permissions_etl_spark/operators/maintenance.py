@@ -17,6 +17,8 @@ file-statistics design for extents.
 
 from __future__ import annotations
 
+import os
+import shutil
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -171,6 +173,108 @@ def merge_histograms(*tables: DataFrame) -> DataFrame:
         raise ValueError("need at least one histogram table")
     u = reduce(DataFrame.unionByName, tables)
     return u.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def list_partition_files(layout_path: str, partition_col: str) -> dict:
+    """{'<col>=<value>': [data files]} for a Hive-partitioned parquet
+    layout — the driver-side directory inventory OPTIMIZE plans its
+    rewrite set from. Hidden/metadata entries (``_SUCCESS``, ``.crc``)
+    are excluded. Driver-side listing is bounded by partition
+    CARDINALITY (≤64 for the z-file layout), never row count; a real
+    warehouse reads the same inventory from its manifest/catalog
+    instead of the filesystem."""
+    out: dict[str, list[str]] = {}
+    prefix = f"{partition_col}="
+    for d in sorted(os.listdir(layout_path)):
+        if not d.startswith(prefix):
+            continue
+        pdir = os.path.join(layout_path, d)
+        if not os.path.isdir(pdir):
+            continue
+        out[d] = sorted(f for f in os.listdir(pdir)
+                        if not f.startswith((".", "_")))
+    return out
+
+
+def compaction_read(spark, layout_path: str, partition_col: str,
+                    values: list) -> DataFrame:
+    """The scan side of ``compact_partitioned_layout``, factored out so
+    plan/metrics pins can drive the EXACT frame the rewrite executes:
+    the partitioned layout filtered to the touched partition values —
+    the IN-list lands in PartitionFilters, so untouched directories
+    are never opened — shuffled by the partition column so the
+    partitioned write emits exactly one file per directory (each value
+    lands in one task)."""
+    return (spark.read.parquet(layout_path)
+            .filter(F.col(partition_col).isin(list(values)))
+            .repartition(partition_col))
+
+
+def compact_partitioned_layout(spark, layout_path: str,
+                               partition_col: str) -> dict:
+    """OPTIMIZE bin-packing for a Hive-partitioned parquet layout: for
+    every partition directory holding ≥2 data files (the steady state
+    appends create), rewrite THAT PARTITION's rows into one file —
+    never the whole table. Values are untouched (compaction moves
+    bytes, not values), so extent/footer-stats tables built over the
+    layout stay valid as-is and data skipping survives the rewrite.
+
+    The rewrite scans ONLY the multi-file partitions (PartitionFilters
+    IN-list via ``compaction_read``), writes compacted files to a
+    staging root, then commits by swapping the touched directories'
+    data files — the driver-side stand-in for a transaction-log/
+    manifest commit (public Delta OPTIMIZE / Iceberg
+    rewrite_data_files design). Single-file partitions' files are
+    never read, rewritten, or moved. At 100 TB this is the layout
+    lifecycle's third primitive next to ``extent_table`` (stats at
+    write time) and ``merge_extent_tables`` (stats under append):
+    appends fragment partitions, compaction restores
+    one-file-per-range so scan cost returns to the candidate
+    fraction. Returns a stats dict: partitions/files before and
+    after, and the touched partition dir names."""
+    inv = list_partition_files(layout_path, partition_col)
+    multi = {d: fs for d, fs in inv.items() if len(fs) > 1}
+    stats = {
+        "n_partitions": len(inv),
+        "n_touched": len(multi),
+        "files_before": sum(len(fs) for fs in inv.values()),
+        "touched": sorted(multi),
+    }
+    if not multi:
+        stats["files_after"] = stats["files_before"]
+        return stats
+
+    def _val(dirname: str):
+        raw = dirname.split("=", 1)[1]
+        try:
+            return int(raw)
+        except ValueError:
+            return raw
+
+    staging = layout_path + ".compact-staging"
+    try:
+        (compaction_read(spark, layout_path, partition_col,
+                         [_val(d) for d in multi])
+         .write.mode("overwrite").partitionBy(partition_col)
+         .parquet(staging))
+        # commit: per touched partition, drop the fragmented files and
+        # move the compacted one in. os.replace is atomic per file;
+        # the transactional all-or-nothing a warehouse gets from its
+        # metadata commit is out of scope for a filesystem fixture.
+        for d, old_files in multi.items():
+            src = os.path.join(staging, d)
+            new_files = sorted(f for f in os.listdir(src)
+                               if not f.startswith((".", "_")))
+            dst = os.path.join(layout_path, d)
+            for f in old_files:
+                os.remove(os.path.join(dst, f))
+            for f in new_files:
+                os.replace(os.path.join(src, f), os.path.join(dst, f))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    after = list_partition_files(layout_path, partition_col)
+    stats["files_after"] = sum(len(fs) for fs in after.values())
+    return stats
 
 
 def merge_extent_tables(*tables: DataFrame) -> DataFrame:

@@ -163,67 +163,73 @@ def _zfile_extents(df):
         "zfile", ["day", "price"])
 
 
-def _layout_incr_artifact(spark, sf: str) -> dict:
-    """Build-and-publish step for the z-file layout UNDER INGEST: two
+def _write_zfile_incr_layout(spark, sf: str, root: str) -> dict:
+    """Write the z-file layout UNDER INGEST into ``root``: two
     simulated loads — the base partition written ``partitionBy(zfile)``
     and a delta batch APPENDED into the same directories (so candidate
     partitions hold multiple files, the steady-state of a maintained
     layout) — with the extent table maintained by
     ``merge_extent_tables`` (base extents ⊕ delta extents), never a
-    full re-derivation. The probe's oracle proves BOTH claims at once:
-    merged extents == a full extent rebuild (candidate/total counts
-    would diverge otherwise) and the appended layout is complete
-    (box values would diverge otherwise)."""
+    full re-derivation. Shared by ``_layout_incr_artifact`` and the
+    round-14 compaction artifact (which runs OPTIMIZE bin-packing on
+    its own copy of this exact steady state)."""
     from building_permissions_etl_spark.operators.maintenance import (
         merge_extent_tables,
     )
     from building_permissions_etl_spark.plans.round9_queries import _SPLIT
 
-    def _write(root: str) -> dict:
-        od = load_table(spark, "orders", sf)
-        layout_p = os.path.join(root, "orders_by_zfile_incr.parquet")
+    od = load_table(spark, "orders", sf)
+    layout_p = os.path.join(root, "orders_by_zfile_incr.parquet")
 
-        # ingest 1: the base partition (pushed date bound on the scan);
-        # its extents come from the just-written files, like the
-        # single-load builder
-        base = _zfile_rows(od.filter(F.col("o_orderdate") < F.lit(_SPLIT)))
-        (base.repartition("zfile")
-         .write.mode("overwrite").partitionBy("zfile").parquet(layout_p))
-        # MATERIALIZE the base extents before the append (ADVICE r13):
-        # a lazy plan over layout_p executed after the append would
-        # rely on InMemoryFileIndex snapshotting the listing at read
-        # time — if the listing were refreshed (future Spark / shared
-        # FileStatusCache), base extents would silently include delta
-        # files and double-count n, undetectable by the oracle (its
-        # counts come from extent ROWS; min/max are duplication-
-        # idempotent). Writing the ≤64-row table first pins the base
-        # ingest's footer stats — also the real shape: a warehouse
-        # collects stats per ingest AT WRITE TIME, not retroactively.
-        base_ext_p = os.path.join(root, "zfile_extents_base.parquet")
-        (_zfile_extents(spark.read.parquet(layout_p))
-         .coalesce(1).write.mode("overwrite").parquet(base_ext_p))
-        base_ext = spark.read.parquet(base_ext_p)
-        # ingest 2: the delta batch APPENDS into the same partition
-        # dirs. Cache the shuffled batch so the append write and its
-        # extent rollup share ONE delta scan — the write-time footer
-        # stats of what lands on disk, not a second fixture read
-        delta = (_zfile_rows(od.filter(F.col("o_orderdate") >= F.lit(_SPLIT)))
-                 .repartition("zfile").cache())
-        try:
-            (delta.write.mode("append").partitionBy("zfile")
-             .parquet(layout_p))
-            delta_ext = _zfile_extents(delta)
-            ext_p = os.path.join(root, "zfile_extents_merged.parquet")
-            (merge_extent_tables(base_ext, delta_ext)
-             .coalesce(1).write.mode("overwrite").parquet(ext_p))
-        finally:
-            delta.unpersist()
-        return {"orders_by_zfile_incr": layout_p,
-                "zfile_extents_base": base_ext_p,
-                "zfile_extents_merged": ext_p}
+    # ingest 1: the base partition (pushed date bound on the scan);
+    # its extents come from the just-written files, like the
+    # single-load builder
+    base = _zfile_rows(od.filter(F.col("o_orderdate") < F.lit(_SPLIT)))
+    (base.repartition("zfile")
+     .write.mode("overwrite").partitionBy("zfile").parquet(layout_p))
+    # MATERIALIZE the base extents before the append (ADVICE r13):
+    # a lazy plan over layout_p executed after the append would
+    # rely on InMemoryFileIndex snapshotting the listing at read
+    # time — if the listing were refreshed (future Spark / shared
+    # FileStatusCache), base extents would silently include delta
+    # files and double-count n, undetectable by the oracle (its
+    # counts come from extent ROWS; min/max are duplication-
+    # idempotent). Writing the ≤64-row table first pins the base
+    # ingest's footer stats — also the real shape: a warehouse
+    # collects stats per ingest AT WRITE TIME, not retroactively.
+    base_ext_p = os.path.join(root, "zfile_extents_base.parquet")
+    (_zfile_extents(spark.read.parquet(layout_p))
+     .coalesce(1).write.mode("overwrite").parquet(base_ext_p))
+    base_ext = spark.read.parquet(base_ext_p)
+    # ingest 2: the delta batch APPENDS into the same partition
+    # dirs. Cache the shuffled batch so the append write and its
+    # extent rollup share ONE delta scan — the write-time footer
+    # stats of what lands on disk, not a second fixture read
+    delta = (_zfile_rows(od.filter(F.col("o_orderdate") >= F.lit(_SPLIT)))
+             .repartition("zfile").cache())
+    try:
+        (delta.write.mode("append").partitionBy("zfile")
+         .parquet(layout_p))
+        delta_ext = _zfile_extents(delta)
+        ext_p = os.path.join(root, "zfile_extents_merged.parquet")
+        (merge_extent_tables(base_ext, delta_ext)
+         .coalesce(1).write.mode("overwrite").parquet(ext_p))
+    finally:
+        delta.unpersist()
+    return {"orders_by_zfile_incr": layout_p,
+            "zfile_extents_base": base_ext_p,
+            "zfile_extents_merged": ext_p}
 
-    return publish_artifacts(spark, sf, "orders.parquet",
-                             "zorder_layout_incr", _write)
+
+def _layout_incr_artifact(spark, sf: str) -> dict:
+    """Publish the under-ingest z-file layout (see
+    ``_write_zfile_incr_layout``). The probe's oracle proves BOTH
+    maintained pieces at once: merged extents == a full extent rebuild
+    (candidate/total counts would diverge otherwise) and the appended
+    layout is complete (box values would diverge otherwise)."""
+    return publish_artifacts(
+        spark, sf, "orders.parquet", "zorder_layout_incr",
+        lambda root: _write_zfile_incr_layout(spark, sf, root))
 
 
 def _cusum_artifact(spark, sf: str) -> dict:
@@ -399,20 +405,19 @@ def _skip_box_aggregate(spark, layout_path: str, ext_path: str):
         F.lit(len(ext_rows)).cast("bigint").alias("n_total_files"))
 
 
-def contribute(register) -> None:
-    # ---- persisted z-file layout driving PartitionFilters skipping --------
-    def zfile_skip(spark, sf):
-        paths = _layout_artifact(spark, sf)
-        return _skip_box_aggregate(spark, paths["orders_by_zfile"],
-                                   paths["zfile_extents"])
-
-    # Both z-file probes answer the same box against the same logical
-    # table, so they share one oracle text: a prune-FREE box aggregate
-    # plus candidate/total counts from a full extent rebuild. For the
-    # incremental variant this checks BOTH maintained pieces — merged
-    # extents == rebuilt extents (counts diverge otherwise) and
-    # appended layout == the full table (box values diverge otherwise).
-    zfile_box_oracle = f"""
+# All z-file probes (single-load, incremental, and round-14's
+# compacted variant) answer the same box against the same logical
+# table, so they share one oracle text: a prune-FREE box aggregate
+# plus candidate/total counts from a full extent rebuild. For the
+# incremental variant this checks BOTH maintained pieces — merged
+# extents == rebuilt extents (counts diverge otherwise) and appended
+# layout == the full table (box values diverge otherwise); for the
+# compacted variant, value parity across the rewrite IS the
+# completeness proof (compaction moves bytes, not values). Hoisted to
+# a module constant in round 14 for the compaction query — emitted
+# text pinned sha256-identical across the hoist by
+# tests/test_round14_plan_shape.py.
+_ZFILE_BOX_ORACLE = f"""
         WITH rows_q AS (
           SELECT {z_interleave_sql(ZQ_DAY_DUCK, ZQ_PRICE_DUCK, 8, "duckdb")}
                    // {_ZFILE_DIV} AS zfile,
@@ -450,7 +455,15 @@ def contribute(register) -> None:
         FROM box, cand
         """
 
-    register("zorder_partitioned_file_skip", zfile_skip, zfile_box_oracle)
+
+def contribute(register) -> None:
+    # ---- persisted z-file layout driving PartitionFilters skipping --------
+    def zfile_skip(spark, sf):
+        paths = _layout_artifact(spark, sf)
+        return _skip_box_aggregate(spark, paths["orders_by_zfile"],
+                                   paths["zfile_extents"])
+
+    register("zorder_partitioned_file_skip", zfile_skip, _ZFILE_BOX_ORACLE)
 
     # ---- the layout under ingest: append + extent merge, skip intact ------
     def zfile_incr_skip(spark, sf):
@@ -459,7 +472,7 @@ def contribute(register) -> None:
                                    paths["zfile_extents_merged"])
 
     register("zorder_layout_incremental_skip", zfile_incr_skip,
-             zfile_box_oracle)
+             _ZFILE_BOX_ORACLE)
 
     # ---- persisted CUSUM state folded with a delta-only scan --------------
     def cusum_probe(spark, sf):

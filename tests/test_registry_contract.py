@@ -39,16 +39,17 @@ def test_rows_only_set_is_exactly_the_documented_one():
     assert rows_only == ROWS_ONLY
 
 
-def test_driver_window_matches_round13_rotation():
+def test_driver_window_matches_round14_rotation():
     """The first 50 registry entries (the slice the driver verifies)
-    must match _DRIVER_WINDOW exactly, and the round-13 window must
-    front-load (a) the three round-13 additions
-    (`zorder_partitioned_file_skip`, `zorder_layout_incremental_skip`,
-    `cusum_state_persisted_probe` — never verified), (b) the 13
-    r08-cohort leftovers (five rounds without a verdict, the oldest
-    evidence in the registry), and (c) 34 of the 48-query r09 cohort,
-    alphabetical; the 14 r09 leftovers are pinned by name so the
-    round-14 queue stays mechanical."""
+    must match _DRIVER_WINDOW exactly, and the round-14 window must
+    front-load (a) the round-14 addition
+    (`zorder_layout_compacted_skip` — never verified) plus the two
+    round-13 queries whose code changed closing the round-13 ADVICE
+    items (dead-evidence rule), (b) the 14 r09-cohort leftovers (five
+    rounds without a verdict, the oldest evidence in the registry),
+    and (c) 33 of the 48-query r10 cohort, alphabetical; the 15 r10
+    leftovers are pinned by name so the round-15 queue stays
+    mechanical."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
 
     names = list(queries())
@@ -60,27 +61,12 @@ def test_driver_window_matches_round13_rotation():
     # rotate out — a window slot spent on a hash-uncheckable row is a
     # slot wasted)
     assert set(names[:50]) <= o
-    round13 = {
-        "zorder_partitioned_file_skip",            # round-13 additions
-        "zorder_layout_incremental_skip",
-        "cusum_state_persisted_probe",
+    head = {
+        "zorder_layout_compacted_skip",    # round-14 addition
+        "zorder_layout_incremental_skip",  # ADVICE fix: pre-append extents
+        "cusum_state_persisted_probe",     # ADVICE fix: headroom guard
     }
-    r08_leftovers = {
-        "quarterly_distinct_users",
-        "repetition_stats", "rollup_order_totals", "sparse_dot_topk_pairs",
-        "stratified_sample_by_lang", "table_checksum_rollup",
-        "text_quality_filter", "text_quality_stats", "token_counts",
-        "triangle_count_trade_graph", "weekly_churned_users_exact",
-        "weekly_user_overlap_exact", "zorder_extent_pruning",
-    }
-    r09_head = {
-        "asof_join_next_error", "cusum_shard_merge", "dedup_exact",
-        "dedup_cluster_survivors_star", "flagship_merge_shape",
-        "pricing_summary", "quality_classifier_score",
-    }
-    # round-14 queue: the r09 leftovers (region_rollup_with_default ..
-    # zorder_extent_merge) stay registered but out of this window
-    r09_deferred = {
+    r09_leftovers = {
         "region_rollup_with_default",
         "salted_group_count", "salted_join_segments",
         "shipping_priority_topk", "similarity_topk_bruteforce",
@@ -89,10 +75,28 @@ def test_driver_window_matches_round13_rotation():
         "unigram_logprob", "unpivot_cells_long",
         "weekly_anchor_interpolation", "zorder_extent_merge",
     }
+    r10_head = {
+        "basket_lift_brands", "event_sessionization",
+        "gapfill_daily_forward_fill", "histogram_shard_merge",
+        "min_cost_supplier_per_part", "native_session_window",
+        "recursive_key_chain",
+    }
+    # round-15 queue: the r10 leftovers stay registered but out of
+    # this window
+    r10_deferred = {
+        "returned_items_report", "rfm_segment_counts",
+        "scd1_customer_upsert", "scd2_customer_upsert",
+        "similarity_topk_quantized", "stream_scd1_upsert",
+        "stream_session_window", "stream_window_counts",
+        "supplier_part_variety", "top_supplier_revenue",
+        "train_split_census", "value_histogram_fixed_buckets",
+        "value_outliers_zscore", "variant_props_rollup",
+        "volume_shipping",
+    }
     w = set(names[:50])
-    assert round13 | r08_leftovers | r09_head <= w
-    assert r09_deferred & w == set()
-    assert r09_deferred <= set(names)  # deferred, not dropped
+    assert head | r09_leftovers | r10_head <= w
+    assert r10_deferred & w == set()
+    assert r10_deferred <= set(names)  # deferred, not dropped
 
 
 def test_no_oracle_output_column_is_hugeint():

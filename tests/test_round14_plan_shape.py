@@ -1,0 +1,203 @@
+"""Plan-shape and lifecycle pins for the round-14 compaction query,
+plus the byte-stability pins for the two round-14 text moves (the
+round-9 quantizer fold and the z-file box-oracle hoist).
+
+``zorder_layout_compacted_skip``'s claim is the inverse of its
+round-13 sibling's: after OPTIMIZE bin-packing rewrites the
+fragmented partitions, the executed probe scan's own metrics must
+show ``numFiles`` back at ``n_candidate_files`` (one file per
+candidate directory — round 13 pinned ``numFiles >
+n_candidate_files`` to prove the fragmented steady state), with
+values unchanged and the extent table carried over verbatim.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from building_permissions_etl_spark.plans.registry import oracle_sql, queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+Q = queries()
+
+
+def _static_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_metrics(df) -> dict:
+    """Metrics of the (single) scan node in a df's EXECUTED plan —
+    same walker as tests/test_round13_plan_shape.py."""
+    hits = []
+
+    def walk(node):
+        if "Scan" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                hits.append((kv._1(), kv._2().value()))
+        for getter in ("executedPlan", "plan"):
+            try:
+                walk(getattr(node, getter)())
+            except Exception:
+                pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return dict(hits)
+
+
+def test_zorder_merge_oracle_stable_across_quantizer_fold():
+    """Round-14 fold of round9_queries' inline quantizers onto the
+    hoisted ZQ_* names (sanctioned by zorder_extent_merge re-entering
+    the driver window): the emitted oracle SQL must be byte-identical
+    to the pre-fold text. If this fires intentionally, re-window the
+    query and update the digest (dead-evidence rule)."""
+    sql = oracle_sql()["zorder_extent_merge"]
+    assert hashlib.sha256(sql.encode()).hexdigest() == (
+        "f6a5d3558df568e0e131f1a7214dd59743a57c30b83ba70d60b1e88fe5959871")
+
+
+def test_zfile_box_oracle_stable_and_shared_by_all_three():
+    """The round-14 hoist of the shared box oracle to
+    round13_queries._ZFILE_BOX_ORACLE must be byte-stable (round-13
+    evidence for the two existing queries stays live), and all three
+    layout probes — single-load, incremental, compacted — must share
+    ONE text: the prune-free box plus full-rebuild counts is what
+    makes value parity prove losslessness / append-completeness /
+    compaction-completeness respectively."""
+    o = oracle_sql()
+    texts = {o["zorder_partitioned_file_skip"],
+             o["zorder_layout_incremental_skip"],
+             o["zorder_layout_compacted_skip"]}
+    assert len(texts) == 1
+    assert hashlib.sha256(texts.pop().encode()).hexdigest() == (
+        "d848990eeb68eecd68c4e5ea485ffad1ac3ba46246ddb25b210e935a2494cde3")
+
+
+def test_compacted_skip_reads_one_file_per_candidate_dir(spark):
+    """The headline runtime pin, the exact inverse of round 13's
+    fragmented-state pin: after compaction the executed probe scan's
+    own metrics must show numFiles == numPartitions ==
+    n_candidate_files (one file per candidate directory), values
+    identical to the fragmented incremental layout's (same box, same
+    logical table — compaction moved bytes, not values), and the
+    carried-over extent table still pruning 6 of 64 files."""
+    df = Q["zorder_layout_compacted_skip"](spark, SF_DIR)
+    row = df.collect()[0]
+    assert 0 < row.n_candidate_files < row.n_total_files
+    metrics = _scan_metrics(df)
+    assert metrics.get("numFiles") == row.n_candidate_files, metrics
+    assert metrics.get("numPartitions") == row.n_candidate_files, metrics
+    incr = Q["zorder_layout_incremental_skip"](spark, SF_DIR).collect()[0]
+    assert tuple(row) == tuple(incr)
+    # and the compaction measurably shrank the table: the stats
+    # artifact records the fragmented → packed transition, ending at
+    # one file per partition across the whole layout
+    from building_permissions_etl_spark.plans.round14_queries import (
+        _layout_compact_artifact,
+    )
+
+    st = spark.read.parquet(
+        _layout_compact_artifact(spark, SF_DIR)["compact_stats"]).first()
+    assert st.n_touched > 0
+    assert st.files_before > st.files_after == st.n_partitions
+
+
+def test_compaction_rewrites_only_touched_partitions(spark, tmp_path):
+    """Unit pin on the operator itself: only multi-file partitions are
+    rewritten — untouched directories keep their exact files (name,
+    size, mtime), values survive byte-for-byte, the staging root is
+    gone afterwards, and a second compaction is a no-op."""
+    from building_permissions_etl_spark.operators.maintenance import (
+        compact_partitioned_layout,
+        list_partition_files,
+    )
+
+    path = str(tmp_path / "t.parquet")
+    base = spark.createDataFrame(
+        [(i % 3, i) for i in range(30)], "p int, k int")
+    base.repartition("p").write.partitionBy("p").parquet(path)
+    delta = spark.createDataFrame(
+        [(0, 100 + i) for i in range(5)], "p int, k int")
+    delta.repartition("p").write.mode("append").partitionBy("p") \
+        .parquet(path)
+
+    def snapshot(dirs):
+        out = {}
+        for d in dirs:
+            pdir = os.path.join(path, d)
+            out[d] = sorted(
+                (f, os.stat(os.path.join(pdir, f)).st_size,
+                 os.stat(os.path.join(pdir, f)).st_mtime_ns)
+                for f in os.listdir(pdir) if not f.startswith((".", "_")))
+        return out
+
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    inv = list_partition_files(path, "p")
+    assert {d: len(fs) for d, fs in inv.items()} == {
+        "p=0": 2, "p=1": 1, "p=2": 1}
+    untouched_before = snapshot(["p=1", "p=2"])
+
+    stats = compact_partitioned_layout(spark, path, "p")
+    assert stats["touched"] == ["p=0"]
+    assert (stats["n_partitions"], stats["n_touched"]) == (3, 1)
+    assert (stats["files_before"], stats["files_after"]) == (4, 3)
+    after = list_partition_files(path, "p")
+    assert {d: len(fs) for d, fs in after.items()} == {
+        "p=0": 1, "p=1": 1, "p=2": 1}
+    assert snapshot(["p=1", "p=2"]) == untouched_before
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) \
+        == before_rows
+    assert not os.path.exists(path + ".compact-staging")
+    # idempotent: nothing left to pack
+    again = compact_partitioned_layout(spark, path, "p")
+    assert again["n_touched"] == 0
+    assert again["files_after"] == again["files_before"] == 3
+
+
+def test_compaction_scan_prunes_to_touched_partitions(spark):
+    """The rewrite's own scan must open ONLY the fragmented
+    directories: drive compaction_read (the exact frame the operator
+    writes from) against the round-13 incremental artifact — reading
+    doesn't mutate it — and pin both the plan (candidate IN-list in
+    PartitionFilters) and the executed metrics (numPartitions == the
+    multi-file directory count, numFiles == exactly their files)."""
+    from building_permissions_etl_spark.operators.maintenance import (
+        compaction_read,
+        list_partition_files,
+    )
+    from building_permissions_etl_spark.plans.round13_queries import (
+        _layout_incr_artifact,
+    )
+
+    layout = _layout_incr_artifact(spark, SF_DIR)["orders_by_zfile_incr"]
+    inv = list_partition_files(layout, "zfile")
+    multi = {d: fs for d, fs in inv.items() if len(fs) > 1}
+    assert 0 < len(multi) < len(inv)
+    vals = [int(d.split("=", 1)[1]) for d in multi]
+
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        df = compaction_read(spark, layout, "zfile", vals)
+        plan = _static_plan(df)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    assert len(scans) == 1, plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", scans[0])
+    assert m and "zfile" in m.group(1) and " IN (" in m.group(1), scans[0]
+
+    df.collect()
+    metrics = _scan_metrics(df)
+    assert metrics.get("numPartitions") == len(multi), metrics
+    assert metrics.get("numFiles") == sum(
+        len(fs) for fs in multi.values()), metrics
