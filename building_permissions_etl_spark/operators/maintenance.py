@@ -233,10 +233,17 @@ def compact_partitioned_layout(spark, layout_path: str,
     fraction. Returns a stats dict: partitions/files before and
     after, and the touched partition dir names."""
     inv = list_partition_files(layout_path, partition_col)
-    multi = {d: fs for d, fs in inv.items() if len(fs) > 1}
+    # NULL-valued partitions are left as-is (documented limitation):
+    # their value cannot ride an isin() rewrite filter, and a fragment
+    # left unpacked is benign — the skipped count is surfaced in the
+    # stats instead of being silently folded in.
+    null_dir = f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+    multi = {d: fs for d, fs in inv.items()
+             if len(fs) > 1 and d != null_dir}
     stats = {
         "n_partitions": len(inv),
         "n_touched": len(multi),
+        "n_skipped_null": int(len(inv.get(null_dir, [])) > 1),
         "files_before": sum(len(fs) for fs in inv.values()),
         "touched": sorted(multi),
     }
@@ -244,12 +251,22 @@ def compact_partitioned_layout(spark, layout_path: str,
         stats["files_after"] = stats["files_before"]
         return stats
 
+    # dir name → column value, SCHEMA-driven (review r14): Spark
+    # %-escapes special characters in partition dir names, so the raw
+    # name must be unquoted, and guessing int-vs-string from the text
+    # would round-trip 'p=01' on a string column to the int 1 — the
+    # staging write would then emit a differently-named directory and
+    # the commit loop would miss it. Parsing by the column's dtype
+    # reproduces exactly the value Spark wrote the directory for, so
+    # the staging dir names match the layout's byte-for-byte.
+    from urllib.parse import unquote
+
+    dt = dict(spark.read.parquet(layout_path).dtypes)[partition_col]
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+
     def _val(dirname: str):
-        raw = dirname.split("=", 1)[1]
-        try:
-            return int(raw)
-        except ValueError:
-            return raw
+        raw = unquote(dirname.split("=", 1)[1])
+        return int(raw) if dt in int_types else raw
 
     staging = layout_path + ".compact-staging"
     try:
@@ -257,6 +274,17 @@ def compact_partitioned_layout(spark, layout_path: str,
                          [_val(d) for d in multi])
          .write.mode("overwrite").partitionBy(partition_col)
          .parquet(staging))
+        # pre-commit check BEFORE anything destructive: every touched
+        # partition must exist in staging under its exact layout dir
+        # name — a round-trip mismatch aborts cleanly here with the
+        # layout untouched, never mid-swap.
+        missing = [d for d in multi
+                   if not os.path.isdir(os.path.join(staging, d))]
+        if missing:
+            raise ValueError(
+                f"compaction staging is missing partition dirs "
+                f"{missing} — partition-value round-trip failed; "
+                "layout left untouched")
         # commit: per touched partition, drop the fragmented files and
         # move the compacted one in. os.replace is atomic per file;
         # the transactional all-or-nothing a warehouse gets from its

@@ -271,20 +271,21 @@ def _assert_bigint_headroom(shards) -> None:
     fixture, five orders inside BIGINT, but a large-N probe would hit
     the ceiling) — and Spark (non-ANSI) WRAPS silently where DuckDB
     raises, so the two engines would fail differently instead of both
-    loudly. This makes the Spark side loud: every intermediate the
-    probe's fold touches is bounded by the persisted partials
-    themselves — within a shard |run| ≤ max(rmax, b − a) (because
-    min(0, min run) = a − b), and the cross-shard fold's c/s_after are
-    sums of at most #shards such terms — so asserting
-    max_partial · (#shards + 1) < 2^62 leaves a 2× margin on every
-    value either engine computes. One agg over the ≤(types × days)-row
-    artifact, driver-side trivial. A bound breach means the deviation
+    loudly. This makes the Spark side loud at BUILD time for the base
+    partition's partials: every fold intermediate derived from them is
+    bounded by the partials themselves — within a shard |run| ≤
+    max(rmax, b − a) (because min(0, min run) = a − b), and the
+    cross-shard fold's c/s_after are sums of at most #shards such
+    terms — so asserting max_partial · (#shards + 1) < 2^62 leaves a
+    2× margin on every value either engine computes. One agg over the
+    ≤(types × days)-row artifact, driver-side trivial. The PROBE
+    applies the same bound lazily over the combined base ∪ delta
+    partials (``_shards_headroom_guarded``) so a hot delta batch is
+    guarded too. A bound breach means the deviation
     algebra needs per-shard re-centering (subtract a per-shard integer
     mean and carry the remainder — same fold, bounded operands; see
     round9_queries' integer-bound note), not a bigger integer."""
-    m_expr = F.greatest(
-        F.abs(F.col("a")), F.abs(F.col("b")), F.abs(F.col("rmax")),
-        F.abs(F.col("b0max")), F.abs(F.col("b") - F.col("a")))
+    m_expr = _shard_partial_magnitude()
     stats = (shards.groupBy("event_type")
              .agg(F.count(F.lit(1)).alias("k"), F.max(m_expr).alias("m"))
              .agg(F.max("k").alias("k"), F.max("m").alias("m"))
@@ -295,6 +296,47 @@ def _assert_bigint_headroom(shards) -> None:
             f"CUSUM partials near BIGINT overflow: max |partial| {m} "
             f"over {k} shards (bound 2^62 / (shards+1)); re-center the "
             "deviations per shard before scaling further")
+
+
+def _shard_partial_magnitude():
+    """max |value| any fold intermediate derived from one shard's
+    partials can reach: within a shard |run| ≤ max(rmax, b − a)
+    (min(0, min run) = a − b), covered together with the partials
+    themselves."""
+    return F.greatest(
+        F.abs(F.col("a")), F.abs(F.col("b")), F.abs(F.col("rmax")),
+        F.abs(F.col("b0max")), F.abs(F.col("b") - F.col("a")))
+
+
+def _shards_headroom_guarded(shards):
+    """LAZY headroom guard over the COMBINED (base ∪ delta) shard
+    partials the probe folds — review r14: ``_assert_bigint_headroom``
+    runs at artifact build and so covers only the base; a delta
+    day-shard hotter than every base shard (exactly the burst a CUSUM
+    exists to detect) could push fold intermediates past BIGINT with
+    the build-time bound still holding. This guard rides inside the
+    probe's own plan (``assert_true`` behind an always-true filter —
+    no extra action, no cache, no new scan, so the probe's
+    three-FileScan pin holds): per row, the per-type shard count k is
+    a window count over the ≤(types × days)-row partials frame, and
+    the bound max|partial| · (k + 1) < 2^62 is evaluated in DOUBLE —
+    exact integer math could itself overflow (or raise under ANSI) at
+    the very magnitudes being tested, and a 53-bit mantissa is more
+    than enough resolution for a bound that carries a 2× margin."""
+    k = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    ok = (_shard_partial_magnitude().cast("double")
+          * (k + F.lit(1)).cast("double")) < F.lit(float(1 << 62))
+    # window exprs are not allowed in WHERE: materialize the guard as
+    # a column, then filter on the (always-NULL) result
+    return (shards.withColumn("_headroom_ok", F.assert_true(
+        ok,
+        F.concat(
+            F.lit("CUSUM fold near BIGINT overflow for event_type="),
+            F.col("event_type"),
+            F.lit(" (bound 2^62/(shards+1)); re-center the deviations "
+                  "per shard before scaling further"))))
+        .filter(F.col("_headroom_ok").isNull())
+        .drop("_headroom_ok"))
 
 
 def _events_ts_filtered(spark, sf: str, cmp):
@@ -484,7 +526,8 @@ def contribute(register) -> None:
         q = delta.select(
             "event_type", "ts", "event_id",
             F.expr("CAST(floor(value * 100) AS BIGINT)").alias("x"))
-        shards = base_shards.unionByName(_cusum_shard_partials(ref, q))
+        shards = _shards_headroom_guarded(
+            base_shards.unionByName(_cusum_shard_partials(ref, q)))
         w_ord = (Window.partitionBy("event_type").orderBy("shard")
                  .rowsBetween(Window.unboundedPreceding,
                               Window.currentRow))

@@ -42,17 +42,20 @@ bigev.repartition(16).write.mode("overwrite").parquet(
 
 from building_permissions_etl_spark.plans import (round11_queries,
                                                   round12_queries,
-                                                  round13_queries)
+                                                  round13_queries,
+                                                  round14_queries)
 
 q = {}
 round11_queries.contribute(lambda name, fn, sql: q.__setitem__(name, fn))
 round12_queries.contribute(lambda name, fn, sql: q.__setitem__(name, fn))
 round13_queries.contribute(lambda name, fn, sql: q.__setitem__(name, fn))
+round14_queries.contribute(lambda name, fn, sql: q.__setitem__(name, fn))
 for name in ("psi_drift_persisted", "histogram_persisted_delta_update",
              "bloom_register_persisted_probe",
              "zorder_extent_persisted_prune",
              "zorder_partitioned_file_skip",
              "zorder_layout_incremental_skip",
+             "zorder_layout_compacted_skip",
              "cusum_state_persisted_probe"):
     for tag in ("first call (incl. any prep)", "artifact-only"):
         t0 = time.time()

@@ -21,37 +21,14 @@ from pyspark.sql import functions as F
 
 from building_permissions_etl_spark.plans.registry import oracle_sql, queries
 
+# ONE walker for all plan-shape suites (review r14): a fix to the
+# subtle JVM traversal (AQE wrapper probing, metrics unpacking) must
+# not leave a stale copy asserting old logic in another file.
+from tests.test_round13_plan_shape import _scan_metrics, _static_plan
+
 SF_DIR = "/root/testdata/sf0.001"
 
 Q = queries()
-
-
-def _static_plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _scan_metrics(df) -> dict:
-    """Metrics of the (single) scan node in a df's EXECUTED plan —
-    same walker as tests/test_round13_plan_shape.py."""
-    hits = []
-
-    def walk(node):
-        if "Scan" in node.nodeName():
-            it = node.metrics().iterator()
-            while it.hasNext():
-                kv = it.next()
-                hits.append((kv._1(), kv._2().value()))
-        for getter in ("executedPlan", "plan"):
-            try:
-                walk(getattr(node, getter)())
-            except Exception:
-                pass
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i))
-
-    walk(df._jdf.queryExecution().executedPlan())
-    return dict(hits)
 
 
 def test_zorder_merge_oracle_stable_across_quantizer_fold():
@@ -161,6 +138,65 @@ def test_compaction_rewrites_only_touched_partitions(spark, tmp_path):
     again = compact_partitioned_layout(spark, path, "p")
     assert again["n_touched"] == 0
     assert again["files_after"] == again["files_before"] == 3
+
+
+def test_probe_guards_delta_side_headroom(spark):
+    """Review r14: the build-time headroom guard covers only the base
+    partials — the probe's fold also unions DELTA partials computed at
+    probe time, and a delta day-shard hotter than every base shard is
+    exactly the burst a CUSUM detects. The lazy in-plan guard
+    (`_shards_headroom_guarded`) must pass sane partials through
+    unchanged and raise on a hot one at collect time."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from building_permissions_etl_spark.plans.round13_queries import (
+        _shards_headroom_guarded,
+    )
+
+    cols = ["event_type", "shard", "a", "rmax", "b0max", "b"]
+    ok = spark.createDataFrame(
+        [("x", 1, 10, 5, 7, 12), ("x", 2, -3, 2, 2, 0)], cols)
+    assert sorted(map(tuple, _shards_headroom_guarded(ok).collect())) \
+        == sorted(map(tuple, ok.collect()))
+    hot = spark.createDataFrame(
+        [("x", 1, 10, 5, 7, 12), ("x", 2, 1 << 61, 5, 7, 12)], cols)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="overflow"):
+        _shards_headroom_guarded(hot).collect()
+
+
+def test_compaction_roundtrips_escaped_string_partitions(spark, tmp_path):
+    """Review r14: Spark %-escapes special characters in partition dir
+    names ('a:b' → 'p=a%3Ab'); the dir→value parse must unquote (and
+    parse by column DTYPE, not by guessing int from the text), or the
+    rewrite filter selects zero rows and the commit loop aborts. A
+    NULL-valued partition is left fragmented by design and surfaced
+    in the stats."""
+    from building_permissions_etl_spark.operators.maintenance import (
+        compact_partitioned_layout,
+        list_partition_files,
+    )
+
+    path = str(tmp_path / "s.parquet")
+    rows = [("a:b", i) for i in range(6)] + [("plain", 9), (None, 10)]
+    df = spark.createDataFrame(rows, "p string, k int")
+    df.repartition("p").write.partitionBy("p").parquet(path)
+    df.repartition("p").write.mode("append").partitionBy("p") \
+        .parquet(path)
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(path).collect()))
+
+    stats = compact_partitioned_layout(spark, path, "p")
+    assert stats["touched"] == ["p=a%3Ab", "p=plain"]
+    assert stats["n_skipped_null"] == 1
+    after = list_partition_files(path, "p")
+    assert len(after["p=a%3Ab"]) == 1
+    assert len(after["p=plain"]) == 1
+    assert len(after["p=__HIVE_DEFAULT_PARTITION__"]) == 2
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) \
+        == before_rows
 
 
 def test_compaction_scan_prunes_to_touched_partitions(spark):
