@@ -283,9 +283,11 @@ EXTENSION_HEADLINE = [
     "zorder_partitioned_file_skip",
     "zorder_layout_incremental_skip",
     "cusum_state_persisted_probe",
-    # round-14 addition: OPTIMIZE bin-packing on the fragmented layout —
-    # the probe's numFiles drops back to n_candidate_files
+    # round-14 additions: OPTIMIZE bin-packing on the fragmented layout
+    # (the probe's numFiles drops back to n_candidate_files) and the
+    # full lifecycle loop (append → compact → append again)
     "zorder_layout_compacted_skip",
+    "zorder_layout_lifecycle_skip",
     # previously-unbenched mid-weight queries (full-fact aggs, set ops,
     # multi-join trees). The ONLY registry queries deliberately left
     # unbenched are trivial scalar/filter/rename point-ops whose cost is

@@ -41,7 +41,7 @@ MODULES = [
     ("round11_queries", "Drift monitoring in its persisted-artifact shape: snapshots written as tables, monitor reads only artifacts"),
     ("round12_queries", "Maintained Bloom registers + z-order extents in persisted shape: prep publishes the artifact, probe/prune reads only artifact + delta"),
     ("round13_queries", "Persisted arcs completed: z-file-PARTITIONED layout with PartitionFilters skipping; CUSUM persisted-state probe folding a delta-only scan"),
-    ("round14_queries", "Layout lifecycle closed: OPTIMIZE bin-packing compaction — only fragmented partitions rewritten, extents carried verbatim, skip intact"),
+    ("round14_queries", "Layout lifecycle closed: OPTIMIZE bin-packing compaction (only fragmented partitions rewritten, extents carried verbatim) and the full append → compact → append loop, skip intact throughout"),
 ]
 
 

@@ -56,6 +56,7 @@ for name in ("psi_drift_persisted", "histogram_persisted_delta_update",
              "zorder_partitioned_file_skip",
              "zorder_layout_incremental_skip",
              "zorder_layout_compacted_skip",
+             "zorder_layout_lifecycle_skip",
              "cusum_state_persisted_probe"):
     for tag in ("first call (incl. any prep)", "artifact-only"):
         t0 = time.time()

@@ -42,12 +42,13 @@ def test_rows_only_set_is_exactly_the_documented_one():
 def test_driver_window_matches_round14_rotation():
     """The first 50 registry entries (the slice the driver verifies)
     must match _DRIVER_WINDOW exactly, and the round-14 window must
-    front-load (a) the round-14 addition
-    (`zorder_layout_compacted_skip` — never verified) plus the two
+    front-load (a) the two round-14 additions
+    (`zorder_layout_compacted_skip` and
+    `zorder_layout_lifecycle_skip` — never verified) plus the two
     round-13 queries whose code changed closing the round-13 ADVICE
     items (dead-evidence rule), (b) the 14 r09-cohort leftovers (five
     rounds without a verdict, the oldest evidence in the registry),
-    and (c) 33 of the 48-query r10 cohort, alphabetical; the 15 r10
+    and (c) 32 of the 48-query r10 cohort, alphabetical; the 16 r10
     leftovers are pinned by name so the round-15 queue stays
     mechanical."""
     from building_permissions_etl_spark.plans.registry import _DRIVER_WINDOW
@@ -62,7 +63,8 @@ def test_driver_window_matches_round14_rotation():
     # slot wasted)
     assert set(names[:50]) <= o
     head = {
-        "zorder_layout_compacted_skip",    # round-14 addition
+        "zorder_layout_compacted_skip",    # round-14 additions
+        "zorder_layout_lifecycle_skip",
         "zorder_layout_incremental_skip",  # ADVICE fix: pre-append extents
         "cusum_state_persisted_probe",     # ADVICE fix: headroom guard
     }
@@ -79,12 +81,12 @@ def test_driver_window_matches_round14_rotation():
         "basket_lift_brands", "event_sessionization",
         "gapfill_daily_forward_fill", "histogram_shard_merge",
         "min_cost_supplier_per_part", "native_session_window",
-        "recursive_key_chain",
+        "range_join_clicks_errors",
     }
     # round-15 queue: the r10 leftovers stay registered but out of
     # this window
     r10_deferred = {
-        "returned_items_report", "rfm_segment_counts",
+        "recursive_key_chain", "returned_items_report", "rfm_segment_counts",
         "scd1_customer_upsert", "scd2_customer_upsert",
         "similarity_topk_quantized", "stream_scd1_upsert",
         "stream_session_window", "stream_window_counts",

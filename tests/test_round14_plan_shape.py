@@ -237,3 +237,58 @@ def test_compaction_scan_prunes_to_touched_partitions(spark):
     assert metrics.get("numPartitions") == len(multi), metrics
     assert metrics.get("numFiles") == sum(
         len(fs) for fs in multi.values()), metrics
+
+
+def test_lifecycle_skip_probes_the_mixed_steady_state(spark):
+    """The full loop (append → compact → append) ships a layout where
+    some candidate directories are packed (one file) and some were
+    re-fragmented by the ingest AFTER the OPTIMIZE: the executed probe
+    must read exactly the candidate directories (numPartitions) and
+    exactly their files (numFiles == the driver-side listing's count,
+    between the packed floor and the fragmented ceiling), values must
+    equal the other layout variants' (same box, same logical table),
+    and the twice-merged carried extent table must still sum to the
+    full fixture row count."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.operators.maintenance import (
+        list_partition_files,
+    )
+    from building_permissions_etl_spark.plans.round12_queries import (
+        _DAY_HI,
+        _DAY_LO,
+        _PRICE_HI,
+        _PRICE_LO,
+    )
+    from building_permissions_etl_spark.plans.round14_queries import (
+        _layout_lifecycle_artifact,
+    )
+
+    df = Q["zorder_layout_lifecycle_skip"](spark, SF_DIR)
+    row = df.collect()[0]
+    metrics = _scan_metrics(df)
+    paths = _layout_lifecycle_artifact(spark, SF_DIR)
+    ext = spark.read.parquet(paths["zfile_extents_cycle"]).collect()
+    cand = sorted(int(r["bucket"]) for r in ext
+                  if r["max_day"] >= _DAY_LO and r["min_day"] < _DAY_HI
+                  and r["max_price"] >= _PRICE_LO
+                  and r["min_price"] < _PRICE_HI)
+    assert row.n_candidate_files == len(cand) > 0
+    inv = list_partition_files(paths["orders_by_zfile_cycle"], "zfile")
+    cand_files = [len(inv[f"zfile={z}"]) for z in cand]
+    assert metrics.get("numPartitions") == row.n_candidate_files, metrics
+    assert metrics.get("numFiles") == sum(cand_files), metrics
+    # the MIXED state is what this query exists to prove: packed and
+    # re-fragmented directories both present among the candidates
+    assert min(cand_files) == 1 and max(cand_files) >= 2, cand_files
+    # values identical across all three layout variants (append and
+    # rewrite moved bytes, never values)
+    compacted = Q["zorder_layout_compacted_skip"](spark, SF_DIR).collect()[0]
+    assert tuple(row) == tuple(compacted)
+    # the carried extent table was merged, survived the rewrite, and
+    # merged again — its n must still sum to exactly the fixture
+    n_sum = sum(r["n"] for r in ext)
+    assert n_sum == load_table(spark, "orders", SF_DIR).count()
+    # and the mid-cycle OPTIMIZE measurably packed the delta-1 state
+    st = spark.read.parquet(paths["cycle_stats"]).first()
+    assert st.n_touched > 0
+    assert st.files_before > st.files_after == st.n_partitions
