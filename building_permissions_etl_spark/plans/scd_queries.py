@@ -196,9 +196,14 @@ def contribute(register) -> None:
             # that Catalyst would re-analyze superlinearly across batches
             state["df"] = merged.localCheckpoint()
 
-        q = (feed.writeStream.foreachBatch(fold)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+        from building_permissions_etl_spark.streaming.events import (
+            scoped_stream_shuffle,
+        )
+
+        with scoped_stream_shuffle(spark):
+            q = (feed.writeStream.foreachBatch(fold)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
         return (
             state["df"].filter(F.expr(_SUBSET))
             .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",

