@@ -237,7 +237,7 @@ def test_connected_components_releases_caches(spark):
         [(i, i + 1) for i in range(3)], "id_a long, id_b long"
     )
     before = jsc.getPersistentRDDs().size()
-    labels = connected_components(edges, max_iters=20)
+    labels = connected_components(edges, max_iters=20, local_edge_cap=0)
     assert jsc.getPersistentRDDs().size() - before <= 1
     assert {(r.id, r.label) for r in labels.collect()} == {(i, 0) for i in range(4)}
     labels.unpersist()
@@ -250,7 +250,7 @@ def test_connected_components_releases_caches(spark):
         [(i, i + 1) for i in range(11)], "id_a long, id_b long"
     )
     before = jsc.getPersistentRDDs().size()
-    labels12 = connected_components(edges12, max_iters=20)
+    labels12 = connected_components(edges12, max_iters=20, local_edge_cap=0)
     assert jsc.getPersistentRDDs().size() - before <= 1
     assert {(r.id, r.label) for r in labels12.collect()} == {(i, 0) for i in range(12)}
     labels12.unpersist()
@@ -305,7 +305,7 @@ def test_star_components_long_chain_bounded_rounds(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    labels = connected_components_star(edges)
+    labels = connected_components_star(edges, local_edge_cap=0)
     got = {(r.id, r.label) for r in labels.collect()}
     labels.unpersist()
     assert got == {(i, 0) for i in range(n)}
@@ -330,13 +330,73 @@ def test_star_components_match_propagation_on_random_graphs(spark):
             for _ in range(n_edges)
         ]
         df = spark.createDataFrame(pairs, "id_a long, id_b long")
-        base = connected_components(df, max_iters=50)
-        star = connected_components_star(df)
+        base = connected_components(df, max_iters=50, local_edge_cap=0)
+        star = connected_components_star(df, local_edge_cap=0)
         a = {(r.id, r.label) for r in base.collect()}
         b = {(r.id, r.label) for r in star.collect()}
         base.unpersist()
         star.unpersist()
         assert a == b, f"trial {trial}: {sorted(a ^ b)}"
+
+
+def test_cc_small_graph_short_circuit_matches_loops(spark):
+    """Default-cap calls label small graphs on the driver (union-find);
+    the result must be bit-identical to both distributed loops, leave
+    no persisted residue, and fall through to the loop when the edge
+    list exceeds the cap."""
+    import random
+
+    from building_permissions_etl_spark.operators import dedup as D
+
+    rng = random.Random(7)
+    jsc = spark.sparkContext._jsc.sc()
+    for trial in range(4):
+        n_nodes = rng.randint(2, 50)
+        pairs = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(rng.randint(1, 80))]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        before = jsc.getPersistentRDDs().size()
+        local = {(r.id, r.label)
+                 for r in D.connected_components(df).collect()}
+        assert jsc.getPersistentRDDs().size() == before  # no cache residue
+        loop = D.connected_components(df, max_iters=50, local_edge_cap=0)
+        star = D.connected_components_star(df, local_edge_cap=0)
+        assert local == {(r.id, r.label) for r in loop.collect()}
+        assert local == {(r.id, r.label) for r in star.collect()}
+        loop.unpersist()
+        star.unpersist()
+
+    # entry points agree on the local path too (same helper, same result)
+    df = spark.createDataFrame([(1, 2), (2, 3), (9, 9)], "id_a long, id_b long")
+    a = {(r.id, r.label) for r in D.connected_components(df).collect()}
+    b = {(r.id, r.label) for r in D.connected_components_star(df).collect()}
+    assert a == b == {(1, 1), (2, 1), (3, 1), (9, 9)}
+
+    # over-cap edge lists fall through to the distributed loop: a cap of
+    # 2 on a 3-edge graph must still produce loop-labeled results
+    small_cap = D.connected_components(df, local_edge_cap=2)
+    assert {(r.id, r.label) for r in small_cap.collect()} == a
+    small_cap.unpersist()
+
+
+def test_cc_small_graph_null_endpoints_match_loop_semantics(spark):
+    """NULL endpoints never merge components in the loops (null join
+    keys match nothing) and surface as a single (null, null) row; the
+    driver short-circuit must replicate that exactly."""
+    from building_permissions_etl_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(None, 5), (5, None), (1, 2), (None, None)],
+        "id_a bigint, id_b bigint")
+    want = {(None, None), (5, 5), (1, 1), (2, 1)}
+    local = {(r.id, r.label) for r in D.connected_components(df).collect()}
+    loop = D.connected_components(df, max_iters=20, local_edge_cap=0)
+    star = D.connected_components_star(df, local_edge_cap=0)
+    assert local == want
+    assert {(r.id, r.label) for r in loop.collect()} == want
+    assert {(r.id, r.label) for r in star.collect()} == want
+    loop.unpersist()
+    star.unpersist()
 
 
 def test_star_components_release_caches(spark):
@@ -355,7 +415,7 @@ def test_star_components_release_caches(spark):
         [(i, i + 1) for i in range(99)], "id_a long, id_b long"
     )
     before = jsc.getPersistentRDDs().size()
-    labels = connected_components_star(edges)
+    labels = connected_components_star(edges, local_edge_cap=0)
     assert jsc.getPersistentRDDs().size() - before <= 1
     assert {(r.id, r.label) for r in labels.collect()} == {
         (i, 0) for i in range(100)
@@ -460,7 +520,7 @@ def test_checkpoint_released_per_result(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(39)], "id_a long, id_b long"
     )
-    labels = connected_components(edges, max_iters=5)
+    labels = connected_components(edges, max_iters=5, local_edge_cap=0)
     # residue = the returned labels cache ONLY; the checkpoint RDD and
     # every loop-generation cache are already gone
     assert jsc.getPersistentRDDs().size() <= before + 1
@@ -468,7 +528,7 @@ def test_checkpoint_released_per_result(spark):
     # the ADVICE hazard case: a SECOND iterative call before the first
     # result is consumed must not unpersist the first result's data
     small = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
-    l2 = connected_components(small, max_iters=5)
+    l2 = connected_components(small, max_iters=5, local_edge_cap=0)
     assert {r["id"] for r in labels.collect()} == set(range(40))
     assert l2.count() == 2
     labels.unpersist()
@@ -482,7 +542,7 @@ def test_release_retained_checkpoints_local_noop(spark):
     from building_permissions_etl_spark.operators import dedup as D
 
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
-    D.connected_components(pairs, max_iters=20).collect()
+    D.connected_components(pairs, max_iters=20, local_edge_cap=0).collect()
     assert D._RETAINED_FINAL_RELEASES == []
     assert D.release_retained_checkpoints() == 0
 
@@ -497,7 +557,7 @@ def test_release_retained_checkpoints_cluster_path(spark, monkeypatch):
     # a 12-node chain forces >5 propagation rounds → a live checkpoint
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 12)], "id_a int, id_b int")
-    labels = D.connected_components(pairs, max_iters=20)
+    labels = D.connected_components(pairs, max_iters=20, local_edge_cap=0)
     assert len(D._RETAINED_FINAL_RELEASES) == 1
     assert D.release_retained_checkpoints() == 1
     assert D._RETAINED_FINAL_RELEASES == []
