@@ -251,11 +251,22 @@ def extract_features(
         def fake_features(payload):
             if payload is None or len(payload) == 0:
                 return [0.0] * n_features
-            buckets = [0] * n_features
-            for b in payload[:4096]:
-                buckets[b % n_features] += 1
-            total = float(sum(buckets))
-            return [int((c / total) * 1e6) / 1e6 for c in buckets]
+            # numpy bincount over the byte window instead of a Python
+            # per-byte loop (guide §4.2: hand the bytes to vectorized
+            # native code inside the Python boundary): same integer
+            # counts, and the normalization stays per-bucket Python
+            # float math, so the emitted doubles are bit-identical to
+            # the loop form. Measured per call: breakeven at the
+            # fixture's ~300-byte payloads, 7× faster at the 4 KiB
+            # window cap real assets hit.
+            import numpy as _np
+
+            counts = _np.bincount(
+                _np.frombuffer(payload[:4096], dtype=_np.uint8) % n_features,
+                minlength=n_features,
+            )
+            total = float(int(counts.sum()))
+            return [int((int(c) / total) * 1e6) / 1e6 for c in counts]
 
         def pil_features(payload):
             from io import BytesIO
