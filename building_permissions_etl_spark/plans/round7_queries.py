@@ -56,21 +56,48 @@ def _int_dist2(a, b):
     )
 
 
-def _assign(vectors, centroids):
-    """(vec_id, qv) × broadcast (seed_id, sv) → argmin integer L2, the
-    min_by shape whose partial pass collapses k rows per vector inside
-    the map task (operators/similarity.py:assign_nearest_seed)."""
-    return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "qv", "seed_id",
-                _int_dist2(F.col("qv"), F.col("sv")).alias("dist2"))
-        .groupBy("vec_id")
-        .agg(F.min_by(F.struct("qv", "seed_id", "dist2"),
-                      F.struct("dist2", "seed_id")).alias("__b"))
-        .select("vec_id", F.col("__b.qv").alias("qv"),
-                F.col("__b.seed_id").alias("seed_id"),
-                F.col("__b.dist2").alias("dist2"))
+def _assign(vectors, cent_rows):
+    """(vec_id, qv) → argmin integer L2 against PLAN-LITERAL centroids.
+
+    ``cent_rows`` is the collected ≤k-row centroid table (seed_id, sv).
+    Round 14 (guide §2.4): the former shape — crossJoin against a
+    broadcast centroid frame, then a min_by argmin keyed on vec_id —
+    materialized k rows per vector (each carrying the 64-long qv
+    array), sorted them (min_by over an array-bearing struct plans as
+    SortAggregate), and exchanged N fat rows, THREE times per query.
+    With k=16 centroids the whole table is a 16×64 bigint literal, so
+    the argmin is one narrow ``transform`` + ``array_min`` projection:
+    no join, no aggregate, no exchange in any E-step (same integer
+    arithmetic, and first-position-of-min over seed_id-ascending rows
+    reproduces min_by's (dist2, seed_id) tie-break exactly). Same
+    literal technique as similarity._lit_matrix; the driver-side
+    collect is ≤k rows per iteration, charged to construction like
+    every eager loop in this registry."""
+    cent_rows = sorted(cent_rows, key=lambda r: r[0])
+    sv_mat = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{int(x)}L" for x in sv) + ")"
+            for _, sv in cent_rows) + ")")
+    sid_arr = F.expr(
+        "array(" + ",".join(f"{int(s)}L" for s, _ in cent_rows) + ")")
+    from building_permissions_etl_spark.functions.expr import let
+
+    best = let(
+        F.transform(sv_mat, lambda c: _int_dist2(F.col("qv"), c)),
+        lambda d: let(
+            F.array_min(d),
+            lambda m: F.struct(
+                F.element_at(sid_arr, F.array_position(d, m).cast("int"))
+                .alias("seed_id"),
+                m.alias("dist2"),
+            ),
+        ),
     )
+    return vectors.select(
+        "vec_id", "qv",
+        best.alias("__b"),
+    ).select("vec_id", "qv", F.col("__b.seed_id").alias("seed_id"),
+             F.col("__b.dist2").alias("dist2"))
 
 
 # CAST to DOUBLE before the multiply: DuckDB would otherwise run
@@ -120,24 +147,41 @@ def contribute(register) -> None:
         emb = load_table(spark, "embeddings", sf)
         q = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
         q = q.cache()
-        seeds0 = q.filter(F.col("vec_id") < K_SEEDS).select(
-            F.col("vec_id").alias("seed_id"), F.col("qv").alias("sv"))
 
         def m_step(assigned):
-            sums = assigned.groupBy("seed_id").agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(DIM)],
-            )
-            return sums.select(
-                "seed_id",
-                F.array(*[F.expr(f"s{i} div n") for i in range(DIM)])
-                .alias("sv"),
-            )
+            # M-step as ONE posexplode + a 2-key aggregate: the former
+            # 64-column shape (64 × sum(qv[i]) + 64 × `div` exprs)
+            # made per-iteration ANALYSIS the dominant cost of the
+            # loop (guide §7.3: very large expression trees spend their
+            # time in the optimizer). The exchange carries ≤ k×DIM
+            # groups. Division happens driver-side on the collected
+            # partials: every operand is POSITIVE by construction (the
+            # Q_OFFSET note above), and for positive bigints Python
+            # `//`, Spark `div` and DuckDB `//` all agree (floor ==
+            # truncate), so the centroids are bit-identical to the
+            # oracle's — pinned by the value-hash oracle itself.
+            rows = (assigned.select("seed_id",
+                                    F.posexplode("qv").alias("i", "x"))
+                    .groupBy("seed_id", "i")
+                    .agg(F.sum("x").alias("s"),
+                         F.count(F.lit(1)).alias("n"))
+                    .collect())
+            cent: dict = {}
+            for r in rows:
+                cent.setdefault(r["seed_id"], [0] * DIM)[r["i"]] = (
+                    r["s"] // r["n"])
+            return sorted(cent.items())
 
-        a1 = _assign(q, seeds0)
-        c1 = m_step(a1)
-        a2 = _assign(q, c1)
-        c2 = m_step(a2)
+        # each iteration collects the ≤k-row centroid table and feeds
+        # it back as a plan literal — two small construction-time jobs
+        # over the cached q replace three crossJoin+SortAggregate
+        # E-steps in one giant plan (see _assign)
+        seeds0 = [(r["seed_id"], r["sv"]) for r in
+                  q.filter(F.col("vec_id") < K_SEEDS)
+                  .select(F.col("vec_id").alias("seed_id"),
+                          F.col("qv").alias("sv")).collect()]
+        c1 = m_step(_assign(q, seeds0))
+        c2 = m_step(_assign(q, c1))
         final = _assign(q, c2)
         return (
             final.groupBy("seed_id")
