@@ -37,6 +37,7 @@ one-shot use.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -817,6 +818,34 @@ def topk_bruteforce_batch(
     )
 
 
+# Seed frames at or under this row count are collected and inlined as
+# plan literals (same fits-on-the-driver discipline as dedup.py's CC
+# short-circuit: the probe collects at most cap+1 rows, and 0 disables
+# the fast path entirely). SemDeDup-realistic seed counts (10^4-10^5)
+# exceed the cap and keep the broadcast-join shape.
+SEED_LITERAL_CAP = int(os.environ.get("SPARK_GRAFT_SEED_LITERAL_CAP", "256"))
+
+
+def _seed_literal_rows(seeds, seed_id_col, seed_vec_col):
+    """Collected, seed-id-sorted (id, vec) rows iff the seed frame fits
+    under ``SEED_LITERAL_CAP`` and is literal-safe (non-null ids and
+    vectors, no null elements, one common dimension), else None."""
+    cap = SEED_LITERAL_CAP
+    if cap <= 0:
+        return None
+    head = seeds.select(seed_id_col, seed_vec_col).limit(cap + 1).collect()
+    if not head or len(head) > cap:
+        return None
+    dims = set()
+    for r in head:
+        if r[0] is None or r[1] is None or any(v is None for v in r[1]):
+            return None
+        dims.add(len(r[1]))
+    if len(dims) != 1:
+        return None
+    return sorted(head, key=lambda r: r[0])
+
+
 def assign_nearest_seed(
     df: DataFrame,
     vec_col: str,
@@ -827,26 +856,71 @@ def assign_nearest_seed(
     round_to: int = 6,
 ) -> DataFrame:
     """Nearest-centroid assignment (the Lloyd's-iteration E-step and the
-    SemDeDup blocking step): every vector joins the BROADCAST seed set,
-    takes the argmin squared-L2 distance — rounded to ``round_to`` so the
+    SemDeDup blocking step): every vector takes the argmin squared-L2
+    distance against the seed set — rounded to ``round_to`` so the
     comparison key is engine-portable — with the seed id as a
     deterministic tiebreak. Returns the input columns plus
-    (``seed_id_col``, ``dist2``).
+    (``seed_id_col``, ``dist2``). ``id_col`` is assumed unique (it is a
+    vector id).
 
-    Shape: one broadcast nested-loop against the O(k) seed frame, then
-    a ``min_by`` aggregation keyed on the vector id. The argmin is a
-    declarative aggregate, so the partial pass collapses each vector's
-    k scored rows to ONE inside the map task (the crossJoin preserves
-    the corpus partitioning, co-locating every vector's k rows) — the
-    exchange moves N rows, not k·N. Round 6 shipped this as a
-    ``row_number`` window, which shuffled the full k·N cross product:
-    harmless at k=16, the wrong shape at SemDeDup-realistic cluster
-    counts (10^4-10^5). The (dist2, seed id) ordering struct is unique
-    per group, so the argmin is deterministic. Per-iteration cost of
-    k-means and the cluster-assignment pass of semantic dedup
-    (Abbas et al. 2023, SemDeDup) at any corpus size; partial-before-
-    exchange pinned in tests/test_plan_shape.py.
+    Shape (round 14, guide §2.4 "remove shuffles outright"): when the
+    seed frame fits under ``SEED_LITERAL_CAP`` it is collected (bounded
+    probe, ≤ cap+1 rows) and inlined as a 2-D double literal, making
+    the whole assignment ONE narrow projection — no join, no aggregate,
+    no exchange. First-position-of-min over seed-id-ascending literal
+    rows reproduces the join path's min_by (dist2, seed_id) tie-break
+    exactly, and ``repr(float)``/``parseDouble`` round-trip keeps the
+    literal seed values bit-identical to the column values, so the
+    arithmetic (element-wise double subtract/multiply, left-fold sum,
+    round) is unchanged. When every distance is NULL (null/mismatched
+    corpus vector) both paths yield the lowest seed id with NULL dist2.
+
+    Past the cap: one broadcast nested-loop against the O(k) seed
+    frame, then a ``min_by`` aggregation keyed on the vector id whose
+    partial pass collapses each vector's k scored rows to ONE inside
+    the map task — the exchange moves N rows, not k·N. Round 6 shipped
+    this as a ``row_number`` window, which shuffled the full k·N cross
+    product. Per-iteration cost of k-means and the cluster-assignment
+    pass of semantic dedup (Abbas et al. 2023, SemDeDup) at any corpus
+    size; both shapes pinned in tests/test_plan_shape.py.
     """
+    lit_rows = _seed_literal_rows(seeds, seed_id_col, seed_vec_col)
+    if lit_rows is not None:
+        from building_permissions_etl_spark.functions.expr import let
+
+        sv_mat = _lit_matrix([list(r[1]) for r in lit_rows])
+        sid_arr = F.array(*[F.lit(r[0]) for r in lit_rows])
+        vec = F.col(vec_col)
+
+        def d2(sv):
+            diff2 = F.zip_with(
+                vec, sv,
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            )
+            return F.round(
+                F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x),
+                round_to)
+
+        best = let(
+            F.transform(sv_mat, d2),
+            lambda d: let(
+                F.array_min(d),
+                lambda m: F.struct(
+                    F.element_at(
+                        sid_arr,
+                        F.coalesce(F.array_position(d, m), F.lit(1))
+                        .cast("int"),
+                    ).alias("__sid"),
+                    m.alias("__d2"),
+                ),
+            ),
+        )
+        return df.select(*df.columns, best.alias("__b")).select(
+            *df.columns,
+            F.col("__b").getField("__sid").alias(seed_id_col),
+            F.col("__b").getField("__d2").alias("dist2"),
+        )
     diff2 = F.zip_with(
         F.col(vec_col), F.col(seed_vec_col),
         lambda a, b: (a.cast("double") - b.cast("double"))

@@ -23,6 +23,7 @@ from building_permissions_etl_spark.operators import aggregates as A
 from building_permissions_etl_spark.operators import dedup as D
 from building_permissions_etl_spark.operators import joins as J
 from building_permissions_etl_spark.operators import scd as SCD
+from building_permissions_etl_spark.operators import similarity as S
 
 
 def _malformed_history(spark, sf):
@@ -660,39 +661,24 @@ def contribute(register) -> None:
     # The Lloyd-iteration assignment step with deterministic seeds (the
     # 16 lowest-id vectors — both engines read the SAME seed vectors
     # from the table, so no literal centroids in the SQL): every vector
-    # joins the broadcast seed set, takes the argmin squared-L2 (rounded
-    # 6, seed_id tiebreak), and the census reports cluster sizes. One
-    # broadcast join + a min_by argmin whose partial pass collapses each
-    # vector's k rows inside the map task (the crossJoin preserves the
-    # corpus partitioning), so the exchange moves N rows, not k·N — at
-    # 100 TB the assignment is the per-iteration cost and this is its
-    # plan (round 6 used a row_number window here, which shuffled the
-    # full k·N cross product).
+    # takes the argmin squared-L2 (rounded 6, seed_id tiebreak) against
+    # the seed set, and the census reports cluster sizes. Round 14
+    # (guide §2.4): delegated to similarity.assign_nearest_seed, whose
+    # literal-seed path makes the whole assignment one projection — the
+    # 16 seeds are collected at construction (bounded pushed-filter
+    # read) and inlined, so the only exchange left is the census
+    # aggregate (the former shape cross-joined the broadcast seed frame
+    # and min_by-aggregated N fat rows).
     def kmeans_census(spark, sf):
         emb = load_table(spark, "embeddings", sf)
         seeds = emb.filter(F.col("vec_id") < 16).select(
             F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv"))
-        diff2 = F.zip_with(
-            F.col("embedding"), F.col("sv"),
-            lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double")),
-        )
-        dist = F.round(
-            F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x), 6)
-        assigned = (
-            emb.crossJoin(F.broadcast(seeds))
-            .select("vec_id", "seed_id", dist.alias("dist"))
-            .groupBy("vec_id")
-            .agg(F.min_by(F.struct("seed_id", "dist"),
-                          F.struct("dist", "seed_id")).alias("__best"))
-            .select("vec_id", F.col("__best.seed_id").alias("seed_id"),
-                    F.col("__best.dist").alias("dist"))
-        )
+        assigned = S.assign_nearest_seed(emb, "embedding", "vec_id", seeds)
         return (
             assigned.groupBy("seed_id")
             .agg(
                 F.count(F.lit(1)).alias("n_vectors"),
-                F.round(F.min("dist"), 6).alias("closest_dist2"),
+                F.round(F.min("dist2"), 6).alias("closest_dist2"),
             )
             .orderBy("seed_id")
         )

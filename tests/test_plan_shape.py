@@ -232,12 +232,11 @@ def test_batched_ann_scans_corpus_once(spark):
     assert len(scans) == 1, plan
 
 
-def test_assign_nearest_seed_partial_argmin_before_exchange(spark):
-    """The nearest-seed argmin must be a declarative min_by aggregation
-    whose PARTIAL pass runs before the exchange — each vector's k scored
-    rows collapse to one inside the map task, so the shuffle moves N
-    rows, not k·N (round 6 used a row_number window, which shuffled the
-    full cross product)."""
+def test_assign_nearest_seed_literal_path_is_projection(spark):
+    """Under SEED_LITERAL_CAP the nearest-seed argmin is ONE narrow
+    projection over the corpus scan (round 14, guide §2.4): the seeds
+    are plan literals, so there is no join, no aggregate and no
+    exchange anywhere in the assignment."""
     from building_permissions_etl_spark.catalog import load_table
     from building_permissions_etl_spark.operators.similarity import (
         assign_nearest_seed,
@@ -249,12 +248,57 @@ def test_assign_nearest_seed_partial_argmin_before_exchange(spark):
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv"))
     plan = _plan(assign_nearest_seed(emb, "embedding", "vec_id", seeds))
     assert "row_number" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    scans = re.findall(r"Scan parquet|FileScan parquet", plan)
+    assert len(scans) == 1, plan
+
+
+def test_assign_nearest_seed_fallback_partial_argmin_before_exchange(
+        spark, monkeypatch):
+    """Past the cap the join path is unchanged: a declarative min_by
+    aggregation whose PARTIAL pass runs before the exchange — each
+    vector's k scored rows collapse to one inside the map task, so the
+    shuffle moves N rows, not k·N (round 6 used a row_number window,
+    which shuffled the full cross product)."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(similarity, "SEED_LITERAL_CAP", 0)
+    emb = load_table(spark, "embeddings", SF)
+    seeds = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv"))
+    plan = _plan(similarity.assign_nearest_seed(
+        emb, "embedding", "vec_id", seeds))
+    assert "row_number" not in plan, plan
     i_partial = plan.find("partial_min_by")
     i_exchange = plan.find("Exchange hashpartitioning(vec_id")
     assert i_partial != -1 and i_exchange != -1, plan
     # explain prints top-down: the partial aggregate must sit BELOW
     # (later in the text than) the exchange that feeds the final agg
     assert i_partial > i_exchange, plan
+
+
+def test_assign_nearest_seed_literal_path_matches_join_path(
+        spark, monkeypatch):
+    """Value identity of the two shapes on real data: literal-path rows
+    (seed_id AND rounded dist2) equal the join path's bit-for-bit."""
+    from building_permissions_etl_spark.catalog import load_table
+    from building_permissions_etl_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", SF)
+    seeds = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv"))
+    fast = similarity.assign_nearest_seed(
+        emb, "embedding", "vec_id", seeds).select(
+        "vec_id", "seed_id", "dist2").orderBy("vec_id").collect()
+    monkeypatch.setattr(similarity, "SEED_LITERAL_CAP", 0)
+    slow = similarity.assign_nearest_seed(
+        emb, "embedding", "vec_id", seeds).select(
+        "vec_id", "seed_id", "dist2").orderBy("vec_id").collect()
+    assert fast == slow and len(fast) > 0
 
 
 def test_ivf_index_append_equals_rebuild(spark, tmp_path):
