@@ -279,16 +279,32 @@ def contribute(register) -> None:
         probs = [i / 32 for i in range(1, 32)]
         r_b, f_b, m_b = base.stat.approxQuantile(
             ["r_days", "f", "m_cents"], probs, 0.001)
-        scored = base
+        # Round 14 (guide §3.3 "very wide plans", §7.3): round 8 CHAINED
+        # the three equi-depth stages, and because each stage references
+        # its input twice (ranked side + per-range count side) the plan
+        # tree DOUBLED per stage — 190 Exchanges / 66 scans in the
+        # explain, with single-threaded analysis dominating the query
+        # (construct 2.1 s vs 0.16 s exec). The buckets depend only on
+        # (value, custkey), never on the other scores, so the three
+        # stages now run independently over NARROW projections of the
+        # cached base and meet in two unique-key joins of one-row-per-
+        # customer frames: the doubling is gone and every exchange
+        # carries (custkey, score) instead of the whole scored frame.
+        parts = []
         for col, score, bnds in (("r_days", "r_score", r_b),
                                  ("f", "f_score", f_b),
                                  ("m_cents", "m_score", m_b)):
-            scored = (
-                equi_depth_buckets(scored, col, "o_custkey", 5,
+            keep = ["o_custkey", col] if col != "m_cents" else [
+                "o_custkey", "m_cents"]
+            parts.append(
+                equi_depth_buckets(base.select(*keep), col, "o_custkey", 5,
                                    boundaries=bnds)
                 .withColumn(score, F.col("bucket").cast("int"))
-                .drop("bucket")
+                .select("o_custkey", *([score, "m_cents"]
+                                       if col == "m_cents" else [score]))
             )
+        scored = parts[0].join(parts[1], "o_custkey").join(
+            parts[2], "o_custkey")
         out = (
             scored.groupBy("r_score", "f_score", "m_score")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
