@@ -136,7 +136,13 @@ def flagship_merge_shape(spark: SparkSession, sf_dir: str,
                 f"{rf}__{wname}", f"rf_{rf.lower()}_{wname}"
             )
         window_aggs.append(cells.join(margins, on="unit_id", how="full_outer"))
-    merged = outer_merge_zero_fill(window_aggs, "unit_id")
+    # Round 14 (guide §5 caching): the parity tail references the merged
+    # aggregate TWICE (directly and under the completion's anti-join), so
+    # without a cache the whole 6-pivot pipeline executes twice per run.
+    # The reference materialized the aggregate frame eagerly before its
+    # null-probes; caching the ≤|dim|-row merge is the lazy analog — the
+    # second branch reads the ~25 cached rows instead of re-aggregating.
+    merged = outer_merge_zero_fill(window_aggs, "unit_id").cache()
     return _finalize(merged, spark, sf_dir, injection_date)
 
 
