@@ -116,28 +116,42 @@ def contribute(register) -> None:
             .groupBy("l_orderkey")
             .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
         )
-        n = baskets.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-        singles = (
-            baskets.select(F.explode("brands").alias("brand"))
-            .groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        )
-        pair_gen = F.expr(
+        # Round 14 (guide §2.4): singles, pairs AND n_orders previously
+        # each re-derived `baskets`, re-running the fact join + wide
+        # collect_set exchange THREE times per query. One projection now
+        # emits every tally row a basket contributes — its single
+        # brands, its C(|basket|,2) ordered pairs, and one order
+        # sentinel — and a single groupBy partial-aggregates them
+        # map-side into ≤ 25 + C(25,2) + 1 keys, so the basket pipeline
+        # runs once and the ≤326-row cached counts frame is split three
+        # ways with filters.
+        entry_gen = F.expr(
+            "concat("
+            "transform(brands, a -> struct("
+            "  's' AS kind, a AS brand_a, CAST(NULL AS STRING) AS brand_b)),"
             "flatten(transform(brands, (a, i) -> "
-            "transform(slice(brands, i + 2, size(brands)), "
-            "b -> struct(a AS brand_a, b AS brand_b))))"
+            "  transform(slice(brands, i + 2, size(brands)), "
+            "  b -> struct('p' AS kind, a AS brand_a, b AS brand_b)))),"
+            "array(struct('n' AS kind, CAST(NULL AS STRING) AS brand_a, "
+            "  CAST(NULL AS STRING) AS brand_b)))"
         )
+        counts = (
+            baskets.select(F.explode(entry_gen).alias("e"))
+            .groupBy("e.kind", "e.brand_a", "e.brand_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .cache()
+        )
+        n = counts.filter(F.col("kind") == "n").select(
+            F.col("c").alias("n_orders"))
         pairs = (
-            baskets.select(F.explode(pair_gen).alias("p"))
-            .select("p.brand_a", "p.brand_b")
-            .groupBy("brand_a", "brand_b")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+            counts.filter(F.col("kind") == "p")
+            .select("brand_a", "brand_b", F.col("c").alias("c_ab"))
             .filter(F.col("c_ab") >= min_pair)
         )
-        ca = singles.select(F.col("brand").alias("brand_a"),
-                            F.col("c").alias("c_a"))
-        cb = singles.select(F.col("brand").alias("brand_b"),
-                            F.col("c").alias("c_b"))
+        ca = counts.filter(F.col("kind") == "s").select(
+            F.col("brand_a"), F.col("c").alias("c_a"))
+        cb = counts.filter(F.col("kind") == "s").select(
+            F.col("brand_a").alias("brand_b"), F.col("c").alias("c_b"))
         return (
             pairs.join(F.broadcast(ca), "brand_a")
             .join(F.broadcast(cb), "brand_b")
