@@ -29,8 +29,34 @@ oracle replicates the identical rule.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Small-graph short-circuit (round 14, guide §1.2 "fix the distributed
+# algorithm first"): the iterative operators below run 1-2 shuffles per
+# iteration, which over a dim-sized graph (the 25-node trade graph) is
+# pure scheduling overhead — the same observation behind dedup.py's
+# connected-components short-circuit. Each operator first probes its
+# edge and node frames with limit(cap+1): if BOTH fit under the cap the
+# recurrence is replayed on the driver in exact integer arithmetic
+# (bit-identical to the distributed loop — every divide the loops do is
+# on non-negative operands, where Spark's truncating `div` equals
+# Python's floor `//`) and returned as a literal frame; otherwise the
+# distributed loop runs unchanged. The probe's cost is bounded by one
+# early-terminated pass over each input, and collecting the edge frame
+# executes the caller's edge pipeline ONCE — the same single
+# materialization the cached distributed loop pays. 0 disables.
+GRAPH_DRIVER_CAP = int(os.environ.get("SPARK_GRAFT_GRAPH_DRIVER_CAP",
+                                      "100000"))
+
+
+def _under_cap(df: DataFrame, cap: int) -> list | None:
+    """``df``'s rows iff it has at most ``cap`` of them, else None."""
+    rows = df.limit(cap + 1).collect()
+    return None if len(rows) > cap else rows
 
 
 def pagerank_fixed_point(
@@ -90,6 +116,11 @@ def pagerank_fixed_point(
             f"{wtype}; pre-quantize float weights (e.g. floor(w * 10^k)) "
             f"so per-edge truncation is explicit and engine-portable")
 
+    lit = _pagerank_driver(edges, nodes, src, dst, weight, node_col,
+                           n_iter, scale, d_num, d_den, n_nodes)
+    if lit is not None:
+        return lit
+
     n = n_nodes if n_nodes is not None else nodes.count()
     if n <= 0:
         raise ValueError("nodes frame is empty")
@@ -125,6 +156,67 @@ def pagerank_fixed_point(
     return pr.select(
         F.col("__id").alias(node_col), F.col("__pr").alias("pr_fixed")
     )
+
+
+def _pagerank_driver(edges, nodes, src, dst, weight, node_col, n_iter,
+                     scale, d_num, d_den, n_nodes) -> DataFrame | None:
+    """Driver replay of the PageRank recurrence iff the graph fits under
+    ``GRAPH_DRIVER_CAP``, else None. Bit-identical to the loop: same
+    per-edge ``(pr * w) div outw`` (non-negative weights are required for
+    `div` == `//`; a negative weight falls back to the loop), same
+    NULL-dropping join/aggregate semantics, same teleport fold. Node ids
+    must be unique (duplicate id rows would double-join contributions in
+    the loop; the replay falls back rather than reproduce that)."""
+    cap = GRAPH_DRIVER_CAP
+    if cap <= 0:
+        return None
+    id_rows = _under_cap(nodes.select(F.col(node_col).alias("i")), cap)
+    if id_rows is None:
+        return None
+    ids = [r["i"] for r in id_rows]
+    if len(set(ids)) != len(ids):
+        return None
+    e_rows = _under_cap(
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"),
+            F.col(weight).cast("bigint").alias("w"),
+        ),
+        cap,
+    )
+    if e_rows is None or any(r["w"] is not None and r["w"] < 0
+                             for r in e_rows):
+        return None
+    n = n_nodes if n_nodes is not None else len(ids)
+    if n <= 0:
+        raise ValueError("nodes frame is empty")
+    init = scale // n
+    base = ((d_den - d_num) * init) // d_den
+    outw: dict = {}
+    for r in e_rows:
+        if r["w"] is None:
+            continue
+        outw[r["s"]] = outw.get(r["s"], 0) + r["w"]
+    pr = {i: init for i in ids}
+    for _ in range(n_iter):
+        acc: dict = {}
+        for r in e_rows:
+            s, d, w = r["s"], r["d"], r["w"]
+            if s is None or d is None or w is None:
+                continue          # null keys match nothing in the joins
+            p = pr.get(s)
+            if p is None:
+                continue          # source outside the node set
+            ow = outw.get(s, 0)
+            if not ow:
+                continue          # div-by-zero -> NULL -> dropped by sum
+            acc[d] = acc.get(d, 0) + (p * w) // ow
+        pr = {i: base + (d_num * acc.get(i, 0)) // d_den for i in ids}
+    schema = T.StructType([
+        T.StructField(node_col, nodes.schema[node_col].dataType),
+        T.StructField("pr_fixed", T.LongType()),
+    ])
+    return nodes.sparkSession.createDataFrame(
+        [(i, pr[i]) for i in ids], schema=schema)
 
 
 def pagerank_fixed_point_sql(
@@ -270,6 +362,10 @@ def label_propagation(
     reads it; it is CacheManager-visible and LRU-evictable with
     lineage recompute, never a leak class.
     """
+    lit = _lpa_driver(edges, nodes, node_col, a, b, n_iter)
+    if lit is not None:
+        return lit
+
     e = edges.select(F.col(a).alias("__s"), F.col(b).alias("__d"))
     directed = e.unionAll(
         e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
@@ -303,6 +399,55 @@ def label_propagation(
         prev = labels
     return labels.select(F.col("__id").alias(node_col),
                          F.col("__lbl").alias("community"))
+
+
+def _lpa_driver(edges, nodes, node_col, a, b, n_iter) -> DataFrame | None:
+    """Driver replay of synchronous label propagation iff the graph fits
+    under ``GRAPH_DRIVER_CAP``, else None. Same recurrence: every node
+    adopts the most frequent neighbor label (ties to the smallest),
+    isolated nodes keep theirs; null endpoints drop out exactly as null
+    join keys do. Requires integer node ids that are unique (the loop's
+    ``cast('bigint')`` on other types and duplicate-id join fan-out are
+    not replicated — those fall back)."""
+    cap = GRAPH_DRIVER_CAP
+    if cap <= 0:
+        return None
+    id_rows = _under_cap(nodes.select(F.col(node_col).alias("i")), cap)
+    if id_rows is None:
+        return None
+    ids = [r["i"] for r in id_rows]
+    if (len(set(ids)) != len(ids)
+            or not all(isinstance(i, int) for i in ids)):
+        return None
+    e_rows = _under_cap(
+        edges.select(F.col(a).alias("s"), F.col(b).alias("d")), cap)
+    if e_rows is None:
+        return None
+    directed = [(r["s"], r["d"]) for r in e_rows]
+    directed += [(d, s) for s, d in directed[:]]
+    labels = {i: i for i in ids}
+    for _ in range(n_iter):
+        cnt: dict = {}
+        for s, d in directed:
+            if s is None or d is None:
+                continue
+            lbl = labels.get(s)
+            if lbl is None:
+                continue          # source outside the node set
+            key = (d, lbl)
+            cnt[key] = cnt.get(key, 0) + 1
+        best: dict = {}
+        for (d, lbl), c in cnt.items():
+            cur = best.get(d)
+            if cur is None or c > cur[0] or (c == cur[0] and lbl < cur[1]):
+                best[d] = (c, lbl)
+        labels = {i: best[i][1] if i in best else labels[i] for i in ids}
+    schema = T.StructType([
+        T.StructField(node_col, nodes.schema[node_col].dataType),
+        T.StructField("community", T.LongType()),
+    ])
+    return nodes.sparkSession.createDataFrame(
+        [(i, labels[i]) for i in ids], schema=schema)
 
 
 def k_core_peel(
@@ -353,6 +498,10 @@ def k_core_peel(
                          f"negative k is meaningless), got {k}")
     if n_rounds < 0:
         raise ValueError(f"n_rounds must be >= 0, got {n_rounds}")
+    lit = _kcore_driver(edges, nodes, k, node_col, a, b, n_rounds)
+    if lit is not None:
+        return lit
+
     live = edges.select(F.col(a).alias("__a"), F.col(b).alias("__b")).cache()
     for _ in range(n_rounds):
         pts = live.select(
@@ -384,3 +533,45 @@ def k_core_peel(
             F.coalesce("__d", F.lit(0)).cast("bigint").alias("degree"),
         )
     )
+
+
+def _kcore_driver(edges, nodes, k, node_col, a, b,
+                  n_rounds) -> DataFrame | None:
+    """Driver replay of the peel rounds iff the graph fits under
+    ``GRAPH_DRIVER_CAP``, else None. Exact under the operator's own
+    contract (each undirected edge once, canonical a < b): duplicate
+    edge rows or null endpoints — which the window/group-back pipeline
+    treats in its own way — fall back to the loop."""
+    cap = GRAPH_DRIVER_CAP
+    if cap <= 0:
+        return None
+    id_rows = _under_cap(nodes.select(F.col(node_col).alias("i")), cap)
+    if id_rows is None:
+        return None
+    ids = [r["i"] for r in id_rows]
+    e_rows = _under_cap(
+        edges.select(F.col(a).alias("s"), F.col(b).alias("d")), cap)
+    if e_rows is None:
+        return None
+    live = [(r["s"], r["d"]) for r in e_rows]
+    if (any(s is None or d is None for s, d in live)
+            or len(set(live)) != len(live)):
+        return None
+    for _ in range(n_rounds):
+        deg: dict = {}
+        for s, d in live:
+            deg[s] = deg.get(s, 0) + 1
+            deg[d] = deg.get(d, 0) + 1
+        live = [(s, d) for s, d in live if min(deg[s], deg[d]) >= k]
+    final_deg: dict = {}
+    for s, d in live:
+        final_deg[s] = final_deg.get(s, 0) + 1
+        final_deg[d] = final_deg.get(d, 0) + 1
+    schema = T.StructType([
+        T.StructField(node_col, nodes.schema[node_col].dataType),
+        T.StructField("in_core", T.BooleanType(), nullable=False),
+        T.StructField("degree", T.LongType()),
+    ])
+    return nodes.sparkSession.createDataFrame(
+        [(i, i in final_deg, final_deg.get(i, 0)) for i in ids],
+        schema=schema)

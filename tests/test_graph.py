@@ -118,13 +118,16 @@ def test_pagerank_rejects_bad_args(spark):
         pagerank_fixed_point(edges, nodes.limit(0))
 
 
-def test_pagerank_trade_graph_fact_scans_all_cached(spark):
-    """The registered query's executed plan: every print of the lineitem
-    fact sits beneath an InMemoryRelation (the cached edge list) and the
+def test_pagerank_trade_graph_fact_scans_all_cached(spark, monkeypatch):
+    """The DISTRIBUTED loop's executed plan (pinned past the round-14
+    driver short-circuit via cap=0): every print of the lineitem fact
+    sits beneath an InMemoryRelation (the cached edge list) and the
     iterations read it through InMemoryTableScan references — zero
     non-cached fact scans remain."""
+    from building_permissions_etl_spark.operators import graph
     from building_permissions_etl_spark.plans.registry import queries
 
+    monkeypatch.setattr(graph, "GRAPH_DRIVER_CAP", 0)
     spark.catalog.clearCache()
     try:
         df = queries()["pagerank_trade_graph"](spark, SF)
@@ -135,3 +138,26 @@ def test_pagerank_trade_graph_fact_scans_all_cached(spark):
     assert _noncached_occurrences(plan, "lineitem.parquet") == 0, plan
     # guard the guard: the fact does appear (inside the cached subtree)
     assert re.search(r"lineitem\.parquet", plan), plan
+
+
+def test_graph_driver_short_circuit_matches_distributed(spark, monkeypatch):
+    """Round-14 small-graph short-circuit: the driver replay of each
+    iterative operator returns rows BIT-IDENTICAL to the distributed
+    loop on the registered trade-graph queries."""
+    from building_permissions_etl_spark.operators import graph
+    from building_permissions_etl_spark.plans.registry import queries
+
+    for name in ("pagerank_trade_graph", "lpa_trade_communities",
+                 "kcore_trade_graph"):
+        spark.catalog.clearCache()
+        fast = queries()[name](spark, SF)
+        assert "LocalTableScan" in fast._jdf.queryExecution() \
+            .executedPlan().toString().replace("Scan ExistingRDD",
+                                               "LocalTableScan")
+        fast_rows = fast.collect()
+        with monkeypatch.context() as m:
+            m.setattr(graph, "GRAPH_DRIVER_CAP", 0)
+            spark.catalog.clearCache()
+            slow_rows = queries()[name](spark, SF).collect()
+        assert fast_rows == slow_rows and len(fast_rows) > 0, name
+    spark.catalog.clearCache()
