@@ -734,14 +734,21 @@ def ngram_jaccard_pairs_inverted(
     whenever ``min_jaccard > 0`` (pairs sharing zero shingles are the
     only delta, and both variants filter them out).
 
-    Plan shape (re-profiled round 5): each posting carries its doc's
-    post-filter set size, so |A| and |B| ride THROUGH the pair join and
-    come out of the same aggregate as |A∩B| (``min`` over a constant) —
-    the former separate per-doc size aggregate re-expanded the whole
-    shingle subtree twice more and added two joins onto the pair table.
-    One explode feeds the hot-set count; one explode feeds the pair
-    join, whose two sides are plan-identical (ReusedExchange, one
-    shuffle computed).
+    Plan shape (re-profiled round 5, re-shaped round 14): each posting
+    carries its doc's post-filter set size, so |A| and |B| ride THROUGH
+    the pair generation and come out of the same aggregate as |A∩B|
+    (``min`` over a constant) — the former separate per-doc size
+    aggregate re-expanded the whole shingle subtree twice more and added
+    two joins onto the pair table. Round 14 (guide §2.4, the
+    ``_bucket_pairs`` restructure): pairs now come from GROUPING the
+    postings by (block, shingle) and emitting ordered pairs from the
+    collected array instead of the postings self-join — locally the join
+    planned as BroadcastHashJoin, so the whole shingle+hot-filter
+    pipeline was computed once per side (8 scans in the explain; now 2:
+    the hot-set count and the postings). Per-shingle state is bounded by
+    ``max_df`` when set, exactly as the join's per-key quadratic was; a
+    null block never pairs (the explicit filter mirrors the old join's
+    null-equality semantics).
     """
     sets = fan_out(df).select(
         F.col(id_col).alias("id"),
@@ -764,17 +771,15 @@ def ngram_jaccard_pairs_inverted(
         )
     postings = sets.select(
         "id", "block", F.size("ng").alias("sz"), F.explode("ng").alias("sh")
-    )
-    a, b = postings.alias("a"), postings.alias("b")
+    ).filter(F.col("block").isNotNull())
+    pair_rows = _bucket_pairs(postings, ["block", "sh"], None, ["id", "sz"])
     inter = (
-        a.join(b, (F.col("a.block") == F.col("b.block"))
-               & (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        pair_rows
+        .groupBy(F.col("id_a"), F.col("id_b"))
         .agg(
             F.count(F.lit(1)).alias("__i"),
-            F.min("a.sz").alias("__sza"),
-            F.min("b.sz").alias("__szb"),
+            F.min("sz_a").alias("__sza"),
+            F.min("sz_b").alias("__szb"),
         )
     )
     return (
