@@ -393,16 +393,22 @@ def dsir_scores(
         F.col(target_col).cast("boolean").alias("__tgt"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     ).withColumn("b", portable_hash64(F.col("term")) % n_buckets)
-    tgt = toks.filter("__tgt").groupBy("b").agg(
-        F.count(F.lit(1)).alias("__tc"))
-    allc = toks.groupBy("b").agg(F.count(F.lit(1)).alias("__ac"))
+    # Round 14 (guide §2.4): the target and corpus bucket masses come out
+    # of ONE conditional-count groupBy instead of two separate aggregates
+    # — the former shape re-computed the token-explode subtree three
+    # times per query (target table, corpus table, re-join side); now
+    # twice (a count(CASE WHEN target) over no rows is 0, exactly the
+    # value the old left-join + coalesce produced for target-less
+    # buckets, so the joined masses are identical).
+    buckets = toks.groupBy("b").agg(
+        F.count(F.when(F.col("__tgt"), F.lit(1))).alias("__tc"),
+        F.count(F.lit(1)).alias("__ac"),
+    )
     return (
-        toks.join(F.broadcast(tgt), "b", "left")
-        .join(F.broadcast(allc), "b")
+        toks.join(F.broadcast(buckets), "b")
         .groupBy("id")
         .agg(
-            F.sum(F.coalesce("__tc", F.lit(0))).cast("bigint")
-            .alias("target_hits"),
+            F.sum("__tc").cast("bigint").alias("target_hits"),
             F.sum("__ac").cast("bigint").alias("total_hits"),
         )
         .withColumn(
