@@ -178,10 +178,10 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 # near-always an exact-duplicate flood, which the exact-dedup-first
 # pipeline stage removes anyway (SCALE.md §10).
 #
-# Shape: the cap is a ``size(collected) <= max_bucket`` filter on the
-# grouped bucket row inside ``_bucket_pairs`` (round 14; the former
-# count+broadcast-anti-join shape recomputed the whole signature
-# pipeline per side to find the hot set).
+# Shape: the cap is a window count over the bucket partitioning inside
+# ``_bucket_pairs``, filtering hot buckets' rows BEFORE the collect
+# (round 14; the former count+broadcast-anti-join shape recomputed the
+# whole signature pipeline per side to find the hot set).
 DEFAULT_MAX_BUCKET = 1000
 
 
@@ -198,17 +198,19 @@ def _bucket_pairs(banded: DataFrame, keys: list[str], max_bucket: int | None,
     locally the join planned as a broadcast, so not even ReusedExchange
     could fold the sides). One groupBy computes the pipeline once and
     replaces both the pair-join exchange and the cap's anti-join: the
-    cap is now a plain ``size(xs) <= max_bucket`` filter on the grouped
-    row — identical drop-the-whole-bucket semantics (guide §2.3
-    "aggregate before you shuffle", §2.4 "remove shuffles outright";
-    measured 1.8-2.0× on the LSH/OPH queries at sf0.1 with identical
-    rows).
+    cap is a window count over the SAME bucket partitioning, dropping a
+    hot bucket's rows before any array exists — identical
+    drop-the-whole-bucket semantics (guide §2.3 "aggregate before you
+    shuffle", §2.4 "remove shuffles outright"; measured 1.8-2.0× on the
+    LSH/OPH queries at sf0.1 with identical rows).
 
-    Per-bucket state is bounded by ``max_bucket`` (the array for an
-    over-cap bucket is built then dropped; rows above the cap were
-    anti-joined away before, same bytes either way), so executor memory
-    per group stays capped at 100 TB exactly as the join shape's
-    per-bucket quadratic was. Returns one row per unordered pair with
+    Per-bucket memory is bounded by ``max_bucket``: the window buffer is
+    spillable row storage (never the collected array — review r14: a
+    post-collect size filter would first materialize the adversarial
+    million-row bucket in one collect_list buffer), and the window's
+    hash partitioning satisfies the groupBy's required distribution, so
+    the cap adds a sort but no exchange. Returns one row per unordered
+    pair with
     columns ``{c}_a``/``{c}_b`` for each of ``pair_cols``; the first
     pair col must be the id. ``array_sort`` orders the collected
     structs by that id, so emitting only (i, j>i) index pairs yields
@@ -217,10 +219,22 @@ def _bucket_pairs(banded: DataFrame, keys: list[str], max_bucket: int | None,
     pair — a null comparison was never true in the join either).
     """
     payload = F.struct(*[F.col(c) for c in pair_cols])
-    grp = banded.groupBy(*[F.col(k) for k in keys]).agg(
-        F.collect_list(payload).alias("xs"))
+    src = banded
     if max_bucket:
-        grp = grp.filter(F.size("xs") <= max_bucket)
+        # Cap BEFORE collecting (review r14): a size filter on the
+        # collected row would first materialize the whole over-cap
+        # bucket in one collect_list buffer — the adversarial
+        # million-row bucket this cap exists for, concentrated in one
+        # in-memory array. The window count streams through a SPILLABLE
+        # buffer on the same (already required) bucket partitioning and
+        # drops hot buckets' rows before any array exists; the window's
+        # hash partitioning satisfies the groupBy below, so no second
+        # exchange appears.
+        w = Window.partitionBy(*[F.col(k) for k in keys])
+        src = (banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+               .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
+    grp = src.groupBy(*[F.col(k) for k in keys]).agg(
+        F.collect_list(payload).alias("xs"))
     pairs = let(
         F.array_sort("xs"),
         lambda s: F.flatten(F.transform(
@@ -378,19 +392,28 @@ def minhash_lsh_incremental(
     # The corpus side is GROUPED per bucket before the join: the former
     # row-level shape computed the corpus signature pipeline twice (once
     # as the join side, once inside _cap_buckets' hot aggregate); one
-    # groupBy computes it once, the cap becomes a size filter on the
-    # grouped row (identical drop-the-bucket semantics), and the join
-    # probes one row per corpus bucket instead of one per corpus row
-    # (guide §2.3/§2.4 — same restructure as _bucket_pairs, adapted to
-    # the two-sided probe).
+    # groupBy computes it once, the cap becomes a window-count filter on
+    # the bucket partitioning (identical drop-the-bucket semantics,
+    # applied before any array exists), and the join probes one row per
+    # corpus bucket instead of one per corpus row (guide §2.3/§2.4 —
+    # same restructure as _bucket_pairs, adapted to the two-sided
+    # probe).
+    c_banded = _minhash_banded(fan_out(corpus), text_col, id_col, k, bands,
+                               shingle_n, base_hash)
+    if max_bucket:
+        # cap BEFORE collecting, same rationale as _bucket_pairs
+        # (review r14): a flooded corpus bucket must never materialize
+        # as one collect_list array; the spillable window count drops
+        # its rows first, on the partitioning the groupBy needs anyway
+        wb = Window.partitionBy("band", "bh")
+        c_banded = (c_banded
+                    .withColumn("__bsz", F.count(F.lit(1)).over(wb))
+                    .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
     c_grouped = (
-        _minhash_banded(fan_out(corpus), text_col, id_col, k, bands,
-                        shingle_n, base_hash)
+        c_banded
         .groupBy("band", "bh")
         .agg(F.collect_list(F.struct("id", "sig")).alias("cs"))
     )
-    if max_bucket:
-        c_grouped = c_grouped.filter(F.size("cs") <= max_bucket)
     b_banded = _minhash_banded(fan_out(batch), text_col, id_col, k, bands,
                                shingle_n, base_hash)
     ex = (
@@ -740,15 +763,18 @@ def ngram_jaccard_pairs_inverted(
     (``min`` over a constant) — the former separate per-doc size
     aggregate re-expanded the whole shingle subtree twice more and added
     two joins onto the pair table. Round 14 (guide §2.4, the
-    ``_bucket_pairs`` restructure): pairs now come from GROUPING the
-    postings by (block, shingle) and emitting ordered pairs from the
-    collected array instead of the postings self-join — locally the join
-    planned as BroadcastHashJoin, so the whole shingle+hot-filter
-    pipeline was computed once per side (8 scans in the explain; now 2:
-    the hot-set count and the postings). Per-shingle state is bounded by
-    ``max_df`` when set, exactly as the join's per-key quadratic was; a
-    null block never pairs (the explicit filter mirrors the old join's
-    null-equality semantics).
+    ``_bucket_pairs`` restructure): WITH a ``max_df`` cutoff, pairs come
+    from GROUPING the postings by (block, shingle) and emitting ordered
+    pairs from the collected array instead of the postings self-join —
+    locally the join planned as BroadcastHashJoin, so the whole
+    shingle+hot-filter pipeline was computed once per side (8 scans in
+    the explain; now 2: the hot-set count and the postings); every group
+    is ≤ ``max_df`` postings by construction, so the per-row pair array
+    is bounded, and a null block never pairs (the explicit filter
+    mirrors the old join's null-equality semantics). WITHOUT a cutoff a
+    shingle's group is unbounded and a grouped pair array would
+    materialize C(n, 2) structs in one row, so the self-join shape is
+    kept — it emits the identical pairs as streamable rows.
     """
     sets = fan_out(df).select(
         F.col(id_col).alias("id"),
@@ -771,17 +797,40 @@ def ngram_jaccard_pairs_inverted(
         )
     postings = sets.select(
         "id", "block", F.size("ng").alias("sz"), F.explode("ng").alias("sh")
-    ).filter(F.col("block").isNotNull())
-    pair_rows = _bucket_pairs(postings, ["block", "sh"], None, ["id", "sz"])
-    inter = (
-        pair_rows
-        .groupBy(F.col("id_a"), F.col("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("__i"),
-            F.min("sz_a").alias("__sza"),
-            F.min("sz_b").alias("__szb"),
-        )
     )
+    if max_df:
+        # hot shingles were removed from the arrays above, so every
+        # (block, shingle) group holds <= max_df postings — the grouped
+        # generation's per-row pair array is bounded by C(max_df, 2)
+        pair_rows = _bucket_pairs(
+            postings.filter(F.col("block").isNotNull()),
+            ["block", "sh"], None, ["id", "sz"])
+        inter = (
+            pair_rows
+            .groupBy(F.col("id_a"), F.col("id_b"))
+            .agg(
+                F.count(F.lit(1)).alias("__i"),
+                F.min("sz_a").alias("__sza"),
+                F.min("sz_b").alias("__szb"),
+            )
+        )
+    else:
+        # no df cutoff -> a shingle's group size is unbounded, and a
+        # grouped pair ARRAY would materialize C(n, 2) structs in one
+        # row (review r14); the self-join emits the same pairs as
+        # distributed, streamable rows instead
+        a, b = postings.alias("a"), postings.alias("b")
+        inter = (
+            a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(
+                F.count(F.lit(1)).alias("__i"),
+                F.min("a.sz").alias("__sza"),
+                F.min("b.sz").alias("__szb"),
+            )
+        )
     return (
         inter.select(
             "id_a", "id_b",

@@ -45,10 +45,11 @@ from pyspark.sql import types as T
 # (bit-identical to the distributed loop — every divide the loops do is
 # on non-negative operands, where Spark's truncating `div` equals
 # Python's floor `//`) and returned as a literal frame; otherwise the
-# distributed loop runs unchanged. The probe's cost is bounded by one
-# early-terminated pass over each input, and collecting the edge frame
-# executes the caller's edge pipeline ONCE — the same single
-# materialization the cached distributed loop pays. 0 disables.
+# distributed loop runs unchanged. The edge probe runs against the
+# loop's own CACHED edge frame, so its work is never wasted: an
+# under-cap probe is the one materialization the loop would have paid
+# (the cache is unpersisted after the replay), and an over-cap probe
+# leaves the cache warm for the loop (review r14). 0 disables.
 GRAPH_DRIVER_CAP = int(os.environ.get("SPARK_GRAFT_GRAPH_DRIVER_CAP",
                                       "100000"))
 
@@ -116,17 +117,6 @@ def pagerank_fixed_point(
             f"{wtype}; pre-quantize float weights (e.g. floor(w * 10^k)) "
             f"so per-edge truncation is explicit and engine-portable")
 
-    lit = _pagerank_driver(edges, nodes, src, dst, weight, node_col,
-                           n_iter, scale, d_num, d_den, n_nodes)
-    if lit is not None:
-        return lit
-
-    n = n_nodes if n_nodes is not None else nodes.count()
-    if n <= 0:
-        raise ValueError("nodes frame is empty")
-    init = scale // n
-    base = ((d_den - d_num) * init) // d_den
-
     e = (
         edges.select(
             F.col(src).alias("__src"),
@@ -138,6 +128,18 @@ def pagerank_fixed_point(
         )
         .cache()
     )
+    lit = _pagerank_driver(e, nodes, node_col, n_iter, scale,
+                           d_num, d_den, n_nodes)
+    if lit is not None:
+        e.unpersist()
+        return lit
+
+    n = n_nodes if n_nodes is not None else nodes.count()
+    if n <= 0:
+        raise ValueError("nodes frame is empty")
+    init = scale // n
+    base = ((d_den - d_num) * init) // d_den
+
     ids = nodes.select(F.col(node_col).alias("__id")).cache()
     pr = ids.select("__id", F.lit(init).cast("bigint").alias("__pr"))
     for _ in range(n_iter):
@@ -158,7 +160,7 @@ def pagerank_fixed_point(
     )
 
 
-def _pagerank_driver(edges, nodes, src, dst, weight, node_col, n_iter,
+def _pagerank_driver(e, nodes, node_col, n_iter,
                      scale, d_num, d_den, n_nodes) -> DataFrame | None:
     """Driver replay of the PageRank recurrence iff the graph fits under
     ``GRAPH_DRIVER_CAP``, else None. Bit-identical to the loop: same
@@ -166,7 +168,13 @@ def _pagerank_driver(edges, nodes, src, dst, weight, node_col, n_iter,
     `div` == `//`; a negative weight falls back to the loop), same
     NULL-dropping join/aggregate semantics, same teleport fold. Node ids
     must be unique (duplicate id rows would double-join contributions in
-    the loop; the replay falls back rather than reproduce that)."""
+    the loop; the replay falls back rather than reproduce that).
+
+    ``e`` is the loop's own CACHED normalized edge frame (__src, __dst,
+    __w, __outw) — probing it means a failed probe's work is retained in
+    the cache the loop reads, so the over-cap fallback costs nothing
+    extra (review r14); a successful probe unpersists it at the call
+    site."""
     cap = GRAPH_DRIVER_CAP
     if cap <= 0:
         return None
@@ -176,14 +184,8 @@ def _pagerank_driver(edges, nodes, src, dst, weight, node_col, n_iter,
     ids = [r["i"] for r in id_rows]
     if len(set(ids)) != len(ids):
         return None
-    e_rows = _under_cap(
-        edges.select(
-            F.col(src).alias("s"), F.col(dst).alias("d"),
-            F.col(weight).cast("bigint").alias("w"),
-        ),
-        cap,
-    )
-    if e_rows is None or any(r["w"] is not None and r["w"] < 0
+    e_rows = _under_cap(e, cap)
+    if e_rows is None or any(r["__w"] is not None and r["__w"] < 0
                              for r in e_rows):
         return None
     n = n_nodes if n_nodes is not None else len(ids)
@@ -191,24 +193,18 @@ def _pagerank_driver(edges, nodes, src, dst, weight, node_col, n_iter,
         raise ValueError("nodes frame is empty")
     init = scale // n
     base = ((d_den - d_num) * init) // d_den
-    outw: dict = {}
-    for r in e_rows:
-        if r["w"] is None:
-            continue
-        outw[r["s"]] = outw.get(r["s"], 0) + r["w"]
     pr = {i: init for i in ids}
     for _ in range(n_iter):
         acc: dict = {}
         for r in e_rows:
-            s, d, w = r["s"], r["d"], r["w"]
+            s, d, w, ow = r["__src"], r["__dst"], r["__w"], r["__outw"]
             if s is None or d is None or w is None:
                 continue          # null keys match nothing in the joins
             p = pr.get(s)
             if p is None:
                 continue          # source outside the node set
-            ow = outw.get(s, 0)
             if not ow:
-                continue          # div-by-zero -> NULL -> dropped by sum
+                continue          # div-by-zero/NULL -> dropped by sum
             acc[d] = acc.get(d, 0) + (p * w) // ow
         pr = {i: base + (d_num * acc.get(i, 0)) // d_den for i in ids}
     schema = T.StructType([
@@ -362,14 +358,14 @@ def label_propagation(
     reads it; it is CacheManager-visible and LRU-evictable with
     lineage recompute, never a leak class.
     """
-    lit = _lpa_driver(edges, nodes, node_col, a, b, n_iter)
-    if lit is not None:
-        return lit
-
     e = edges.select(F.col(a).alias("__s"), F.col(b).alias("__d"))
     directed = e.unionAll(
         e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
     ).cache()
+    lit = _lpa_driver(directed, nodes, node_col, n_iter)
+    if lit is not None:
+        directed.unpersist()
+        return lit
     labels = nodes.select(F.col(node_col).alias("__id"),
                           F.col(node_col).cast("bigint").alias("__lbl"))
     pick = Window.partitionBy("__d").orderBy(F.desc("__cnt"), "__nlbl")
@@ -401,14 +397,20 @@ def label_propagation(
                          F.col("__lbl").alias("community"))
 
 
-def _lpa_driver(edges, nodes, node_col, a, b, n_iter) -> DataFrame | None:
+def _lpa_driver(directed_df, nodes, node_col, n_iter) -> DataFrame | None:
     """Driver replay of synchronous label propagation iff the graph fits
     under ``GRAPH_DRIVER_CAP``, else None. Same recurrence: every node
     adopts the most frequent neighbor label (ties to the smallest),
     isolated nodes keep theirs; null endpoints drop out exactly as null
     join keys do. Requires integer node ids that are unique (the loop's
     ``cast('bigint')`` on other types and duplicate-id join fan-out are
-    not replicated — those fall back)."""
+    not replicated — those fall back).
+
+    ``directed_df`` is the loop's own CACHED doubled edge frame (__s,
+    __d) — probing it retains a failed probe's work in the cache the
+    loop reads (review r14); a successful probe unpersists it at the
+    call site. The cap applies to undirected edges, so the probe limit
+    is 2·cap on the doubled frame."""
     cap = GRAPH_DRIVER_CAP
     if cap <= 0:
         return None
@@ -419,12 +421,10 @@ def _lpa_driver(edges, nodes, node_col, a, b, n_iter) -> DataFrame | None:
     if (len(set(ids)) != len(ids)
             or not all(isinstance(i, int) for i in ids)):
         return None
-    e_rows = _under_cap(
-        edges.select(F.col(a).alias("s"), F.col(b).alias("d")), cap)
+    e_rows = _under_cap(directed_df, 2 * cap)
     if e_rows is None:
         return None
-    directed = [(r["s"], r["d"]) for r in e_rows]
-    directed += [(d, s) for s, d in directed[:]]
+    directed = [(r["__s"], r["__d"]) for r in e_rows]
     labels = {i: i for i in ids}
     for _ in range(n_iter):
         cnt: dict = {}
@@ -498,11 +498,12 @@ def k_core_peel(
                          f"negative k is meaningless), got {k}")
     if n_rounds < 0:
         raise ValueError(f"n_rounds must be >= 0, got {n_rounds}")
-    lit = _kcore_driver(edges, nodes, k, node_col, a, b, n_rounds)
+    live = edges.select(F.col(a).alias("__a"), F.col(b).alias("__b")).cache()
+    lit = _kcore_driver(live, nodes, k, node_col, n_rounds)
     if lit is not None:
+        live.unpersist()
         return lit
 
-    live = edges.select(F.col(a).alias("__a"), F.col(b).alias("__b")).cache()
     for _ in range(n_rounds):
         pts = live.select(
             "__a", "__b",
@@ -535,13 +536,17 @@ def k_core_peel(
     )
 
 
-def _kcore_driver(edges, nodes, k, node_col, a, b,
+def _kcore_driver(live_df, nodes, k, node_col,
                   n_rounds) -> DataFrame | None:
     """Driver replay of the peel rounds iff the graph fits under
     ``GRAPH_DRIVER_CAP``, else None. Exact under the operator's own
     contract (each undirected edge once, canonical a < b): duplicate
     edge rows or null endpoints — which the window/group-back pipeline
-    treats in its own way — fall back to the loop."""
+    treats in its own way — fall back to the loop.
+
+    ``live_df`` is the loop's own CACHED round-0 edge frame (__a, __b),
+    so a failed probe's work is retained in the cache the loop reads
+    (review r14); a successful probe unpersists it at the call site."""
     cap = GRAPH_DRIVER_CAP
     if cap <= 0:
         return None
@@ -549,11 +554,10 @@ def _kcore_driver(edges, nodes, k, node_col, a, b,
     if id_rows is None:
         return None
     ids = [r["i"] for r in id_rows]
-    e_rows = _under_cap(
-        edges.select(F.col(a).alias("s"), F.col(b).alias("d")), cap)
+    e_rows = _under_cap(live_df, cap)
     if e_rows is None:
         return None
-    live = [(r["s"], r["d"]) for r in e_rows]
+    live = [(r["__a"], r["__b"]) for r in e_rows]
     if (any(s is None or d is None for s, d in live)
             or len(set(live)) != len(live)):
         return None

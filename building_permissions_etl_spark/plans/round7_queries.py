@@ -87,8 +87,17 @@ def _assign(vectors, cent_rows):
         lambda d: let(
             F.array_min(d),
             lambda m: F.struct(
-                F.element_at(sid_arr, F.array_position(d, m).cast("int"))
-                .alias("seed_id"),
+                # coalesce-to-1: when every distance is NULL (a null qv)
+                # the min_by shape this replaced — and the DuckDB twin's
+                # row_number — assigned the LOWEST seed id with NULL
+                # dist2; array_position(d, NULL) alone would yield a
+                # NULL seed (review r14, same guard as the operator
+                # path in similarity.assign_nearest_seed)
+                F.element_at(
+                    sid_arr,
+                    F.coalesce(F.array_position(d, m), F.lit(1))
+                    .cast("int"),
+                ).alias("seed_id"),
                 m.alias("dist2"),
             ),
         ),

@@ -294,11 +294,9 @@ def contribute(register) -> None:
         for col, score, bnds in (("r_days", "r_score", r_b),
                                  ("f", "f_score", f_b),
                                  ("m_cents", "m_score", m_b)):
-            keep = ["o_custkey", col] if col != "m_cents" else [
-                "o_custkey", "m_cents"]
             parts.append(
-                equi_depth_buckets(base.select(*keep), col, "o_custkey", 5,
-                                   boundaries=bnds)
+                equi_depth_buckets(base.select("o_custkey", col), col,
+                                   "o_custkey", 5, boundaries=bnds)
                 .withColumn(score, F.col("bucket").cast("int"))
                 .select("o_custkey", *([score, "m_cents"]
                                        if col == "m_cents" else [score]))

@@ -92,7 +92,8 @@ def _cached_rdd_count(spark) -> int:
     return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
 
-def test_lpa_rounds_read_cached_state_and_release_superseded(spark):
+def test_lpa_rounds_read_cached_state_and_release_superseded(
+        spark, monkeypatch):
     """Two regression guards in one: (a) the returned frame reads the
     FINAL round's labels from the cache (the geometric-re-execution
     lesson — each round was eagerly materialized against its
@@ -101,7 +102,13 @@ def test_lpa_rounds_read_cached_state_and_release_superseded(spark):
     per-round frames are unpersisted as soon as the next round
     materializes: a call retains at most TWO cached frames (directed
     edges + final labels), not n_iter+1, without relying on the
-    caller's clearCache."""
+    caller's clearCache. Round 14: pinned on the DISTRIBUTED loop via
+    cap=0 — the small-graph driver short-circuit (which the registered
+    query normally takes now) returns a literal frame and retains no
+    caches at all (its own pin lives in tests/test_graph.py)."""
+    from building_permissions_etl_spark.operators import graph
+
+    monkeypatch.setattr(graph, "GRAPH_DRIVER_CAP", 0)
     spark.catalog.clearCache()
     before = _cached_rdd_count(spark)
     df = Q["lpa_trade_communities"](spark, SF_DIR)
@@ -111,7 +118,11 @@ def test_lpa_rounds_read_cached_state_and_release_superseded(spark):
     spark.catalog.clearCache()
 
 
-def test_kcore_rounds_read_cached_state_and_release_superseded(spark):
+def test_kcore_rounds_read_cached_state_and_release_superseded(
+        spark, monkeypatch):
+    from building_permissions_etl_spark.operators import graph
+
+    monkeypatch.setattr(graph, "GRAPH_DRIVER_CAP", 0)
     spark.catalog.clearCache()
     before = _cached_rdd_count(spark)
     df = Q["kcore_trade_graph"](spark, SF_DIR)
