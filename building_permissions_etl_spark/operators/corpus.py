@@ -622,37 +622,37 @@ def paragraph_dedup(
     (xxhash64(paragraph), paragraph) — 8-byte partitioning key, the text
     rides only inside its own bucket (same discipline as
     ``dedup_exact``); reassembly is one groupBy on the doc id with an
-    in-group sort. No self-joins, nothing quadratic.
+    in-group sort. No self-joins, nothing quadratic. Round 14 (guide
+    §2.4): totals, kept-count and reassembly all come out of that ONE
+    doc-id aggregate over the windowed frame — dropped chunks survive to
+    the aggregate as ``rn > 1`` rows and are excluded by conditional
+    count/collect (``collect_list`` skips NULLs), so the former separate
+    totals branch (which re-computed the whole tokenize+chunk explode)
+    and its left join are gone; a fully-deduplicated document still
+    surfaces with n_kept = 0 and empty text because its rows reach the
+    aggregate.
     """
     chunks = chunk_documents(df, text_col, id_col, budget)
     w = Window.partitionBy(
         F.xxhash64("chunk_text"), F.col("chunk_text")
     ).orderBy(id_col, "chunk_idx")
-    kept = (
-        chunks.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-    )
-    totals = chunks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_paragraphs")
-    )
-    reasm = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
-                ),
-                lambda s: s["chunk_text"],
-            ),
-        ).alias("__clean"),
-    )
+    first = F.col("__rn") == 1
     return (
-        totals.join(reasm, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_paragraphs"),
-            F.coalesce("__n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce("__clean", F.lit("")).alias("clean_text"),
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.count(F.when(first, F.lit(1))).cast("bigint")
+            .alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(
+                            first, F.struct("chunk_idx", "chunk_text")))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+            ).alias("clean_text"),
         )
     )
