@@ -186,7 +186,8 @@ DEFAULT_MAX_BUCKET = 1000
 
 
 def _bucket_pairs(banded: DataFrame, keys: list[str], max_bucket: int | None,
-                  pair_cols: list[str]) -> DataFrame:
+                  pair_cols: list[str], score=None,
+                  score_name: str = "score") -> DataFrame:
     """Ordered within-bucket pairs WITHOUT a self-join: group the banded
     rows by bucket key, drop over-cap buckets on the grouped row, and
     generate the pairs from the collected array.
@@ -217,6 +218,17 @@ def _bucket_pairs(banded: DataFrame, keys: list[str], max_bucket: int | None,
     each pair once; the explicit strict-``<`` filter afterwards keeps
     the old join's semantics bit-for-bit at the edges (null ids never
     pair — a null comparison was never true in the join either).
+
+    ``score``: optional ``(x_struct, y_struct) -> Column`` evaluated
+    INSIDE the pair-generation lambda (round 15, guide §5): with it the
+    flattened per-bucket array carries ``(id_a, id_b, score_name)`` —
+    ~24 B per pair — instead of duplicating every non-id pair col into
+    both struct halves. Without it, a k=64 bigint-signature payload at
+    the default ``max_bucket=1000`` materializes C(1000, 2) structs of
+    two k-long arrays (~0.5 GB) in ONE generated row before the
+    explode. The score value is bit-identical either way — it is the
+    same expression over the same collected struct fields, just
+    evaluated per pair at emission instead of per exploded row.
     """
     payload = F.struct(*[F.col(c) for c in pair_cols])
     src = banded
@@ -235,20 +247,30 @@ def _bucket_pairs(banded: DataFrame, keys: list[str], max_bucket: int | None,
                .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
     grp = src.groupBy(*[F.col(k) for k in keys]).agg(
         F.collect_list(payload).alias("xs"))
+    first = pair_cols[0]
+    if score is not None:
+        def emit(x, y):
+            return F.struct(
+                x[first].alias(f"{first}_a"),
+                y[first].alias(f"{first}_b"),
+                score(x, y).alias(score_name),
+            )
+    else:
+        def emit(x, y):
+            return F.struct(
+                *([x[c].alias(f"{c}_a") for c in pair_cols]
+                  + [y[c].alias(f"{c}_b") for c in pair_cols]))
     pairs = let(
         F.array_sort("xs"),
         lambda s: F.flatten(F.transform(
             s,
             lambda x, i: F.transform(
                 F.slice(s, i + F.lit(2), F.size(s)),
-                lambda y: F.struct(
-                    *([x[c].alias(f"{c}_a") for c in pair_cols]
-                      + [y[c].alias(f"{c}_b") for c in pair_cols])),
+                lambda y: emit(x, y),
             ),
         )),
     )
     ex = grp.select(F.explode(pairs).alias("p")).select("p.*")
-    first = pair_cols[0]
     return ex.filter(F.col(f"{first}_a") < F.col(f"{first}_b"))
 
 
@@ -465,24 +487,37 @@ def minhash_lsh_pairs(
                              base_hash)
     # One grouped pass replaces the self-join + hot-bucket anti-join
     # (see _bucket_pairs): the signature pipeline above is computed
-    # ONCE instead of four times. est is projected and thresholded
-    # BEFORE the dropDuplicates exchange, so the dedup shuffle carries
-    # (id_a, id_b, double) instead of two k-long signature arrays —
-    # duplicates of a pair (one per shared band) have identical sigs,
-    # hence identical est, so filter-then-dedup returns the same rows
-    # as the former dedup-then-filter (guide §2.3: shuffle fewer bytes).
-    pairs = _bucket_pairs(banded, ["band", "bh"], max_bucket, ["id", "sig"])
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(k)
+    # ONCE instead of four times. est is computed INSIDE the pair
+    # emission (round 15), so neither the flattened pair array nor the
+    # dropDuplicates exchange ever carries two k-long signature arrays
+    # per pair — (id_a, id_b, double) end to end. Duplicates of a pair
+    # (one per shared band) have identical sigs, hence identical est,
+    # so filter-then-dedup returns the same rows as the former
+    # dedup-then-filter (guide §2.3 shuffle fewer bytes, §5 no giant
+    # single-row arrays).
+    est = _sig_est(k)
+    pairs = _bucket_pairs(banded, ["band", "bh"], max_bucket, ["id", "sig"],
+                          score=est, score_name="est_jaccard")
     return (
-        pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+        pairs
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
+
+
+def _sig_est(k: int):
+    """Pair-score lambda: fraction of equal signature components —
+    the same zip_with/aggregate expression the call sites previously
+    applied to the exploded ``sig_a``/``sig_b`` columns."""
+    def est(x, y):
+        return F.aggregate(
+            F.zip_with(x["sig"], y["sig"],
+                       lambda p, q: (p == q).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(k)
+    return est
 
 
 def minhash_oph_pairs(
@@ -564,16 +599,13 @@ def minhash_oph_pairs(
         ).alias("bs"),
     ).select("id", "sig", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
     # grouped in-bucket pairing — one signature computation, no
-    # self-join, cap as a grouped-size filter; est thresholded before
-    # the dedup exchange (see _bucket_pairs and the LSH path's note)
-    pairs = _bucket_pairs(banded, ["band", "bh"], max_bucket, ["id", "sig"])
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(k)
+    # self-join, cap as a grouped-size filter; est computed inside the
+    # pair emission so no pair struct ever carries two k-long
+    # signatures (see _bucket_pairs and the LSH path's note)
+    pairs = _bucket_pairs(banded, ["band", "bh"], max_bucket, ["id", "sig"],
+                          score=_sig_est(k), score_name="est_jaccard")
     return (
-        pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+        pairs
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
@@ -658,15 +690,17 @@ def simhash_pairs(
         ).alias("c"),
     ).select("id", "fp", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
     # grouped in-bucket pairing — one fingerprint computation, no
-    # self-join (see _bucket_pairs); hamming thresholded before the
-    # dedup exchange (identical fps per duplicate pair ⇒ identical
-    # hamming, so filter-then-dedup rows == dedup-then-filter rows)
-    pairs = _bucket_pairs(chunks, ["chunk", "cv"], max_bucket, ["id", "fp"])
+    # self-join (see _bucket_pairs); hamming computed inside the pair
+    # emission, so the pair structs carry (id_a, id_b, bigint) and the
+    # dedup exchange never sees both fingerprints (identical fps per
+    # duplicate pair ⇒ identical hamming, so filter-then-dedup rows ==
+    # dedup-then-filter rows)
+    pairs = _bucket_pairs(
+        chunks, ["chunk", "cv"], max_bucket, ["id", "fp"],
+        score=lambda x, y: hamming64(x["fp"], y["fp"]).cast("bigint"),
+        score_name="hamming")
     return (
-        pairs.select(
-            "id_a", "id_b",
-            hamming64(F.col("fp_a"), F.col("fp_b")).cast("bigint").alias("hamming"),
-        )
+        pairs
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
