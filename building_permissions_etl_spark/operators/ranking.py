@@ -393,23 +393,32 @@ def dsir_scores(
         F.col(target_col).cast("boolean").alias("__tgt"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     ).withColumn("b", portable_hash64(F.col("term")) % n_buckets)
-    # Round 14 (guide §2.4): the target and corpus bucket masses come out
-    # of ONE conditional-count groupBy instead of two separate aggregates
-    # — the former shape re-computed the token-explode subtree three
-    # times per query (target table, corpus table, re-join side); now
-    # twice (a count(CASE WHEN target) over no rows is 0, exactly the
-    # value the old left-join + coalesce produced for target-less
-    # buckets, so the joined masses are identical).
-    buckets = toks.groupBy("b").agg(
-        F.count(F.when(F.col("__tgt"), F.lit(1))).alias("__tc"),
-        F.count(F.lit(1)).alias("__ac"),
+    # Round 15 (guide §2.3/§2.4): aggregate the explode to per-(id,
+    # bucket) counts FIRST. Both branches — the ≤n_buckets mass table
+    # and the per-doc re-aggregation — now read the SAME (id, b, __tgt,
+    # n) aggregate, so its exchange is planned once and the second
+    # reference is a ReusedExchange: the tokenize+explode pass runs
+    # once per query instead of twice (round 14 had already folded
+    # three passes to two), and the broadcast join probes compact count
+    # rows, never one row per token. Values are exact-integer
+    # identical: __tc = Σ n over target groups reproduces
+    # count(CASE WHEN target) (a null/false __tgt contributes 0 both
+    # ways), and Σ_token mass == Σ_(id,b) n·mass.
+    counts = toks.groupBy("id", "b", "__tgt").agg(
+        F.count(F.lit(1)).alias("__n"))
+    buckets = counts.groupBy("b").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("__n")).otherwise(F.lit(0)))
+        .alias("__tc"),
+        F.sum("__n").alias("__ac"),
     )
     return (
-        toks.join(F.broadcast(buckets), "b")
+        counts.join(F.broadcast(buckets), "b")
         .groupBy("id")
         .agg(
-            F.sum("__tc").cast("bigint").alias("target_hits"),
-            F.sum("__ac").cast("bigint").alias("total_hits"),
+            F.sum(F.col("__n") * F.col("__tc")).cast("bigint")
+            .alias("target_hits"),
+            F.sum(F.col("__n") * F.col("__ac")).cast("bigint")
+            .alias("total_hits"),
         )
         .withColumn(
             "score",
